@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""BENCH harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect overhead).  The dedup benchmarks use 3-gram shingles
+(the scale-realistic setting; the sf0.01 correctness variants use
+unigrams because the synthetic vocabulary is tiny).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from themis_tritonsort_spark import queries as q
+from themis_tritonsort_spark.data import table
+from themis_tritonsort_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_band_buckets,
+    lsh_candidate_pairs,
+    minhash_signature,
+)
+from themis_tritonsort_spark.session import get_spark
+
+
+def _jaccard3(spark, sf):
+    docs = table(spark, sf, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.5)
+
+
+def _minhash3(spark, sf):
+    docs = table(spark, sf, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", n=3, num_hashes=16)
+    return lsh_candidate_pairs(lsh_band_buckets(sig, bands=4, num_hashes=16))
+
+
+BENCH_QUERIES = {
+    "q01_sort_events": q.q01_sort_events,
+    "q03_wordcount": q.q03_wordcount,
+    "q04_ngrams": q.q04_ngrams,
+    "q05_inverted_index": q.q05_inverted_index,
+    "q06_sessionize": q.q06_sessionize,
+    "q07_pagerank": q.q07_pagerank,
+    "q09_kmeans_assign": q.q09_kmeans_assign,
+    "q12_merge_sorted": q.q12_merge_sorted,
+    "q14_pricing_summary": q.q14_pricing_summary,
+    "q15_revenue_by_nation": q.q15_revenue_by_nation,
+    "q18_jaccard3": _jaccard3,
+    "q19_minhash3": _minhash3,
+    "q20_ann_topk": q.q20_ann_topk,
+    "q21_text_quality": q.q21_text_quality,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="themis-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen before timing.
+    table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Text functions: tokenizer (reference F1), n-grams (F2), shingles,
+fingerprints, quality features.
+
+Tokenizer parity: the reference WordTokenizer
+(``src/tritonsort/mapreduce/functions/map/WordTokenizer.cc:5-69``)
+splits on the stop characters  space ``"`` ``.`` ``,`` ``/`` ``(`` ``)``
+``?`` ``;``  plus the two-character literal sequence ``\\n``, drops
+empty tokens, and counts a trailing word with no terminator.  That is
+exactly a regex split on ``\\n|[ ".,/()?;]`` with empty tokens
+filtered — expressed here as native Spark SQL functions (JVM-side,
+whole-stage-codegen friendly; no Python UDF in the hot path).
+
+All of these have 1:1 DuckDB oracle formulations (same regex engine
+semantics: RE2/Java both treat ``\\n`` as literal backslash + 'n').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Literal "\n" sequence OR any stop character (WordTokenizer.cc:5-16,35-39).
+# As a regex source string: backslash backslash n | [ ".,/()?;]
+TOKEN_SPLIT_REGEX = r'\\n|[ ".,/()?;]'
+
+# The ~50 common words the reference pre-aggregates in the map task
+# (WordCountMapFunction.cc:7-59).  We don't need the skew trick (Catalyst
+# does partial aggregation), but the list is reused as a stopword set for
+# quality scoring.
+STOP_WORDS = (
+    "the of and a to in is you that it he was for on are as with his they "
+    "I at be this have from or one had by word but not what all were we "
+    "when your can said there use an each which she do how their if"
+).split()
+
+
+def tokens(col: Column | str) -> Column:
+    """Split text into words with reference-F1 semantics (empty tokens
+    dropped).  Returns array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, TOKEN_SPLIT_REGEX), lambda w: w != F.lit(""))
+
+
+def ngrams(tokens_col: Column, n: int, sep: str = " ") -> Column:
+    """Sliding word n-grams over a token array (reference
+    NGramMapFunction.cc:58-100).  Returns array<string>; empty array when
+    fewer than n tokens."""
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+            lambda i: F.concat_ws(sep, F.slice(tokens_col, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingle set of a document (dedup primitive)."""
+    return F.array_distinct(ngrams(tokens(col), n))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercased, tokens re-joined with single spaces).  Md5 so the DuckDB
+    oracle computes the identical digest."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.concat_ws(" ", tokens(F.lower(c))))

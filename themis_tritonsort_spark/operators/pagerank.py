@@ -1,0 +1,95 @@
+"""Iterative PageRank with the reference's exact semantics.
+
+Reference (``functions/map/PageRankMapFunction.cc:8-43`` and
+``functions/reduce/PageRankReduceFunction.cc:6-64``):
+
+  map:    a vertex with out-degree d > 0 sends rank/d to each neighbor;
+          a vertex with d == 0 (dangling) sends its whole rank to
+          ITSELF.  The structural (adjacency) tuple is always re-emitted.
+  reduce: new_rank(v) = sum of received contributions (0.0 when only the
+          structural tuple arrived).  A vertex that receives
+          contributions but has no structural tuple is CREATED with an
+          empty adjacency list (PageRankReduceFunction.cc:42-53) — the
+          dangling-page rule.
+
+Note: no damping factor and no normalization — plain power iteration.
+
+Spark-first formulation: the "reduce that merges rank tuples with the
+structural tuple" is a sum-aggregate joined full-outer with the vertex
+table (SURVEY §2.7 R8).  Adjacency stays a static, partitioned edge
+relation; only the small (vid, rank) relation iterates, exactly like
+the classic Spark PageRank, so each iteration is one shuffle on vid.
+At scale: pre-partition edges by src once and persist so every
+iteration's join co-locates without re-shuffling the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int,
+    src: str = "src",
+    dst: str = "dst",
+    init_rank: float = 1.0,
+) -> DataFrame:
+    """Run ``iterations`` rounds of reference-rule PageRank over a
+    distinct edge list.  Returns (vid long, rank double).
+
+    Initial vertex set = distinct sources (they own structural tuples);
+    destinations without structure get created by the dangling rule on
+    the first iteration, after which the vertex set is stable.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # Static side of every iteration's join: pre-shuffle once on src and
+    # keep it materialized (cluster: bucketed table / co-partitioned).
+    npart = spark.sparkContext.defaultParallelism
+    e = e.repartition(npart, "src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # ranks: (vid, rank, has_structure) — has_structure <=> vertex owns an
+    # adjacency list (out-degree known, possibly 0 for created vertices).
+    ranks = deg.select(
+        F.col("src").alias("vid"),
+        F.lit(float(init_rank)).alias("rank"),
+        F.lit(True).alias("has_structure"),
+    )
+
+    for _ in range(iterations):
+        with_deg = ranks.join(deg, ranks.vid == deg.src, "left").select(
+            "vid", "rank", "has_structure", F.coalesce("deg", F.lit(0)).alias("deg")
+        )
+        # Contributions: out-edges scatter rank/deg; dangling keep rank.
+        scatter = (
+            with_deg.where(F.col("deg") > 0)
+            .join(e, with_deg.vid == e.src)
+            .select(F.col("dst").alias("vid"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        self_keep = with_deg.where(F.col("deg") == 0).select(
+            "vid", F.col("rank").alias("c")
+        )
+        contribs = scatter.unionByName(self_keep).groupBy("vid").agg(
+            F.sum("c").alias("in_rank")
+        )
+        # Reduce: structural vertices keep structure; contribution-only
+        # vertices are created (dangling rule).
+        ranks = (
+            ranks.select("vid", "has_structure")
+            .join(contribs, "vid", "full_outer")
+            .select(
+                "vid",
+                F.coalesce("in_rank", F.lit(0.0)).alias("rank"),
+                F.lit(True).alias("has_structure"),
+            )
+        )
+        # Break the ever-growing lineage each round.
+        ranks = ranks.localCheckpoint(eager=False)
+
+    return ranks.select("vid", "rank")

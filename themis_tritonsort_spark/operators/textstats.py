@@ -1,0 +1,93 @@
+"""Text analysis operators for corpus curation (beyond-reference):
+quality scoring, language-ID heuristic, token counting, fingerprinting.
+
+All JVM-side expressions (no Python UDFs): these run over every document
+of a 100 TB corpus, so they must stay inside whole-stage codegen.
+Outputs are integers/strings only — hash-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import STOP_WORDS, fingerprint, tokens
+
+# Tiny per-language marker sets for the heuristic language ID.  The
+# heuristic is deterministic and mirrors what an n-gram classifier does
+# in spirit; accuracy is secondary to it being an identical computation
+# in Spark and the oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "is", "you", "that"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+    "es": ("el", "los", "que", "una", "por", "con"),
+    "de": ("der", "die", "und", "das", "ein", "nicht"),
+    "zh": ("de", "shi", "le", "wo", "ni", "ta"),
+}
+
+
+def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features:
+    (id, n_tokens, n_chars, n_stop, mean_token_len_x100, quality_pct).
+
+    quality_pct is a 0..100 integer score: penalizes empty/short docs and
+    rewards stopword presence (a fluency proxy) and moderate token
+    length — the standard cheap-quality-filter recipe.
+    """
+    t = tokens(F.col(text_col))
+    stop_arr = F.array(*[F.lit(w) for w in STOP_WORDS])
+    n_tok = F.size(t)
+    n_stop = F.size(F.array_intersect(t, stop_arr))
+    tok_chars = F.aggregate(
+        F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len_x100 = F.when(n_tok > 0, F.floor(tok_chars * 100 / n_tok)).otherwise(0)
+    stop_frac_pct = F.when(n_tok > 0, F.floor(n_stop * 100 / n_tok)).otherwise(0)
+    quality = F.least(
+        F.lit(100),
+        F.greatest(
+            F.lit(0),
+            F.least(n_tok, F.lit(40)) + F.least(stop_frac_pct, F.lit(30)) * 2,
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_stop.cast("long").alias("n_stop"),
+        mean_len_x100.cast("long").alias("mean_token_len_x100"),
+        quality.cast("long").alias("quality_pct"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language over
+    the distinct token set; argmax with deterministic tie-break on
+    language code order.  Returns (id, pred_lang, best_hits)."""
+    t = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    scored = df.select(
+        F.col(id_col),
+        *[
+            F.size(
+                F.array_intersect(t, F.array(*[F.lit(w) for w in words]))
+            ).alias(f"__{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    langs = sorted(LANG_MARKERS)  # deterministic tie-break: alphabetical
+    best_lang = F.lit(langs[0])
+    best_hits = F.col(f"__{langs[0]}")
+    for lang in langs[1:]:
+        better = F.col(f"__{lang}") > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, F.col(f"__{lang}")).otherwise(best_hits)
+    return scored.select(
+        F.col(id_col),
+        best_lang.alias("pred_lang"),
+        best_hits.cast("long").alias("best_hits"),
+    )
+
+
+def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fp): md5 fingerprint of normalized text (dedup/lineage key)."""
+    return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))

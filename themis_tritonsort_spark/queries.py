@@ -1,0 +1,750 @@
+"""Declared-query catalog: every operator from SURVEY.md §2 exposed as a
+(spark_fn, DuckDB-oracle-SQL) pair over the driver testdata tables.
+
+Naming contract: the driver hash-compares values after sorting columns
+by NAME, so every computed column is aliased identically in the Spark
+plan and the oracle SQL.  Numeric outputs are integers (counts, cents,
+ppm, epoch micros) wherever a double would be summation-order fragile —
+see functions.exact.
+
+Sections:
+  q01-q13   reference-parity queries (SURVEY §2.9 contract)
+  q14-q16   relational showcase (joins/aggs the reference lacks)
+  q17-q23   beyond-reference corpus ops (dedup, ANN, text analysis)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .data import table
+from .functions.exact import cents
+from .functions.text import STOP_WORDS, ngrams, tokens
+from .operators.dedup import exact_duplicates, jaccard_pairs, lsh_band_buckets, lsh_candidate_pairs, minhash_signature
+from .operators.kmeans import assign_clusters
+from .operators.pagerank import pagerank
+from .operators.sessionize import sessionize
+from .operators.similarity import brute_force_topk
+from .operators.sort import merge_sorted, with_global_rank
+from .operators.textstats import LANG_MARKERS, doc_fingerprints, lang_id, text_quality
+
+# DuckDB spelling of functions.text.tokens (same regex, RE2 == Java here).
+_TOK = (
+    "list_filter(regexp_split_to_array({col}, '\\\\n|[ \".,/()?;]'), w -> w <> '')"
+)
+
+SESSION_THRESHOLD_US = 30_000 * 1_000_000  # 30 000 s, in epoch micros
+
+
+# ---------------------------------------------------------------- reference
+# Q1 GraySort: total order with observable rank (SURVEY §2.5 O7).
+def q01_sort_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return with_global_rank(ev, ["user_id", "ts_us", "event_id"], rank_col="pos")
+
+
+_Q01_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(row_number() OVER (ORDER BY user_id, epoch_us(ts), event_id) AS BIGINT) AS pos
+FROM events
+"""
+
+
+# Q2 MinuteSort analog: sort a second table on a composite key.
+def q02_sort_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", cents("l_extendedprice").alias("price_cents")
+    )
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+    # price_cents joins the key; full-duplicate rows then interchange
+    # positions, which the unordered multiset compare is blind to.
+    return with_global_rank(
+        li, ["l_orderkey", "l_linenumber", "price_cents"], rank_col="pos"
+    )
+
+
+_Q02_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+       CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                               CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS pos
+FROM lineitem
+"""
+
+
+# Q3 WordCount (tokenizer F1 + A2/A3 sum-reduce).
+def q03_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_Q03_SQL = f"""
+SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest({_TOK.format(col='text')}) AS w FROM documents)
+GROUP BY w
+"""
+
+
+# Q4 N-gram count (F2), n=3.
+def q04_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(ngrams(tokens("text"), 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_Q04_SQL = f"""
+WITH toks AS (SELECT {_TOK.format(col='text')} AS t FROM documents)
+SELECT g AS gram, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks
+)
+GROUP BY g
+"""
+
+
+# Q5 Inverted index (A8): flattened postings (word, doc, tf) + doc-freq.
+def q05_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    postings = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return postings.join(dfreq, "word").select("word", "doc_id", "tf", "df")
+
+
+_Q05_SQL = f"""
+WITH postings AS (
+  SELECT w AS word, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOK.format(col='text')}) AS w FROM documents)
+  GROUP BY w, doc_id
+)
+SELECT word, doc_id, tf, CAST(count(*) OVER (PARTITION BY word) AS BIGINT) AS df
+FROM postings
+"""
+
+
+# Q6 Sessionization with the reference anchor-reset rule
+# (ClickLogSessionSummarizerReduceFunction.cc:10-65).
+def q06_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_type").alias("url"),
+        "event_id",
+    )
+    return sessionize(
+        ev,
+        user_col="user_id",
+        ts_col="ts_us",
+        url_col="url",
+        threshold=SESSION_THRESHOLD_US,
+        order_tiebreak=("event_id",),
+    )
+
+
+_Q06_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_type AS url,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+scan AS (
+  SELECT user_id, 0 AS rn,
+         CAST(NULL AS BIGINT) AS a_ts, CAST(NULL AS VARCHAR) AS a_url,
+         CAST(NULL AS BIGINT) AS f_ts, CAST(NULL AS BIGINT) AS l_ts,
+         CAST(NULL AS VARCHAR) AS f_url, CAST(NULL AS VARCHAR) AS l_url
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         CASE WHEN e.ts - COALESCE(s.a_ts, e.ts) >= {SESSION_THRESHOLD_US}
+              THEN NULL ELSE COALESCE(s.a_ts, e.ts) END,
+         CASE WHEN e.ts - COALESCE(s.a_ts, e.ts) >= {SESSION_THRESHOLD_US}
+              THEN NULL
+              WHEN s.a_ts IS NULL THEN e.url ELSE s.a_url END,
+         CASE WHEN e.ts - COALESCE(s.a_ts, e.ts) >= {SESSION_THRESHOLD_US}
+              THEN COALESCE(s.a_ts, e.ts) END,
+         CASE WHEN e.ts - COALESCE(s.a_ts, e.ts) >= {SESSION_THRESHOLD_US}
+              THEN e.ts END,
+         CASE WHEN e.ts - COALESCE(s.a_ts, e.ts) >= {SESSION_THRESHOLD_US}
+              THEN COALESCE(s.a_url, e.url) END,
+         CASE WHEN e.ts - COALESCE(s.a_ts, e.ts) >= {SESSION_THRESHOLD_US}
+              THEN e.url END
+  FROM scan s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+)
+SELECT user_id, f_ts AS first_ts, l_ts AS last_ts,
+       f_url AS first_url, l_url AS last_url
+FROM scan WHERE f_ts IS NOT NULL
+"""
+
+
+# Q7 PageRank, 3 iterations, reference dangling rule (no damping).
+# Graph: consecutive-lineitem part adjacency within each order.
+def _lineitem_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1)
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+
+
+def q07_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = pagerank(_lineitem_edges(spark, sf_dir), iterations=3)
+    return ranks.select("vid", F.round(F.col("rank") * 1e6).cast("long").alias("rank_ppm"))
+
+
+_Q07_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+   AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS vid, 1.0 AS r FROM deg),
+-- iteration 1: every r0 vertex has d > 0, so no dangling self-sends yet
+c1 AS (
+  SELECT e.dst AS vid, sum(r0.r / deg.d) AS c
+  FROM r0 JOIN deg ON r0.vid = deg.src JOIN edges e ON e.src = r0.vid
+  GROUP BY e.dst
+),
+v1 AS (SELECT vid FROM r0 UNION SELECT dst FROM edges),
+r1 AS (
+  SELECT v1.vid, COALESCE(c1.c, 0) AS r FROM v1 LEFT JOIN c1 ON v1.vid = c1.vid
+),
+-- iterations 2..3: vertex set stable; created vertices have no out-edges
+c2 AS (
+  SELECT vid, sum(c) AS c FROM (
+    SELECT e.dst AS vid, r1.r / deg.d AS c
+    FROM r1 JOIN deg ON r1.vid = deg.src JOIN edges e ON e.src = r1.vid
+    UNION ALL
+    SELECT r1.vid, r1.r FROM r1 LEFT JOIN deg ON r1.vid = deg.src WHERE deg.src IS NULL
+  ) GROUP BY vid
+),
+r2 AS (
+  SELECT v1.vid, COALESCE(c2.c, 0) AS r FROM v1 LEFT JOIN c2 ON v1.vid = c2.vid
+),
+c3 AS (
+  SELECT vid, sum(c) AS c FROM (
+    SELECT e.dst AS vid, r2.r / deg.d AS c
+    FROM r2 JOIN deg ON r2.vid = deg.src JOIN edges e ON e.src = r2.vid
+    UNION ALL
+    SELECT r2.vid, r2.r FROM r2 LEFT JOIN deg ON r2.vid = deg.src WHERE deg.src IS NULL
+  ) GROUP BY vid
+),
+r3 AS (
+  SELECT v1.vid, COALESCE(c3.c, 0) AS r FROM v1 LEFT JOIN c3 ON v1.vid = c3.vid
+)
+SELECT vid, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_ppm FROM r3
+"""
+
+
+# Q8 WEX-style link extraction (F3): regex extract-all + explode.
+def q08_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all("text", F.lit("[a-z]{6,}"), 0)).alias(
+                "target"
+            ),
+        )
+        .groupBy("doc_id", "target")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+
+
+_Q08_SQL = """
+SELECT doc_id, t AS target, CAST(count(*) AS BIGINT) AS n_mentions
+FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS t FROM documents)
+GROUP BY doc_id, t
+"""
+
+
+# Q9 K-means assignment step (KMeansMapFunction argmin semantics):
+# centers = embeddings vec_id 0..7 (deterministic seed centers).
+def _seed_centers(spark: SparkSession, sf_dir: str, k: int = 8) -> list[list[float]]:
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def q09_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    centers = _seed_centers(spark, sf_dir)
+    return assign_clusters(emb, "embedding", centers).select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+_Q09_SQL = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(v) + 1),
+                                 i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
+  FROM e CROSS JOIN c
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
+WHERE rn = 1
+"""
+
+
+# Q10 Global aggregation (ZeroKey P4 + SumValues A2) — exact integer domains.
+def q10_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents("l_quantity")).alias("qty_cents"),
+        F.sum(cents("l_extendedprice")).alias("price_cents"),
+        F.min(F.unix_micros("l_shipdate")).alias("min_ship_us"),
+        F.max(F.unix_micros("l_shipdate")).alias("max_ship_us"),
+    )
+
+
+_Q10_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+       min(epoch_us(l_shipdate)) AS min_ship_us,
+       max(epoch_us(l_shipdate)) AS max_ship_us
+FROM lineitem
+"""
+
+
+# Q10b Length histogram (TupleLengthCounter A10 analog).
+def q10b_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.floor(F.col("n_chars") / 100).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_Q10B_SQL = """
+SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM documents GROUP BY 1
+"""
+
+
+# Q11 Duplicate keys (CountDuplicateKeysReduceFunction A4).
+def q11_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+_Q11_SQL = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY user_id, event_type HAVING count(*) > 1
+"""
+
+
+# Q12 Merge pre-sorted streams (X5 + Merger O4): events + orders timeline.
+def q12_merge_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.lit("E").alias("src"),
+        F.col("event_id").alias("id"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    od = table(spark, sf_dir, "orders").select(
+        F.lit("O").alias("src"),
+        F.col("o_orderkey").alias("id"),
+        F.unix_micros("o_orderdate").alias("ts_us"),
+    )
+    return merge_sorted([ev, od], ["ts_us", "src", "id"], rank_col="pos")
+
+
+_Q12_SQL = """
+WITH m AS (
+  SELECT 'E' AS src, event_id AS id, epoch_us(ts) AS ts_us FROM events
+  UNION ALL
+  SELECT 'O' AS src, o_orderkey AS id, epoch_us(o_orderdate) AS ts_us FROM orders
+)
+SELECT src, id, ts_us,
+       CAST(row_number() OVER (ORDER BY ts_us, src, id) AS BIGINT) AS pos
+FROM m
+"""
+
+
+# Q13 Grep (GrepMapFunction P2 / loggrep P3): regex filter.
+GREP_PATTERN = "table table"
+
+
+def q13_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.where(F.col("text").rlike(GREP_PATTERN)).select(
+        "doc_id", "n_chars"
+    )
+
+
+_Q13_SQL = f"""
+SELECT doc_id, n_chars FROM documents WHERE regexp_matches(text, '{GREP_PATTERN}')
+"""
+
+
+# ------------------------------------------------------------- relational
+# Q14 TPC-H Q1-style pricing summary (grouped multi-aggregate).
+def q14_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    charge = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100
+    ).cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(cents("l_quantity")).alias("sum_qty_cents"),
+        F.sum(cents("l_extendedprice")).alias("sum_base_cents"),
+        F.sum(disc).alias("sum_disc_cents"),
+        F.sum(charge).alias("sum_charge_cents"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_Q14_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# Q15 Revenue by nation: 5-way join, dims broadcast by Catalyst.
+def q15_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    re = table(spark, sf_dir, "region")
+    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(na, cu.c_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q15_SQL = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# Q16 Top-k (O8): top 10 customers by order revenue, deterministic ties.
+def q16_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    by_cust = od.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        by_cust.join(cu, by_cust.o_custkey == cu.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"), "c_name", "revenue_cents", "n_orders"
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("custkey").asc())
+        .limit(10)
+    )
+
+
+_Q16_SQL = """
+SELECT c_custkey AS custkey, c_name,
+       CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue_cents DESC, custkey ASC
+LIMIT 10
+"""
+
+
+# -------------------------------------------------------- beyond-reference
+# Q17 Exact dedup (hash-groupBy; A4 generalized to content hashes).
+def q17_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "doc_id", "text")
+
+
+_Q17_SQL = """
+WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
+SELECT doc_id, content_hash,
+       min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT) AS group_size
+FROM h
+QUALIFY group_size > 1
+"""
+
+
+# Q18 Exact n-gram Jaccard near-dup pairs via shared-shingle join.
+def q18_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=1, min_jaccard=0.6)
+
+
+_Q18_SQL = f"""
+WITH s AS (
+  SELECT doc_id AS doc, unnest(list_distinct({_TOK.format(col='text')})) AS shingle
+  FROM documents
+),
+sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
+i AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS inter_size
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b, inter_size,
+       CAST(sa.sz + sb.sz - inter_size AS BIGINT) AS union_size
+FROM i JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc
+WHERE inter_size >= 0.6 * (sa.sz + sb.sz - inter_size)
+"""
+
+
+# Q19 MinHash-LSH candidate pairs (banded signatures, md5 min-hash).
+def q19_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", n=1, num_hashes=16)
+    buckets = lsh_band_buckets(sig, bands=4, num_hashes=16)
+    return lsh_candidate_pairs(buckets)
+
+
+_Q19_SQL = f"""
+WITH s AS (
+  SELECT doc_id AS doc, unnest(list_distinct({_TOK.format(col='text')})) AS shingle
+  FROM documents
+),
+comp AS (
+  SELECT doc, i AS h, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+  FROM s CROSS JOIN (SELECT unnest(range(16)) AS i)
+  GROUP BY doc, i
+),
+band AS (
+  SELECT doc, h // 4 AS band,
+         md5(string_agg(lpad(h::VARCHAR, 2, '0') || ':' || mh, '|' ORDER BY h)) AS band_sig
+  FROM comp GROUP BY doc, h // 4
+)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM band a JOIN band b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
+"""
+
+
+# Q20 ANN: brute-force cosine top-k (exact baseline; IVF variant in
+# operators.similarity is the approximate scale path).
+def q20_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=10
+    )
+
+
+_Q20_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM s
+)
+WHERE rnk <= 10
+"""
+
+
+# Q21 Text quality features.
+def q21_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text_quality(docs, "doc_id", "text")
+
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOP_WORDS) + "]"
+
+_Q21_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_TOK.format(col='text')} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter(list_distinct(toks), w -> list_contains({_STOPLIST_SQL}, w))) AS n_stop,
+         COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS tok_chars
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_stop AS BIGINT) AS n_stop,
+       CAST(CASE WHEN n_tokens > 0 THEN floor(tok_chars * 100 / n_tokens) ELSE 0 END AS BIGINT) AS mean_token_len_x100,
+       CAST(least(100, greatest(0,
+            least(n_tokens, 40)
+            + least(CASE WHEN n_tokens > 0 THEN floor(n_stop * 100 / n_tokens) ELSE 0 END, 30) * 2
+       )) AS BIGINT) AS quality_pct
+FROM f
+"""
+
+
+# Q22 Heuristic language ID.
+def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return lang_id(docs, "doc_id", "text")
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+    return (
+        f"len(list_filter(list_distinct(toks), w -> list_contains({words}, w)))"
+        f" AS h_{lang}"
+    )
+
+
+_Q22_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOK.format(col='lower(text)')} AS toks FROM documents),
+hits AS (
+  SELECT doc_id, {', '.join(_lang_hits_sql(lang) for lang in sorted(LANG_MARKERS))}
+  FROM t
+),
+unp AS (
+  {' UNION ALL '.join(f"SELECT doc_id, '{lang}' AS lang, h_{lang} AS hits FROM hits" for lang in sorted(LANG_MARKERS))}
+)
+SELECT doc_id, lang AS pred_lang, CAST(hits AS BIGINT) AS best_hits
+FROM (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+  FROM unp
+)
+WHERE rn = 1
+"""
+
+
+# Q23 Document fingerprints.
+def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return doc_fingerprints(docs, "doc_id", "text")
+
+
+_Q23_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string({_TOK.format(col='lower(text)')}, ' ')) AS fp
+FROM documents
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_sort_events": q01_sort_events,
+    "q02_sort_lineitem": q02_sort_lineitem,
+    "q03_wordcount": q03_wordcount,
+    "q04_ngrams": q04_ngrams,
+    "q05_inverted_index": q05_inverted_index,
+    "q06_sessionize": q06_sessionize,
+    "q07_pagerank": q07_pagerank,
+    "q08_link_extract": q08_link_extract,
+    "q09_kmeans_assign": q09_kmeans_assign,
+    "q10_global_agg": q10_global_agg,
+    "q10b_length_histogram": q10b_length_histogram,
+    "q11_duplicate_keys": q11_duplicate_keys,
+    "q12_merge_sorted": q12_merge_sorted,
+    "q13_grep": q13_grep,
+    "q14_pricing_summary": q14_pricing_summary,
+    "q15_revenue_by_nation": q15_revenue_by_nation,
+    "q16_top_customers": q16_top_customers,
+    "q17_exact_dedup": q17_exact_dedup,
+    "q18_jaccard_pairs": q18_jaccard_pairs,
+    "q19_minhash_lsh": q19_minhash_lsh,
+    "q20_ann_topk": q20_ann_topk,
+    "q21_text_quality": q21_text_quality,
+    "q22_lang_id": q22_lang_id,
+    "q23_fingerprint": q23_fingerprint,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_sort_events": _Q01_SQL,
+    "q02_sort_lineitem": _Q02_SQL,
+    "q03_wordcount": _Q03_SQL,
+    "q04_ngrams": _Q04_SQL,
+    "q05_inverted_index": _Q05_SQL,
+    "q06_sessionize": _Q06_SQL,
+    "q07_pagerank": _Q07_SQL,
+    "q08_link_extract": _Q08_SQL,
+    "q09_kmeans_assign": _Q09_SQL,
+    "q10_global_agg": _Q10_SQL,
+    "q10b_length_histogram": _Q10B_SQL,
+    "q11_duplicate_keys": _Q11_SQL,
+    "q12_merge_sorted": _Q12_SQL,
+    "q13_grep": _Q13_SQL,
+    "q14_pricing_summary": _Q14_SQL,
+    "q15_revenue_by_nation": _Q15_SQL,
+    "q16_top_customers": _Q16_SQL,
+    "q17_exact_dedup": _Q17_SQL,
+    "q18_jaccard_pairs": _Q18_SQL,
+    "q19_minhash_lsh": _Q19_SQL,
+    "q20_ann_topk": _Q20_SQL,
+    "q21_text_quality": _Q21_SQL,
+    "q22_lang_id": _Q22_SQL,
+    "q23_fingerprint": _Q23_SQL,
+}
