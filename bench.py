@@ -32,8 +32,10 @@ from themis_tritonsort_spark.session import get_spark
 
 
 def _jaccard3(spark, sf):
+    # Production near-dup setting: trigram shingles, t=0.8, exact
+    # prefix-filtered candidate generation.
     docs = table(spark, sf, "documents")
-    return jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.5)
+    return jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.8)
 
 
 def _minhash3(spark, sf):

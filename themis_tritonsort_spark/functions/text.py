@@ -44,7 +44,12 @@ def tokens(col: Column | str) -> Column:
 def ngrams(tokens_col: Column, n: int, sep: str = " ") -> Column:
     """Sliding word n-grams over a token array (reference
     NGramMapFunction.cc:58-100).  Returns array<string>; empty array when
-    fewer than n tokens."""
+    fewer than n tokens.
+
+    PERF: pass a MATERIALIZED column (a prior select/withColumn), not
+    ``tokens(...)`` inline — the expression is referenced inside the
+    per-position lambda, so an inline tokenizer would re-run the full
+    split once per n-gram position (O(n_tokens) blowup, measured 10x)."""
     return F.when(
         F.size(tokens_col) >= n,
         F.transform(
@@ -54,9 +59,10 @@ def ngrams(tokens_col: Column, n: int, sep: str = " ") -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingle set of a document (dedup primitive)."""
-    return F.array_distinct(ngrams(tokens(col), n))
+def shingles_from_tokens(tokens_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle set from a materialized token array
+    (dedup primitive).  See the PERF note on ngrams()."""
+    return F.array_distinct(ngrams(tokens_col, n))
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -28,7 +28,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokens
+from ..functions.text import shingles_from_tokens, tokens
+
+
+def _doc_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc, set, sz): distinct shingle set per doc, empty docs dropped.
+    Tokens are materialized in a separate projection so the n-gram
+    lambda doesn't re-run the tokenizer per position (see text.ngrams)."""
+    return (
+        df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks"))
+        .select("doc", shingles_from_tokens(F.col("__toks"), n).alias("set"))
+        .withColumn("sz", F.size("set"))
+        .where(F.col("sz") > 0)
+    )
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -45,9 +59,8 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) exploded distinct word-n-gram shingles per doc."""
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    return _doc_shingle_sets(df, id_col, text_col, n).select(
+        "doc", F.explode("set").alias("shingle")
     )
 
 
@@ -57,49 +70,73 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     min_jaccard: float = 0.5,
-    max_df: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard duplicate pairs via shared-shingle join.
+    """Exact n-gram-Jaccard duplicate pairs.
 
     Returns (doc_a, doc_b, inter_size, union_size) with doc_a < doc_b
     and inter/union >= min_jaccard.  Integer outputs only (hash-stable).
 
-    ``max_df`` drops shingles appearing in more than max_df docs before
-    the self-join — the skew guard that keeps the join linear-ish at
-    corpus scale (a ubiquitous shingle otherwise makes a quadratic
-    bucket).  NOTE: pruning ubiquitous shingles changes inter/union
-    counts, so leave it None when oracle-matching exactness is required.
+    With ``prefix_filter`` (ppjoin-style, EXACT): candidate pairs come
+    from joining only each doc's p = |S| - ceil(t*|S|) + 1 globally
+    rarest shingles.  Any pair with J >= t shares >= 1 prefix shingle
+    when both prefixes use the same global (df, shingle) order, so no
+    qualifying pair is lost; the exact intersection is then computed
+    per candidate with array_intersect over the full collected sets.
+    This kills the quadratic buckets that ubiquitous shingles create in
+    the naive shared-shingle self-join — the difference between
+    O(sum df^2) and near-linear candidate generation at corpus scale.
     """
-    sh = shingle_sets(df, id_col, text_col, n)
-    if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_df)
-            .select("shingle")
+    # Tokenize/shingle each doc exactly ONCE: materialize the per-doc
+    # shingle-set table and derive the exploded view, frequency table,
+    # and prefixes from it.  Without the persist, Spark's lazy DAG
+    # re-runs the tokenize+ngram scan once per branch.
+    docsets = _doc_shingle_sets(df, id_col, text_col, n).persist()
+    sh = docsets.select("doc", F.explode("set").alias("shingle"))
+
+    if prefix_filter:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+        ordered = sh.join(freq, "shingle").withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("sdf", "shingle")
+            ),
         )
-        sh = sh.join(rare, "shingle")
+        t = float(min_jaccard)
+        prefix = ordered.join(docsets.select("doc", "sz"), "doc").where(
+            F.col("r") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+        )
+        a = prefix.select(F.col("doc").alias("doc_a"), "shingle")
+        b = prefix.select(F.col("doc").alias("doc_b"), "shingle")
+        cand = (
+            a.join(b, ["shingle"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    else:
+        a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+        cand = (
+            a.join(b, ["shingle"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
 
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter_size"))
+    sa = docsets.select(
+        F.col("doc").alias("doc_a"), F.col("set").alias("set_a"), F.col("sz").alias("sz_a")
+    )
+    sb = docsets.select(
+        F.col("doc").alias("doc_b"), F.col("set").alias("set_b"), F.col("sz").alias("sz_b")
     )
     out = (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter_size", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
         .withColumn("union_size", (F.col("sz_a") + F.col("sz_b") - F.col("inter_size")).cast("long"))
         .where(F.col("inter_size") >= F.lit(min_jaccard) * F.col("union_size"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("inter_size").cast("long").alias("inter_size"),
-            "union_size",
-        )
+        .select("doc_a", "doc_b", "inter_size", "union_size")
     )
     return out
 
@@ -118,20 +155,24 @@ def minhash_signature(
     probability per component ≈ Jaccard similarity (standard MinHash
     guarantee).  md5 is used (not xxhash64) so the DuckDB oracle can
     compute the identical digest.
+
+    Plan shape: all num_hashes mins are computed in ONE groupBy(doc)
+    pass (num_hashes min-aggregates over the shingle rows), then
+    unpivoted — instead of crossJoining shingles x hashes, which would
+    shuffle num_hashes times the data.
     """
     sh = shingle_sets(df, id_col, text_col, n)
-    hs = F.broadcast(
-        df.sparkSession.range(num_hashes).select(F.col("id").alias("h"))
+    wide = sh.groupBy("doc").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(str(h)), F.col("shingle")))
+            ).alias(f"mh{h}")
+            for h in range(num_hashes)
+        ]
     )
-    return (
-        sh.crossJoin(hs)
-        .select(
-            "doc",
-            "h",
-            F.md5(F.concat_ws("|", F.col("h").cast("string"), F.col("shingle"))).alias("d"),
-        )
-        .groupBy("doc", "h")
-        .agg(F.min("d").alias("mh"))
+    stack = ", ".join(f"{h}L, mh{h}" for h in range(num_hashes))
+    return wide.selectExpr(
+        "doc", f"stack({num_hashes}, {stack}) AS (h, mh)"
     )
 
 

@@ -35,17 +35,23 @@ def assign_clusters(
     df: DataFrame, vec_col: str, centers: list[list[float]], out_col: str = "cluster"
 ) -> DataFrame:
     """Nearest-center (squared L2) assignment; ties -> lowest center id
-    (strict < when scanning in id order, like the reference's argmin
-    loop KMeansMapFunction.cc:188-214)."""
+    (matching the reference's strict-< argmin scan in id order,
+    KMeansMapFunction.cc:188-214).
+
+    Implemented as array_min over (dist, cid) structs: struct ordering
+    is lexicographic, so the min is the smallest distance with the
+    lowest cid on ties.  Each distance expression appears exactly once
+    (a chained when/otherwise scan would double the expression tree per
+    center — exponential analysis/codegen cost).
+    """
     v = as_double(F.col(vec_col))
-    best_id = F.lit(0)
-    best_d = _dist_sq(v, centers[0])
-    for cid in range(1, len(centers)):
-        d = _dist_sq(v, centers[cid])
-        closer = d < best_d
-        best_id = F.when(closer, F.lit(cid)).otherwise(best_id)
-        best_d = F.when(closer, d).otherwise(best_d)
-    return df.withColumn(out_col, best_id)
+    dists = F.array(
+        *[
+            F.struct(_dist_sq(v, c).alias("d"), F.lit(cid).alias("cid"))
+            for cid, c in enumerate(centers)
+        ]
+    )
+    return df.withColumn(out_col, F.array_min(dists)["cid"])
 
 
 def lloyd(

@@ -52,41 +52,40 @@ def pagerank(
     e = e.repartition(npart, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # ranks: (vid, rank, has_structure) — has_structure <=> vertex owns an
-    # adjacency list (out-degree known, possibly 0 for created vertices).
+    # ranks: (vid, rank, deg) — deg carried in the iterating state so
+    # each round needs no extra join against the degree table (created
+    # dangling vertices get deg 0 and keep it; the vertex set and
+    # degrees are stable after round 1, matching the reference).
     ranks = deg.select(
         F.col("src").alias("vid"),
         F.lit(float(init_rank)).alias("rank"),
-        F.lit(True).alias("has_structure"),
+        F.col("deg"),
     )
 
     for _ in range(iterations):
-        with_deg = ranks.join(deg, ranks.vid == deg.src, "left").select(
-            "vid", "rank", "has_structure", F.coalesce("deg", F.lit(0)).alias("deg")
-        )
         # Contributions: out-edges scatter rank/deg; dangling keep rank.
         scatter = (
-            with_deg.where(F.col("deg") > 0)
-            .join(e, with_deg.vid == e.src)
+            ranks.where(F.col("deg") > 0)
+            .join(e, ranks.vid == e.src)
             .select(F.col("dst").alias("vid"), (F.col("rank") / F.col("deg")).alias("c"))
         )
-        self_keep = with_deg.where(F.col("deg") == 0).select(
+        self_keep = ranks.where(F.col("deg") == 0).select(
             "vid", F.col("rank").alias("c")
         )
         contribs = scatter.unionByName(self_keep).groupBy("vid").agg(
             F.sum("c").alias("in_rank")
         )
         # Reduce: structural vertices keep structure; contribution-only
-        # vertices are created (dangling rule).
+        # vertices are created with no out-edges (dangling rule,
+        # PageRankReduceFunction.cc:42-53).
         ranks = (
-            ranks.select("vid", "has_structure")
+            ranks.select("vid", "deg")
             .join(contribs, "vid", "full_outer")
             .select(
                 "vid",
                 F.coalesce("in_rank", F.lit(0.0)).alias("rank"),
-                F.lit(True).alias("has_structure"),
+                F.coalesce("deg", F.lit(0)).alias("deg"),
             )
         )
         # Break the ever-growing lineage each round.

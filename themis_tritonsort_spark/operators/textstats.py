@@ -34,15 +34,31 @@ def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     rewards stopword presence (a fluency proxy) and moderate token
     length — the standard cheap-quality-filter recipe.
     """
-    t = tokens(F.col(text_col))
-    stop_arr = F.array(*[F.lit(w) for w in STOP_WORDS])
-    n_tok = F.size(t)
-    n_stop = F.size(F.array_intersect(t, stop_arr))
-    tok_chars = F.aggregate(
-        F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    # Materialize the token array and per-row counts in staged
+    # projections so the tokenizer runs once per row (see text.ngrams).
+    staged = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        tokens(F.col(text_col)).alias("__toks"),
     )
-    mean_len_x100 = F.when(n_tok > 0, F.floor(tok_chars * 100 / n_tok)).otherwise(0)
-    stop_frac_pct = F.when(n_tok > 0, F.floor(n_stop * 100 / n_tok)).otherwise(0)
+    stop_arr = F.array(*[F.lit(w) for w in STOP_WORDS])
+    t = F.col("__toks")
+    staged = staged.select(
+        id_col,
+        "n_chars",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_intersect(t, stop_arr)).cast("long").alias("n_stop"),
+        F.aggregate(
+            F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        ).alias("__tok_chars"),
+    )
+    n_tok = F.col("n_tokens")
+    mean_len_x100 = F.when(
+        n_tok > 0, F.floor(F.col("__tok_chars") * 100 / n_tok)
+    ).otherwise(0)
+    stop_frac_pct = F.when(
+        n_tok > 0, F.floor(F.col("n_stop") * 100 / n_tok)
+    ).otherwise(0)
     quality = F.least(
         F.lit(100),
         F.greatest(
@@ -50,11 +66,11 @@ def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.least(n_tok, F.lit(40)) + F.least(stop_frac_pct, F.lit(30)) * 2,
         ),
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
-        n_tok.cast("long").alias("n_tokens"),
-        F.length(F.col(text_col)).cast("long").alias("n_chars"),
-        n_stop.cast("long").alias("n_stop"),
+        "n_tokens",
+        "n_chars",
+        "n_stop",
         mean_len_x100.cast("long").alias("mean_token_len_x100"),
         quality.cast("long").alias("quality_pct"),
     )
@@ -64,8 +80,12 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic language ID: count marker-word hits per language over
     the distinct token set; argmax with deterministic tie-break on
     language code order.  Returns (id, pred_lang, best_hits)."""
-    t = F.array_distinct(tokens(F.lower(F.col(text_col))))
-    scored = df.select(
+    staged = df.select(
+        F.col(id_col),
+        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("__toks"),
+    )
+    t = F.col("__toks")
+    scored = staged.select(
         F.col(id_col),
         *[
             F.size(
