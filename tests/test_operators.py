@@ -1,0 +1,190 @@
+"""Unit tests for operator semantics (the reference's gtest analog:
+small fixtures, exact expected outputs — SURVEY §5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from themis_tritonsort_spark.functions.text import tokens
+from themis_tritonsort_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    simhash64,
+)
+from themis_tritonsort_spark.operators.kmeans import assign_clusters, lloyd
+from themis_tritonsort_spark.operators.sessionize import sessionize_pdf
+from themis_tritonsort_spark.operators.similarity import brute_force_topk, ivf_topk
+from themis_tritonsort_spark.operators.sort import merge_sorted, with_global_rank
+
+
+# --- tokenizer: reference WordTokenizer semantics (WordTokenizer.cc:27-69)
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("hello world", ["hello", "world"]),
+        ("a  b..c", ["a", "b", "c"]),
+        (r"line one\nline two", ["line", "one", "line", "two"]),
+        ("tail\\", ["tail\\"]),  # lone trailing backslash is word material
+        ('x(y)z?w;q/r,s."t', ["x", "y", "z", "w", "q", "r", "s", "t"]),
+        ("", []),
+        ("trailing word", ["trailing", "word"]),  # no terminator: counted
+    ],
+)
+def test_tokenizer_reference_vectors(spark, text, expected):
+    row = spark.createDataFrame([(text,)], "t string").select(
+        tokens("t").alias("w")
+    ).first()
+    assert row["w"] == expected
+
+
+# --- sessionization: reference anchor-reset rule
+# (ClickLogSessionSummarizerReduceFunction.cc:20-64)
+def test_sessionize_anchor_reset_rule():
+    # clicks at t=0,15,99: 15-0 < 20 no emit; 99-0 >= 20 -> emit (0,99),
+    # anchor resets; nothing left -> exactly one session.
+    pdf = pd.DataFrame({"u": [1, 1, 1], "ts": [0, 15, 99], "url": ["a", "b", "c"]})
+    out = sessionize_pdf(pdf, "ts", "url", 20, ["u"])
+    assert out.to_dict("records") == [
+        {"u": 1, "first_ts": 0, "last_ts": 99, "first_url": "a", "last_url": "c"}
+    ]
+
+
+def test_sessionize_closing_click_not_new_anchor():
+    # After emission the NEXT click anchors: 0,25 emits (0,25); 26,30
+    # anchor=26, 30-26 < 20 -> no second session.  The textbook gap rule
+    # would differ; this is the reference's exact behavior.
+    pdf = pd.DataFrame(
+        {"u": [1] * 4, "ts": [0, 25, 26, 30], "url": list("abcd")}
+    )
+    out = sessionize_pdf(pdf, "ts", "url", 20, ["u"])
+    assert out.to_dict("records") == [
+        {"u": 1, "first_ts": 0, "last_ts": 25, "first_url": "a", "last_url": "b"}
+    ]
+
+
+def test_sessionize_trailing_clicks_emit_nothing():
+    pdf = pd.DataFrame({"u": [1, 1], "ts": [0, 5], "url": ["a", "b"]})
+    out = sessionize_pdf(pdf, "ts", "url", 20, ["u"])
+    assert len(out) == 0
+
+
+# --- global rank: totality, contiguity, binary-sort parity
+def test_with_global_rank_is_contiguous_total_order(spark):
+    df = spark.range(1000).select(
+        (F.col("id") * 7919 % 1000).alias("k"), F.col("id").alias("uid")
+    )
+    out = with_global_rank(df, ["k", "uid"], rank_col="pos", num_partitions=7)
+    rows = out.orderBy("pos").collect()
+    assert [r["pos"] for r in rows] == list(range(1, 1001))
+    keys = [(r["k"], r["uid"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_binary_sort_shorter_prefix_first(spark):
+    # Comparison.h:15-30: on common prefix, shorter key sorts first.
+    df = spark.createDataFrame(
+        [(b"ab",), (b"a",), (b"abc",), (b"",), (b"b",)], "key binary"
+    )
+    got = [bytes(r["key"]) for r in df.sort("key").collect()]
+    assert got == [b"", b"a", b"ab", b"abc", b"b"]
+
+
+def test_merge_sorted_interleaves(spark):
+    a = spark.createDataFrame([(1,), (3,), (5,)], "ts long")
+    b = spark.createDataFrame([(2,), (4,), (6,)], "ts long")
+    out = merge_sorted([a, b], ["ts"], rank_col="pos").orderBy("pos").collect()
+    assert [r["ts"] for r in out] == [1, 2, 3, 4, 5, 6]
+
+
+# --- dedup
+def test_exact_duplicates_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "unique"), (4, "same text")],
+        "doc_id long, text string",
+    )
+    out = exact_duplicates(df, "doc_id", "text").collect()
+    assert {r["doc_id"] for r in out} == {1, 2, 4}
+    assert all(r["canonical_id"] == 1 and r["group_size"] == 3 for r in out)
+
+
+def test_jaccard_pairs_exact_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c e"),  # J(1,2) = 3/5
+            (3, "x y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = jaccard_pairs(df, "doc_id", "text", n=1, min_jaccard=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"], r["inter_size"], r["union_size"]) == (1, 2, 3, 5)
+    # prefix filter and brute force must agree
+    brute = jaccard_pairs(
+        df, "doc_id", "text", n=1, min_jaccard=0.5, prefix_filter=False
+    ).collect()
+    assert len(brute) == 1 and brute[0] == r
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy cat again and again"),
+            (3, "completely different words entirely unrelated content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc"]: r["simhash"] for r in simhash64(df, "doc_id", "text").collect()}
+    d12 = bin(rows[1] ^ rows[2]).count("1")
+    d13 = bin(rows[1] ^ rows[3]).count("1")
+    assert d12 < d13
+
+
+# --- kmeans
+def test_assign_clusters_argmin_and_ties(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [5.0, 0.0])],
+        "id long, v array<double>",
+    )
+    centers = [[0.0, 0.0], [10.0, 0.0]]
+    got = {
+        r["id"]: r["cluster"]
+        for r in assign_clusters(df, "v", centers).collect()
+    }
+    # point 2 is equidistant -> lowest center id wins (reference argmin)
+    assert got == {0: 0, 1: 1, 2: 0}
+
+
+def test_lloyd_converges_two_blobs(spark):
+    pts = [(i, [float(i % 2 * 100 + (i % 5)), 0.0]) for i in range(40)]
+    df = spark.createDataFrame(pts, "id long, v array<double>")
+    assigned, centers = lloyd(df, "v", k=2, iterations=3,
+                              initial_centers=[[0.0, 0.0], [1.0, 0.0]])
+    got = {r["id"]: r["cluster"] for r in assigned.collect()}
+    for i, c in got.items():
+        assert c == (0 if i % 2 == 0 else 1)
+    assert abs(centers[0][0] - 2.0) < 1e-9 and abs(centers[1][0] - 102.0) < 1e-9
+
+
+# --- similarity: IVF recall vs brute force
+def test_ivf_topk_subset_of_brute(spark):
+    import random
+
+    rng = random.Random(42)
+    corpus = [
+        (i, [rng.gauss(cx, 1.0), rng.gauss(0, 1.0)])
+        for i, cx in ((i, (i % 4) * 20.0) for i in range(80))
+    ]
+    df = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    qs = df.where(F.col("vec_id") < 2)
+    centroids = [[0.0, 0.0], [20.0, 0.0], [40.0, 0.0], [60.0, 0.0]]
+    brute = brute_force_topk(df, qs, "vec_id", "embedding", k=5).collect()
+    ivf = ivf_topk(df, qs, "vec_id", "embedding", k=5, centroids=centroids, nprobe=4).collect()
+    # nprobe = all cells -> identical results
+    assert sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in ivf) == sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in brute
+    )

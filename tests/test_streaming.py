@@ -1,0 +1,117 @@
+"""Streaming operator tests: file source + availableNow trigger +
+memory sink (deterministic, no wall-clock dependence)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from themis_tritonsort_spark.streaming.sessions import (
+    anchor_sessions_stream,
+    session_windows,
+    windowed_event_counts,
+)
+
+SCRATCH = os.path.join(os.path.dirname(__file__), "..", "scratch", "stream")
+
+
+@pytest.fixture()
+def stream_dir(spark):
+    d = os.path.join(SCRATCH, uuid.uuid4().hex)
+    os.makedirs(d, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(sdf, name, mode="append"):
+    # Windowed aggregations use "complete": in append mode a finite
+    # availableNow run never advances the watermark past the last
+    # window, so nothing would be emitted.
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_windowed_event_counts(spark, stream_dir):
+    src = os.path.join(stream_dir, "src")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 00:10:00", "click"),
+            (1, "2024-01-01 00:20:00", "click"),
+            (2, "2024-01-01 01:10:00", "view"),
+        ],
+    )
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    _run_to_memory(out, "win_counts", mode="complete")
+    rows = {
+        (str(r["window_start"]), r["event_type"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert rows == {
+        ("2024-01-01 00:00:00", "click"): 2,
+        ("2024-01-01 01:00:00", "view"): 1,
+    }
+
+
+def test_session_windows_gap(spark, stream_dir):
+    src = os.path.join(stream_dir, "src")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 00:00:00", "a"),
+            (1, "2024-01-01 00:10:00", "a"),  # same session (gap 10m < 30m)
+            (1, "2024-01-01 02:00:00", "a"),  # new session
+        ],
+    )
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    out = session_windows(stream, gap="30 minutes", watermark="4 hours")
+    _run_to_memory(out, "sess_win", mode="complete")
+    rows = sorted(
+        (str(r["session_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    )
+    assert rows == [("2024-01-01 00:00:00", 2), ("2024-01-01 02:00:00", 1)]
+
+
+def test_anchor_sessions_stream_matches_batch_rule(spark, stream_dir):
+    src = os.path.join(stream_dir, "src")
+    spark.createDataFrame(
+        [(1, 0, "a"), (1, 15, "b"), (1, 99, "c"), (2, 0, "x"), (2, 5, "y")],
+        "user_id long, ts_us long, url string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("user_id long, ts_us long, url string").parquet(src)
+    out = anchor_sessions_stream(stream, threshold=20)
+    _run_to_memory(out, "anchor_sessions")
+    rows = [
+        (r["user_id"], r["first_ts"], r["last_ts"], r["first_url"], r["last_url"])
+        for r in spark.sql("SELECT * FROM anchor_sessions").collect()
+    ]
+    # same expectation as the batch unit test: one session for user 1,
+    # nothing for user 2 (threshold never reached)
+    assert rows == [(1, 0, 99, "a", "c")]

@@ -1,0 +1,286 @@
+"""ThemisJob: the reference's job-spec JSON re-expressed as the engine's
+query IR, executed as a DataFrame pipeline.
+
+Reference lifecycle (SURVEY §3.1): a Python generator builds
+``{input_directory, output_directory, map_function, reduce_function,
+partition_function, params}`` (``job_spec_generators/utils.py:5-31``),
+pushed through Redis to the 4-phase C++ binary.  Here the same dict
+drives a Spark plan:
+
+    df = source -> map_fn(df) -> partition/sort -> reduce_fn -> sink
+
+Phases 0-3 (sampling, shuffle, sort, external merge) collapse into
+Catalyst + the shuffle machinery; ``run_in_sequence`` (multi-iteration
+jobs like PageRank, ``pagerank.py:17-36``) is a Python loop.
+
+The function registries mirror the reference factories
+(``MapFunctionFactory.cc:24-118``, ``ReduceFunctionFactory.cc:1-53``,
+``PartitionFunctionFactory.cc:1-55``): name -> pipeline fragment.  Map
+and reduce fragments are DataFrame -> DataFrame transforms, so
+registered "UDFs" stay declarative wherever semantics allow and
+Catalyst can still optimize across the fragment boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+Fragment = Callable[[DataFrame, dict[str, Any]], DataFrame]
+
+MAP_FUNCTIONS: dict[str, Fragment] = {}
+REDUCE_FUNCTIONS: dict[str, Fragment] = {}
+PARTITION_FUNCTIONS: dict[str, Fragment] = {}
+
+
+def _register(registry: dict[str, Fragment], name: str):
+    def deco(fn: Fragment) -> Fragment:
+        registry[name] = fn
+        return fn
+
+    return deco
+
+
+# ---- map functions (reference functions/map/*) ---------------------------
+@_register(MAP_FUNCTIONS, "PassThroughMapFunction")
+def _passthrough(df: DataFrame, params: dict) -> DataFrame:
+    """Identity (PassThroughMapFunction.cc:1-6)."""
+    return df
+
+
+@_register(MAP_FUNCTIONS, "GrepMapFunction")
+def _grep(df: DataFrame, params: dict) -> DataFrame:
+    """Selectivity filter on the first value byte
+    (GrepMapFunction.cc:176-183); params: MAX_KEY_VALUE (0-255)."""
+    threshold = int(params.get("MAX_KEY_VALUE", 127))
+    # unsigned first byte of the binary value, via hex -> base-10
+    first_byte = F.conv(F.hex(F.substring(F.col("value"), 1, 1)), 16, 10).cast("int")
+    return df.where(first_byte <= threshold)
+
+
+@_register(MAP_FUNCTIONS, "RegexGrepMapFunction")
+def _regex_grep(df: DataFrame, params: dict) -> DataFrame:
+    """loggrep analog (src/loggrep/loggrep.cc:13-53): regex filter on a
+    string value column; params: PATTERN, COLUMN."""
+    col = params.get("COLUMN", "value")
+    return df.where(F.col(col).rlike(params["PATTERN"]))
+
+
+@_register(MAP_FUNCTIONS, "ZeroKeyMapFunction")
+def _zero_key(df: DataFrame, params: dict) -> DataFrame:
+    """Project key to empty -> single group (ZeroKeyMapFunction.cc:1-7)."""
+    return df.withColumn("key", F.lit(b""))
+
+
+@_register(MAP_FUNCTIONS, "BytesCountMapFunction")
+def _bytes_count(df: DataFrame, params: dict) -> DataFrame:
+    """Key := first N key bytes, value := 1
+    (BytesCountMapFunction.cc:266-275); params: BYTES_COUNT_PREFIX_SIZE."""
+    n = int(params.get("BYTES_COUNT_PREFIX_SIZE", 1))
+    return df.select(
+        F.substring(F.col("key"), 1, n).alias("key"), F.lit(1).cast("long").alias("value")
+    )
+
+
+@_register(MAP_FUNCTIONS, "WordCountMapFunction")
+def _wordcount_map(df: DataFrame, params: dict) -> DataFrame:
+    """Tokenize a string 'value' column into (key=word, value=1)
+    (WordCountMapFunction.cc:89-114, minus the murmur key-compression
+    trick — we keep the word itself as the key, SURVEY §4 item 3)."""
+    col = params.get("COLUMN", "value")
+    return (
+        df.select(tokens(F.col(col)).alias("__toks"))
+        .select(F.explode("__toks").alias("key"))
+        .withColumn("value", F.lit(1).cast("long"))
+    )
+
+
+@_register(MAP_FUNCTIONS, "NGramMapFunction")
+def _ngram_map(df: DataFrame, params: dict) -> DataFrame:
+    """(key=n-gram, value=1) over a string column
+    (NGramMapFunction.cc:58-100); params: NGRAM_COUNT, COLUMN."""
+    from ..functions.text import ngrams
+
+    n = int(params.get("NGRAM_COUNT", 3))
+    col = params.get("COLUMN", "value")
+    return (
+        df.select(tokens(F.col(col)).alias("__toks"))
+        .select(F.explode(ngrams(F.col("__toks"), n)).alias("key"))
+        .withColumn("value", F.lit(1).cast("long"))
+    )
+
+
+@_register(MAP_FUNCTIONS, "TupleLengthCounterMapFunction")
+def _tuple_lengths(df: DataFrame, params: dict) -> DataFrame:
+    """Emit (tag, length) := 1 for key/value/tuple lengths
+    (TupleLengthCounterMapFunction.cc:284-318)."""
+    kl = F.length(F.col("key"))
+    vl = F.length(F.col("value"))
+    tagged = df.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("key").alias("tag"), kl.alias("len")),
+                F.struct(F.lit("value").alias("tag"), vl.alias("len")),
+                F.struct(F.lit("tuple").alias("tag"), (kl + vl).alias("len")),
+            )
+        ).alias("kv")
+    )
+    return tagged.select(
+        F.concat_ws(":", F.col("kv.tag"), F.col("kv.len").cast("string")).alias("key"),
+        F.lit(1).cast("long").alias("value"),
+    )
+
+
+# ---- reduce functions (reference functions/reduce/*) ---------------------
+@_register(REDUCE_FUNCTIONS, "IdentityReduceFunction")
+def _identity_reduce(df: DataFrame, params: dict) -> DataFrame:
+    """Emit groups unchanged (IdentityReduceFunction.cc:103-113)."""
+    return df
+
+
+@_register(REDUCE_FUNCTIONS, "SumValuesReduceFunction")
+def _sum_values(df: DataFrame, params: dict) -> DataFrame:
+    """Per-key sum (SumValuesReduceFunction.cc:42-72)."""
+    return df.groupBy("key").agg(F.sum("value").alias("value"))
+
+
+@_register(REDUCE_FUNCTIONS, "WordCountReduceFunction")
+def _wordcount_reduce(df: DataFrame, params: dict) -> DataFrame:
+    """Sum counts per word (WordCountReduceFunction.cc:6-35)."""
+    return df.groupBy("key").agg(F.sum("value").alias("value"))
+
+
+@_register(REDUCE_FUNCTIONS, "CountDuplicateKeysReduceFunction")
+def _count_dups(df: DataFrame, params: dict) -> DataFrame:
+    """Keys with count > 1 (CountDuplicateKeysReduceFunction.cc:77-99)."""
+    return (
+        df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .where(F.col("value") > 1)
+    )
+
+
+@_register(REDUCE_FUNCTIONS, "InvertedIndexReduceFunction")
+def _inverted_index(df: DataFrame, params: dict) -> DataFrame:
+    """word -> sorted postings list (InvertedIndexReduceFunction.cc:119-158);
+    expects (key=word, value=doc)."""
+    return df.groupBy("key").agg(
+        F.sort_array(F.collect_list("value")).alias("value")
+    )
+
+
+# ---- partition functions (reference functions/partition/*) ----------------
+@_register(PARTITION_FUNCTIONS, "HashedBoundaryListPartitionFunction")
+def _hash_partition(df: DataFrame, params: dict) -> DataFrame:
+    """Hash partitioning — the default for MapReduce jobs
+    (HashedBoundaryListPartitionFunction.cc:44-56)."""
+    n = int(params.get("NUM_PARTITIONS", df.sparkSession.sparkContext.defaultParallelism))
+    return df.repartition(n, "key")
+
+
+@_register(PARTITION_FUNCTIONS, "BoundaryListPartitionFunction")
+def _range_partition(df: DataFrame, params: dict) -> DataFrame:
+    """Sampled range partitioning + in-partition sort = global order
+    (BoundaryListPartitionFunction.cc:10-35 + phase 0/2 semantics)."""
+    n = int(params.get("NUM_PARTITIONS", df.sparkSession.sparkContext.defaultParallelism))
+    return df.repartitionByRange(n, "key").sortWithinPartitions("key")
+
+
+@_register(PARTITION_FUNCTIONS, "UniformPartitionFunction")
+def _uniform_partition(df: DataFrame, params: dict) -> DataFrame:
+    """Uniform key-space scaling (UniformPartitionFunction.cc:78-90) —
+    range partitioning without sampling; Spark's range partitioner is
+    the closest declarative equivalent."""
+    n = int(params.get("NUM_PARTITIONS", df.sparkSession.sparkContext.defaultParallelism))
+    return df.repartitionByRange(n, "key").sortWithinPartitions("key")
+
+
+@_register(PARTITION_FUNCTIONS, "RandomNodePartitionFunction")
+def _random_partition(df: DataFrame, params: dict) -> DataFrame:
+    """Round-robin (RandomNodePartitionFunction.cc:115-125)."""
+    n = int(params.get("NUM_PARTITIONS", df.sparkSession.sparkContext.defaultParallelism))
+    return df.repartition(n)
+
+
+@_register(PARTITION_FUNCTIONS, "SinglePartitionMergingPartitionFunction")
+def _single_partition(df: DataFrame, params: dict) -> DataFrame:
+    """Everything to one partition, sorted (merge jobs,
+    SinglePartitionMergingPartitionFunction.cc:148-158)."""
+    return df.repartitionByRange(1, "key").sortWithinPartitions("key")
+
+
+@dataclass
+class ThemisJob:
+    """The job-spec IR (mirrors job_spec_generators/utils.py:5-31)."""
+
+    map_function: str = "PassThroughMapFunction"
+    reduce_function: str = "IdentityReduceFunction"
+    partition_function: str = "HashedBoundaryListPartitionFunction"
+    params: dict[str, Any] = field(default_factory=dict)
+    input_table: str | None = None  # testdata table name, OR
+    input_path: str | None = None  # parquet path
+
+    @classmethod
+    def from_spec(cls, spec: dict[str, Any]) -> "ThemisJob":
+        return cls(
+            map_function=spec.get("map_function", "PassThroughMapFunction"),
+            reduce_function=spec.get("reduce_function", "IdentityReduceFunction"),
+            partition_function=spec.get(
+                "partition_function", "HashedBoundaryListPartitionFunction"
+            ),
+            params=dict(spec.get("params", {})),
+            input_table=spec.get("input_table"),
+            input_path=spec.get("input_directory"),
+        )
+
+
+def run_job(
+    spark: SparkSession,
+    job: ThemisJob,
+    df: DataFrame | None = None,
+    sf_dir: str | None = None,
+) -> DataFrame:
+    """Execute one job spec: source -> map -> partition -> reduce.
+
+    ``df`` overrides the source (for run_in_sequence chaining).  The
+    partition step is applied only for identity reduces (sort jobs),
+    where physical layout IS the result; aggregating reduces let
+    Catalyst choose the shuffle, which already hash-partitions on the
+    group key — forcing a pre-shuffle would double-shuffle.
+    """
+    if df is None:
+        if job.input_table is not None:
+            from ..data import table
+
+            df = table(spark, sf_dir, job.input_table)
+        elif job.input_path is not None:
+            df = spark.read.parquet(job.input_path)
+        else:
+            raise ValueError("job needs input_table, input_path, or df")
+
+    out = MAP_FUNCTIONS[job.map_function](df, job.params)
+    if job.reduce_function == "IdentityReduceFunction":
+        out = PARTITION_FUNCTIONS[job.partition_function](out, job.params)
+    out = REDUCE_FUNCTIONS[job.reduce_function](out, job.params)
+    return out
+
+
+def run_in_sequence(
+    spark: SparkSession,
+    jobs: list[ThemisJob],
+    df: DataFrame | None = None,
+    sf_dir: str | None = None,
+) -> DataFrame:
+    """Chain jobs, each consuming the previous output
+    (utils.run_in_sequence / pagerank.py:17-36)."""
+    out = df
+    for i, job in enumerate(jobs):
+        out = run_job(spark, job, df=out if i or df is not None else None, sf_dir=sf_dir)
+        out = out.localCheckpoint(eager=False) if i < len(jobs) - 1 else out
+    return out
