@@ -701,6 +701,144 @@ FROM documents
 """
 
 
+# Q24 Window functions: per-user running stats over the event stream.
+def q24_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), cents("value").alias("v_cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.coalesce(
+            F.col("ts_us") - F.lag("ts_us").over(w), F.lit(-1)
+        ).alias("gap_us"),
+        F.sum("v_cents").over(w).alias("run_v_cents"),
+    )
+
+
+_Q24_SQL = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us,
+       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS run_v_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# Q25 Anti join: customers with no orders.
+def q25_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders")
+    return cu.join(
+        od, cu.c_custkey == od.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_Q25_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# Q26 Distinct aggregate: unique users + event counts per event type.
+def q26_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_Q26_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# Q27 Semi join: parts that actually ship, counted per brand.
+def q27_parts_shipped_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        pa.join(li, pa.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+_Q27_SQL = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+"""
+
+
+# Q28 JSON extraction (events.props = {"k": int}).
+def q28_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_Q28_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# Q29 Full Lloyd k-means, 5 iterations (iterative; no SQL oracle — the
+# driver records a rows-only check for this one).
+def q29_kmeans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.kmeans import lloyd
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _ = lloyd(
+        emb, "embedding", k=8, iterations=5,
+        initial_centers=_seed_centers(spark, sf_dir),
+    )
+    return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+# Q30 SimHash fingerprints (64-bit bit-ops; no SQL oracle).
+def q30_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash64
+
+    docs = table(spark, sf_dir, "documents")
+    return simhash64(docs, "doc_id", "text")
+
+
+# Q31 IVF approximate ANN (recall < 1 by design; no SQL oracle).
+def q31_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=10,
+        centroids=_seed_centers(spark, sf_dir), nprobe=3,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -726,6 +864,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_text_quality": q21_text_quality,
     "q22_lang_id": q22_lang_id,
     "q23_fingerprint": q23_fingerprint,
+    "q24_window_funcs": q24_window_funcs,
+    "q25_customers_without_orders": q25_customers_without_orders,
+    "q26_distinct_agg": q26_distinct_agg,
+    "q27_parts_shipped_by_brand": q27_parts_shipped_by_brand,
+    "q28_json_extract": q28_json_extract,
+    "q29_kmeans_full": q29_kmeans_full,
+    "q30_simhash": q30_simhash,
+    "q31_ivf_ann": q31_ivf_ann,
 }
 
 ORACLES: dict[str, str] = {
@@ -753,4 +899,11 @@ ORACLES: dict[str, str] = {
     "q21_text_quality": _Q21_SQL,
     "q22_lang_id": _Q22_SQL,
     "q23_fingerprint": _Q23_SQL,
+    "q24_window_funcs": _Q24_SQL,
+    "q25_customers_without_orders": _Q25_SQL,
+    "q26_distinct_agg": _Q26_SQL,
+    "q27_parts_shipped_by_brand": _Q27_SQL,
+    "q28_json_extract": _Q28_SQL,
+    # q29_kmeans_full, q30_simhash, q31_ivf_ann: iterative / bit-level /
+    # approximate — not ANSI-SQL-expressible; driver records rows-only.
 }
