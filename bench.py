@@ -59,6 +59,9 @@ BENCH_QUERIES = {
     "q19_minhash3": _minhash3,
     "q20_ann_topk": q.q20_ann_topk,
     "q21_text_quality": q.q21_text_quality,
+    "q24_window_funcs": q.q24_window_funcs,
+    "q26_distinct_agg": q.q26_distinct_agg,
+    "q28_json_extract": q.q28_json_extract,
 }
 
 

@@ -47,6 +47,15 @@ def sort_records(df: DataFrame) -> DataFrame:
     return df.sort("key")
 
 
+def sort_records_secondary(df: DataFrame, secondary_bytes: int = 8) -> DataFrame:
+    """USE_SECONDARY_KEYS sort: order by key, then by the first
+    ``secondary_bytes`` of the value (QuickSortStrategy.h:77-91;
+    ``mapreduce/defaults.yaml:238``) — the reference uses this to
+    time-order click events within a user.  A composite sort key, one
+    range shuffle, same as the primary-only path."""
+    return df.sort(F.col("key"), F.substring(F.col("value"), 1, secondary_bytes))
+
+
 def write_gensort(df: DataFrame, path: str) -> None:
     """Write headerless concatenated 100-byte records, one file per
     partition (named part-NNNNN in partition order so the global order
