@@ -141,6 +141,9 @@ def jaccard_pairs(
     return out
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
@@ -150,11 +153,12 @@ def minhash_signature(
 ) -> DataFrame:
     """(doc, h, mh): per-doc min-hash component for h in [0, num_hashes).
 
-    hash_h(shingle) = md5(h || '|' || shingle); the component is the
-    lexicographic MIN digest — uniform over hex strings, so collision
-    probability per component ≈ Jaccard similarity (standard MinHash
-    guarantee).  md5 is used (not xxhash64) so the DuckDB oracle can
-    compute the identical digest.
+    Hash family: ONE md5 per shingle (60 bits hex -> bigint, mod the
+    Mersenne prime 2^31-1), then num_hashes affine transforms
+    h_i(x) = ((2i+1)*x + 7919*i) mod (2^31-1) — the classic universal
+    min-hash family.  This is 16x fewer digest computations than
+    hashing (i, shingle) pairs, and md5 keeps the DuckDB oracle able to
+    reproduce the exact integers ('0x'||hex)::BIGINT.
 
     Plan shape: all num_hashes mins are computed in ONE groupBy(doc)
     pass (num_hashes min-aggregates over the shingle rows), then
@@ -162,10 +166,16 @@ def minhash_signature(
     shuffle num_hashes times the data.
     """
     sh = shingle_sets(df, id_col, text_col, n)
-    wide = sh.groupBy("doc").agg(
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long")
+        % MINHASH_PRIME
+    )
+    hashed = sh.select("doc", base.alias("x"))
+    wide = hashed.groupBy("doc").agg(
         *[
             F.min(
-                F.md5(F.concat_ws("|", F.lit(str(h)), F.col("shingle")))
+                (F.lit(2 * h + 1) * F.col("x") + F.lit(7919 * h)) % MINHASH_PRIME
             ).alias(f"mh{h}")
             for h in range(num_hashes)
         ]
@@ -183,7 +193,9 @@ def lsh_band_buckets(
     rows_per_band = num_hashes // bands
     # Zero-pad h so the lexicographic array_sort equals numeric h order
     # (collect_list order is nondeterministic; the sort restores it).
-    elem = F.concat_ws(":", F.lpad(F.col("h").cast("string"), 2, "0"), F.col("mh"))
+    elem = F.concat_ws(
+        ":", F.lpad(F.col("h").cast("string"), 2, "0"), F.col("mh").cast("string")
+    )
     return (
         sig.withColumn("band", F.floor(F.col("h") / rows_per_band).cast("long"))
         .groupBy("doc", "band")

@@ -578,14 +578,18 @@ WITH s AS (
   SELECT doc_id AS doc, unnest(list_distinct({_TOK.format(col='text')})) AS shingle
   FROM documents
 ),
+hx AS (
+  SELECT doc, (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 2147483647 AS x
+  FROM s
+),
 comp AS (
-  SELECT doc, i AS h, min(md5(i::VARCHAR || '|' || shingle)) AS mh
-  FROM s CROSS JOIN (SELECT unnest(range(16)) AS i)
+  SELECT doc, i AS h, min(((2*i + 1) * x + 7919*i) % 2147483647) AS mh
+  FROM hx CROSS JOIN (SELECT unnest(range(16)) AS i)
   GROUP BY doc, i
 ),
 band AS (
   SELECT doc, h // 4 AS band,
-         md5(string_agg(lpad(h::VARCHAR, 2, '0') || ':' || mh, '|' ORDER BY h)) AS band_sig
+         md5(string_agg(lpad(h::VARCHAR, 2, '0') || ':' || mh::VARCHAR, '|' ORDER BY h)) AS band_sig
   FROM comp GROUP BY doc, h // 4
 )
 SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
