@@ -25,8 +25,11 @@ from themis_tritonsort_spark.operators.sort import merge_sorted, with_global_ran
     [
         ("hello world", ["hello", "world"]),
         ("a  b..c", ["a", "b", "c"]),
-        (r"line one\nline two", ["line", "one", "line", "two"]),
+        # the scanner consumes only the backslash of "\n"; the n starts
+        # the next word (WordTokenizer.cc:35-39)
+        (r"line one\nline two", ["line", "one", "nline", "two"]),
         ("tail\\", ["tail\\"]),  # lone trailing backslash is word material
+        (r"\nstart", ["nstart"]),
         ('x(y)z?w;q/r,s."t', ["x", "y", "z", "w", "q", "r", "s", "t"]),
         ("", []),
         ("trailing word", ["trailing", "word"]),  # no terminator: counted

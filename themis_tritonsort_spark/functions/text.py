@@ -4,14 +4,18 @@ fingerprints, quality features.
 Tokenizer parity: the reference WordTokenizer
 (``src/tritonsort/mapreduce/functions/map/WordTokenizer.cc:5-69``)
 splits on the stop characters  space ``"`` ``.`` ``,`` ``/`` ``(`` ``)``
-``?`` ``;``  plus the two-character literal sequence ``\\n``, drops
-empty tokens, and counts a trailing word with no terminator.  That is
-exactly a regex split on ``\\n|[ ".,/()?;]`` with empty tokens
-filtered — expressed here as native Spark SQL functions (JVM-side,
-whole-stage-codegen friendly; no Python UDF in the hot path).
+``?`` ``;``  and treats a backslash-followed-by-n as a break — but the
+scanner only consumes the BACKSLASH; the ``n`` starts the next word
+("a\\nb" tokenizes to ["a", "nb"], not ["a", "b"]; WordTokenizer.cc:35-39
+marks only position i as a stop).  Hypothesis testing against a
+straight Python port of the scanner caught this (the intuitive
+"split on the two-char sequence" regex is NOT what the C++ does).
 
-All of these have 1:1 DuckDB oracle formulations (same regex engine
-semantics: RE2/Java both treat ``\\n`` as literal backslash + 'n').
+RE2 (DuckDB) has no lookahead, so the behavior-exact formulation both
+engines share is: replace the literal ``\\n`` pair with <SENTINEL>n,
+then split on [<SENTINEL> + stop chars].  SENTINEL is \\x01, assumed
+absent from input text.  Everything stays JVM-side native functions —
+no Python UDF in the hot path.
 """
 
 from __future__ import annotations
@@ -19,9 +23,19 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Literal "\n" sequence OR any stop character (WordTokenizer.cc:5-16,35-39).
-# As a regex source string: backslash backslash n | [ ".,/()?;]
-TOKEN_SPLIT_REGEX = r'\\n|[ ".,/()?;]'
+_SENTINEL = "\x01"
+
+# Stop characters (WordTokenizer.cc:5-16) + the sentinel standing in for
+# a consumed backslash-of-\n.
+TOKEN_SPLIT_REGEX = f'[{_SENTINEL} ".,/()?;]'
+
+# DuckDB spelling of the same tokenization (pattern built with chr(1)
+# because SQL literals can't hold the control char):
+TOKENS_SQL = (
+    "list_filter(regexp_split_to_array("
+    "replace({col}, '\\n', chr(1) || 'n'), "
+    "'[' || chr(1) || ' \".,/()?;]'), w -> w <> '')"
+)
 
 # The ~50 common words the reference pre-aggregates in the map task
 # (WordCountMapFunction.cc:7-59).  We don't need the skew trick (Catalyst
@@ -36,9 +50,11 @@ STOP_WORDS = (
 
 def tokens(col: Column | str) -> Column:
     """Split text into words with reference-F1 semantics (empty tokens
-    dropped).  Returns array<string>."""
+    dropped; backslash-of-\\n consumed, the n kept).  Returns
+    array<string>."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(c, TOKEN_SPLIT_REGEX), lambda w: w != F.lit(""))
+    replaced = F.regexp_replace(c, r"\\n", _SENTINEL + "n")
+    return F.filter(F.split(replaced, TOKEN_SPLIT_REGEX), lambda w: w != F.lit(""))
 
 
 def ngrams(tokens_col: Column, n: int, sep: str = " ") -> Column:

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .data import table
 from .functions.exact import cents
-from .functions.text import STOP_WORDS, ngrams, tokens
+from .functions.text import STOP_WORDS, TOKENS_SQL, ngrams, tokens
 from .operators.dedup import exact_duplicates, jaccard_pairs, lsh_band_buckets, lsh_candidate_pairs, minhash_signature
 from .operators.kmeans import assign_clusters
 from .operators.pagerank import pagerank
@@ -31,10 +31,9 @@ from .operators.similarity import brute_force_topk
 from .operators.sort import merge_sorted, with_global_rank
 from .operators.textstats import LANG_MARKERS, doc_fingerprints, lang_id, text_quality
 
-# DuckDB spelling of functions.text.tokens (same regex, RE2 == Java here).
-_TOK = (
-    "list_filter(regexp_split_to_array({col}, '\\\\n|[ \".,/()?;]'), w -> w <> '')"
-)
+# DuckDB spelling of functions.text.tokens (behavior-exact scanner
+# parity — see functions/text.py docstring).
+_TOK = TOKENS_SQL
 
 SESSION_THRESHOLD_US = 30_000 * 1_000_000  # 30 000 s, in epoch micros
 
@@ -810,6 +809,136 @@ FROM events GROUP BY event_type
 """
 
 
+# Q32 Correlated aggregate: parts priced above their type's average.
+def q32_above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = table(spark, sf_dir, "part")
+    avg_by_type = pa.groupBy("p_type").agg(
+        F.avg("p_retailprice").alias("__avg")
+    )
+    return (
+        pa.join(avg_by_type, "p_type")
+        .where(F.col("p_retailprice") > F.col("__avg"))
+        .select("p_partkey", "p_type", cents("p_retailprice").alias("price_cents"))
+    )
+
+
+_Q32_SQL = """
+SELECT p_partkey, p_type, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+FROM part p
+WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part q WHERE q.p_type = p.p_type)
+"""
+
+
+# Q33 Conditional semi-join (TPC-H Q4 shape): orders with any lineitem
+# shipped > 90 days after the order date, counted by priority.
+def q33_late_ship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    late = od.join(
+        li,
+        (od.o_orderkey == li.l_orderkey)
+        & (F.unix_micros(li.l_shipdate)
+           > F.unix_micros(od.o_orderdate) + 90 * 86400 * 1_000_000),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_Q33_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + 7776000000000
+)
+GROUP BY o_orderpriority
+"""
+
+
+# Q34 Revenue share per region-year in exact ppm (integer division —
+# no float ratio, hash-stable).
+def q34_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    re = table(spark, sf_dir, "region")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    per = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(na, cu.c_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("yr"), F.col("r_name"))
+        .agg(F.sum(rev).alias("rev_cents"))
+    )
+    w = Window.partitionBy("yr")
+    return (
+        per.withColumn("__tot", F.sum("rev_cents").over(w))
+        # integer `div` keeps the share exact (no float ratio to
+        # round differently across engines)
+        .select(
+            "yr",
+            "r_name",
+            "rev_cents",
+            F.expr("rev_cents * 1000000 div __tot").alias("share_ppm"),
+        )
+    )
+
+
+_Q34_SQL = """
+WITH per AS (
+  SELECT year(o_orderdate) AS yr, r_name,
+         CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT yr, r_name, rev_cents,
+       CAST(rev_cents * 1000000 // sum(rev_cents) OVER (PARTITION BY yr) AS BIGINT) AS share_ppm
+FROM per
+"""
+
+
+# Q35 Rollup (hierarchical subtotals — beyond the reference's flat
+# groupBy; Catalyst expands to grouping sets in one pass).
+def q35_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    re = table(spark, sf_dir, "region")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(na, cu.c_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.sum(rev).alias("rev_cents"))
+    )
+
+
+_Q35_SQL = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 # Q29 Full Lloyd k-means, 5 iterations (iterative; no SQL oracle — the
 # driver records a rows-only check for this one).
 def q29_kmeans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,6 +1005,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_kmeans_full": q29_kmeans_full,
     "q30_simhash": q30_simhash,
     "q31_ivf_ann": q31_ivf_ann,
+    "q32_above_avg_parts": q32_above_avg_parts,
+    "q33_late_ship_orders": q33_late_ship_orders,
+    "q34_region_share": q34_region_share,
+    "q35_rollup_revenue": q35_rollup_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -910,4 +1043,8 @@ ORACLES: dict[str, str] = {
     "q28_json_extract": _Q28_SQL,
     # q29_kmeans_full, q30_simhash, q31_ivf_ann: iterative / bit-level /
     # approximate — not ANSI-SQL-expressible; driver records rows-only.
+    "q32_above_avg_parts": _Q32_SQL,
+    "q33_late_ship_orders": _Q33_SQL,
+    "q34_region_share": _Q34_SQL,
+    "q35_rollup_revenue": _Q35_SQL,
 }
