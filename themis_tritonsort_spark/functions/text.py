@@ -62,17 +62,22 @@ def ngrams(tokens_col: Column, n: int, sep: str = " ") -> Column:
     NGramMapFunction.cc:58-100).  Returns array<string>; empty array when
     fewer than n tokens.
 
-    PERF: pass a MATERIALIZED column (a prior select/withColumn), not
-    ``tokens(...)`` inline — the expression is referenced inside the
-    per-position lambda, so an inline tokenizer would re-run the full
-    split once per n-gram position (O(n_tokens) blowup, measured 10x)."""
-    return F.when(
-        F.size(tokens_col) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
-            lambda i: F.concat_ws(sep, F.slice(tokens_col, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    Implemented as (n-1) zip_with folds over shifted slices rather than
+    a transform-over-positions lambda: a lambda that references
+    ``tokens_col`` re-evaluates it PER POSITION, and Catalyst's
+    CollapseProject happily inlines an upstream tokenizer into the
+    lambda, turning tokenization O(n_tokens^2) per row (measured 5-10x
+    on the corpus queries).  The zip formulation references the token
+    array a constant number of times per row regardless of projection
+    collapsing.  zip_with pads the shorter side with null and concat
+    propagates null, so trailing partial grams filter out."""
+    acc = tokens_col
+    for i in range(1, n):
+        shifted = F.slice(
+            tokens_col, i + 1, F.greatest(F.size(tokens_col) - i, F.lit(0))
+        )
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(sep), y))
+    return F.filter(acc, lambda g: g.isNotNull())
 
 
 def shingles_from_tokens(tokens_col: Column, n: int = 3) -> Column:

@@ -106,11 +106,37 @@ def jaccard_pairs(
         prefix = ordered.join(docsets.select("doc", "sz"), "doc").where(
             F.col("r") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
         )
-        a = prefix.select(F.col("doc").alias("doc_a"), "shingle")
-        b = prefix.select(F.col("doc").alias("doc_b"), "shingle")
+        a = prefix.select(
+            F.col("doc").alias("doc_a"), "shingle",
+            F.col("r").alias("r_a"), F.col("sz").alias("psz_a"),
+        )
+        b = prefix.select(
+            F.col("doc").alias("doc_b"), "shingle",
+            F.col("r").alias("r_b"), F.col("sz").alias("psz_b"),
+        )
+        # Exact ppjoin prunes applied per prefix match, before distinct:
+        #  - length filter: J >= t forces t*|B| <= |A| <= |B|/t;
+        #  - position filter: the overlap still reachable from match
+        #    positions (r_a, r_b), min(|A|-r_a, |B|-r_b)+1, must meet the
+        #    minimum overlap ceil(t/(1+t)*(|A|+|B|)).
+        min_overlap = F.ceil(
+            F.lit(t / (1.0 + t)) * (F.col("psz_a") + F.col("psz_b"))
+        )
         cand = (
             a.join(b, ["shingle"])
-            .where(F.col("doc_a") < F.col("doc_b"))
+            .where(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (F.col("psz_a") >= F.ceil(F.lit(t) * F.col("psz_b")))
+                & (F.col("psz_b") >= F.ceil(F.lit(t) * F.col("psz_a")))
+                & (
+                    F.least(
+                        F.col("psz_a") - F.col("r_a"),
+                        F.col("psz_b") - F.col("r_b"),
+                    )
+                    + 1
+                    >= min_overlap
+                )
+            )
             .select("doc_a", "doc_b")
             .distinct()
         )
