@@ -38,6 +38,18 @@ def _jaccard3(spark, sf):
     return jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.8)
 
 
+def _lsh_neardup_wide(spark, sf):
+    # Scale config: 64-plane signature, 8 bands of 8 bits — candidate
+    # set stays ~linear on near-orthogonal corpora (collision 2^-8 per
+    # band) while true near-dups (cos>=0.9) keep ~0.94 recall.
+    from themis_tritonsort_spark.operators.similarity import hyperplane_lsh_neardup
+
+    emb = table(spark, sf, "embeddings")
+    return hyperplane_lsh_neardup(
+        emb, "vec_id", "embedding", threshold=0.4, dim=64, n_planes=64, bands=8
+    )
+
+
 def _minhash3(spark, sf):
     docs = table(spark, sf, "documents")
     sig = minhash_signature(docs, "doc_id", "text", n=3, num_hashes=16)
@@ -62,6 +74,9 @@ BENCH_QUERIES = {
     "q24_window_funcs": q.q24_window_funcs,
     "q26_distinct_agg": q.q26_distinct_agg,
     "q28_json_extract": q.q28_json_extract,
+    "q36_asof_join": q.q36_asof_join,
+    "q37_range_join": q.q37_range_join,
+    "q39_lsh_neardup": _lsh_neardup_wide,
 }
 
 

@@ -1,0 +1,75 @@
+"""Unit tests for the temporal joins and embedding near-dup operators
+(the oracle suite checks them end-to-end; these pin the semantics on
+hand-built frames)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from themis_tritonsort_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    hyperplane_lsh_neardup,
+)
+from themis_tritonsort_spark.operators.temporal import asof_join, range_join_bucketed
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (2, 7, "d"), (3, 9, "e")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 101), (2, 8, 102)],
+        "k long, rts long, payload long",
+    )
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="rts",
+                    right_cols=["payload"])
+    got = {(r["k"], r["ts"]): (r["payload"], r["asof_ts"]) for r in out.collect()}
+    assert got == {
+        (1, 5): (100, 5),      # right row AT left ts matches (inclusive)
+        (1, 10): (100, 5),     # latest of the earlier rows
+        (1, 20): (101, 15),
+        (2, 7): (None, None),  # right row is later -> no match
+        (3, 9): (None, None),  # key absent on the right
+    }
+    assert out.count() == left.count()  # left-outer: no row loss
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    import random
+
+    rnd = random.Random(7)
+    pts = [(rnd.randrange(5), i, rnd.randrange(0, 1000)) for i in range(300)]
+    ivs = [
+        (rnd.randrange(5), 1000 + i, lo, lo + rnd.randrange(1, 120))
+        for i, lo in enumerate(rnd.randrange(0, 950) for _ in range(80))
+    ]
+    left = spark.createDataFrame(pts, "k long, pid long, ts long")
+    right = spark.createDataFrame(ivs, "k long, rid long, lo long, hi long")
+
+    bucketed = range_join_bucketed(
+        left, right, key="k", left_ts="ts", right_lo="lo", right_hi="hi", bucket=64
+    )
+    naive = left.join(right, "k").where(
+        (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))
+    )
+    got = sorted((r["pid"], r["rid"]) for r in bucketed.collect())
+    want = sorted((r["pid"], r["rid"]) for r in naive.collect())
+    assert got == want and len(want) > 0
+
+
+def test_lsh_neardup_subset_of_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_ppm"])
+        for r in cosine_neardup_pairs(emb, "vec_id", "embedding", 0.3).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"], r["cos_ppm"])
+        for r in hyperplane_lsh_neardup(
+            emb, "vec_id", "embedding", 0.3, dim=64, n_planes=16, bands=8
+        ).collect()
+    }
+    assert approx <= exact          # LSH never invents a pair
+    assert len(exact) > 0
+    assert len(approx) >= len(exact) // 2  # sane recall at 8 bands of 2 bits

@@ -15,10 +15,10 @@ reproducible across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import as_double, cosine, dot
 from .kmeans import assign_clusters
 
 
@@ -115,4 +115,161 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: every (id_a < id_b) with
+    cosine >= threshold.  Output (id_a, id_b, cos_ppm).
+
+    This is the exact baseline (O(n^2) candidate space, pruned only by
+    the id_a < id_b triangle); hyperplane_lsh_neardup is the 100 TB
+    path.  Norms are computed once per row before the self-join so the
+    pair stage does one fold (the dot), not three.
+    """
+    sided = df.select(
+        F.col(id_col).alias("__id"),
+        as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    a = sided.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    b = sided.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        pairs.withColumn("__cos", cos)
+        .where(F.col("__cos") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__cos") * 1e6).cast("long").alias("cos_ppm"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic Gaussian random hyperplanes (sign-LSH for cosine)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def hyperplane_lsh_neardup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate near-duplicate pairs via sign-random-projection LSH.
+
+    Each vector gets an n_planes-bit signature (sign of the dot with a
+    fixed Gaussian hyperplane — charikar sign-LSH: P[bit match] =
+    1 - angle/pi); signatures are split into ``bands``, vectors sharing
+    any band bucket become candidates, and candidates are verified with
+    the exact cosine.  Same output shape as cosine_neardup_pairs but
+    recall < 1 by design: the candidate join is on (band, bucket) — at
+    scale that is a hash shuffle of n_rows * bands small rows instead of
+    the O(n^2) cross product.
+
+    The hyperplanes are literal-folded into the plan (dim * n_planes
+    doubles), the same broadcast-as-literals pattern as kmeans centers.
+
+    Tuning: recall for a pair at angle θ is 1-(1-p^r)^bands with
+    p = 1-θ/π and r = n_planes/bands bits per band.  Few bits per band
+    (the default 16/4) means high recall even at low thresholds but
+    coarse buckets — right for modest corpora.  At scale use wide
+    signatures (e.g. n_planes=64, bands=8): for genuinely near-duplicate
+    pairs (cos >= 0.9, p ≈ 0.86) recall stays ~0.94 while random
+    near-orthogonal pairs (p ≈ 0.5) collide in a band with chance
+    2^-8 — the candidate set stays ~linear instead of quadratic.
+
+    Scale shape: the band join carries ONLY (id, band, bucket) rows —
+    vectors never enter the shuffle; candidates are deduped as bare id
+    pairs and the vectors are fetched back by two hash joins for the
+    exact verify.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows_per_band = n_planes // bands
+
+    def _bit(v: Column, plane: list[float], i: int) -> Column:
+        d = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"__b{i}")
+
+    sided = df.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    sig = sided.select(
+        "__id", *[_bit(F.col("__v"), p, i) for i, p in enumerate(planes)]
+    )
+    # One row per (vector, band): bucket = the band's bits packed into a
+    # long (no strings on the shuffle).
+    band_rows = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        sum(
+                            (
+                                F.col(f"__b{bi * rows_per_band + j}") * (1 << j)
+                                for j in range(1, rows_per_band)
+                            ),
+                            start=F.col(f"__b{bi * rows_per_band}"),
+                        ).cast("long").alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select("__id", "__band.band", "__band.bucket")
+
+    cand = (
+        band_rows.alias("a")
+        .join(
+            band_rows.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = sided.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    vb = sided.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    fetched = cand.join(va, "id_a").join(vb, "id_b")
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        fetched.withColumn("__cos", cos)
+        .where(F.col("__cos") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__cos") * 1e6).cast("long").alias("cos_ppm"),
+        )
     )

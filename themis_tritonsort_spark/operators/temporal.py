@@ -1,0 +1,121 @@
+"""Temporal joins (beyond-reference: the reference has no join operator
+at all — SURVEY.md §2.7 — so these are pure Spark-first additions that a
+training-data / event-analytics pipeline needs).
+
+  asof_join — for every left row, attach the most recent right row with
+      right_ts <= left_ts for the same key (inclusive, "backward"
+      direction).  Implemented as ONE shuffle: tag + union both inputs,
+      hash-partition by key, and fill right-side columns with a running
+      ``last(ignorenulls)`` window — no per-key collect, no UDF, no
+      range cross-product.  This is the merge-scan formulation: at 100 TB
+      each partition streams once in (key, ts) order.
+
+  range_join_bucketed — equi-key + interval containment
+      (lo <= ts < hi) join.  The naive plan is a hash join on the key
+      with the interval as a post-filter, which explodes when a key has
+      many rows on both sides.  The bucketed form quantizes time into
+      fixed buckets, explodes each right interval to the buckets it
+      covers (bounded by interval/bucket), and equi-joins on
+      (key, bucket) — the classic time-bucketed range join, which keeps
+      the join an exact hash match and the candidate set proportional to
+      true matches.  Each left row belongs to exactly one bucket, so no
+      post-join dedup is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: left rows keep all their columns and gain
+    ``right_cols`` (+ the matched right timestamp as ``asof_ts``) from
+    the latest right row with ``right_ts <= left_ts`` on ``key``; nulls
+    when no right row precedes the left row (left-outer semantics).
+
+    The right side should be unique per (key, right_ts) — pre-aggregate
+    ties upstream, otherwise which tied row wins is unspecified (the
+    reference semantics of every as-of engine, incl. the DuckDB oracle).
+    """
+    l_payload = [c for c in left.columns if c not in (key, left_ts)]
+    tagged_l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.col(c) for c in l_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    tagged_r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_payload],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    # Right rows (tag 0) sort before left rows (tag 1) at equal ts, so a
+    # right row AT the left timestamp is visible to it (inclusive <=).
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged_l.unionByName(tagged_r).select(
+        "__k",
+        "__ts",
+        "__tag",
+        *l_payload,
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in right_cols],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
+    )
+    return filled.where(F.col("__tag") == 1).select(
+        F.col("__k").alias(key),
+        F.col("__ts").alias(left_ts),
+        *l_payload,
+        *[F.col(f"__f_{c}").alias(c) for c in right_cols],
+        F.col("__f_ts").alias("asof_ts"),
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    bucket: int,
+) -> DataFrame:
+    """Inner join of left rows to right intervals on ``key`` with
+    ``right_lo <= left_ts < right_hi``, via time-bucket quantization.
+    ``bucket`` is in the units of the timestamp columns and should be on
+    the order of the typical interval length (each right row explodes to
+    ``ceil(len/bucket)+1`` bucket rows).  Output keeps all columns of
+    both inputs (key once).
+    """
+    lb = left.withColumn("__bucket", (F.col(left_ts) / bucket).cast("long"))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(right_lo) / bucket).cast("long"),
+                # hi is exclusive, but a row at floor(hi/bucket) can still
+                # have ts < hi, so that bucket is included.
+                (F.col(right_hi) / bucket).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, ["__bucket", key])
+        .where((F.col(left_ts) >= F.col(right_lo)) & (F.col(left_ts) < F.col(right_hi)))
+        .drop("__bucket")
+    )

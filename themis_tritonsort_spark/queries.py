@@ -11,6 +11,8 @@ Sections:
   q01-q13   reference-parity queries (SURVEY §2.9 contract)
   q14-q16   relational showcase (joins/aggs the reference lacks)
   q17-q23   beyond-reference corpus ops (dedup, ANN, text analysis)
+  q24-q35   windows / set ops / JSON / subqueries / rollup
+  q36-q39   temporal joins + embedding near-dup (as-of, range, cosine)
 """
 
 from __future__ import annotations
@@ -939,6 +941,124 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+# Q36 As-of join (beyond-reference: no join operator exists in the
+# reference at all): every event gains the user's most recent purchase
+# at-or-before it.  Single-shuffle union+window merge-scan formulation —
+# see operators/temporal.py.
+def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import asof_join
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        # unique per (user, ts) by construction; max() makes tie-handling
+        # explicit anyway so oracle and engine agree even if data changes
+        .groupBy("user_id", F.col("ts_us").alias("p_ts_us"))
+        .agg(F.max("event_id").alias("last_purchase_id"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts_us"),
+        purchases,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="p_ts_us",
+        right_cols=["last_purchase_id"],
+    )
+    return out.select("event_id", "user_id", "ts_us", "last_purchase_id", "asof_ts")
+
+
+_Q36_SQL = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS p_ts_us, max(event_id) AS last_purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       p.last_purchase_id, p.p_ts_us AS asof_ts
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND epoch_us(e.ts) >= p.p_ts_us
+"""
+
+
+# Q37 Range (interval) join: per order, how many other orders the same
+# customer placed within the following 30 days.  Bucketed formulation —
+# see operators/temporal.py.
+RANGE_WINDOW_US = 30 * 86400 * 1_000_000
+
+
+def q37_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import range_join_bucketed
+
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.unix_micros("o_orderdate").alias("od_us")
+    )
+    points = od.select(
+        F.col("o_orderkey").alias("p_orderkey"), "o_custkey", F.col("od_us").alias("p_ts")
+    )
+    intervals = od.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("od_us").alias("lo"),
+        (F.col("od_us") + RANGE_WINDOW_US).alias("hi"),
+    )
+    joined = range_join_bucketed(
+        points, intervals, key="o_custkey", left_ts="p_ts",
+        right_lo="lo", right_hi="hi", bucket=RANGE_WINDOW_US,
+    )
+    return (
+        joined.where(F.col("p_orderkey") != F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_followups"))
+    )
+
+
+_Q37_SQL = f"""
+SELECT r.o_orderkey, CAST(count(*) AS BIGINT) AS n_followups
+FROM orders r JOIN orders l ON l.o_custkey = r.o_custkey
+ AND l.o_orderkey <> r.o_orderkey
+ AND epoch_us(l.o_orderdate) >= epoch_us(r.o_orderdate)
+ AND epoch_us(l.o_orderdate) < epoch_us(r.o_orderdate) + {RANGE_WINDOW_US}
+GROUP BY r.o_orderkey
+"""
+
+
+# Q38 Embedding-cosine near-duplicate pairs (exact baseline; the
+# hyperplane-LSH variant q39 is the approximate scale path).
+NEARDUP_COS = 0.40
+
+
+def q38_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_neardup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=NEARDUP_COS)
+
+
+_Q38_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, CAST(ROUND(c * 1000000) AS BIGINT) AS cos_ppm
+FROM s WHERE c >= {NEARDUP_COS}
+"""
+
+
+# Q39 Sign-LSH near-dup (approximate — recall < 1 by design; rows-only).
+def q39_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import hyperplane_lsh_neardup
+
+    emb = table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_neardup(
+        emb, "vec_id", "embedding", threshold=NEARDUP_COS, dim=64,
+        n_planes=16, bands=8,
+    )
+
+
 # Q29 Full Lloyd k-means, 5 iterations (iterative; no SQL oracle — the
 # driver records a rows-only check for this one).
 def q29_kmeans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1009,6 +1129,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_late_ship_orders": q33_late_ship_orders,
     "q34_region_share": q34_region_share,
     "q35_rollup_revenue": q35_rollup_revenue,
+    "q36_asof_join": q36_asof_join,
+    "q37_range_join": q37_range_join,
+    "q38_cosine_neardup": q38_cosine_neardup,
+    "q39_lsh_neardup": q39_lsh_neardup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1047,4 +1171,8 @@ ORACLES: dict[str, str] = {
     "q33_late_ship_orders": _Q33_SQL,
     "q34_region_share": _Q34_SQL,
     "q35_rollup_revenue": _Q35_SQL,
+    "q36_asof_join": _Q36_SQL,
+    "q37_range_join": _Q37_SQL,
+    "q38_cosine_neardup": _Q38_SQL,
+    # q39_lsh_neardup: approximate by design — driver records rows-only.
 }
