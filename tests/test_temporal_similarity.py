@@ -61,15 +61,19 @@ def test_range_join_bucketed_matches_naive(spark):
 def test_lsh_neardup_subset_of_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = {
-        (r["id_a"], r["id_b"], r["cos_ppm"])
+        (r["id_a"], r["id_b"]): r["cos_ppm"]
         for r in cosine_neardup_pairs(emb, "vec_id", "embedding", 0.3).collect()
     }
     approx = {
-        (r["id_a"], r["id_b"], r["cos_ppm"])
+        (r["id_a"], r["id_b"]): r["cos_ppm"]
         for r in hyperplane_lsh_neardup(
             emb, "vec_id", "embedding", 0.3, dim=64, n_planes=16, bands=8
         ).collect()
     }
-    assert approx <= exact          # LSH never invents a pair
+    assert set(approx) <= set(exact)  # LSH never invents a pair
     assert len(exact) > 0
     assert len(approx) >= len(exact) // 2  # sane recall at 8 bands of 2 bits
+    for pair, ppm in approx.items():
+        # numpy (pairwise) vs Catalyst-fold (sequential) summation may
+        # differ in the last ulp -> at most 1 ppm after rounding
+        assert abs(ppm - exact[pair]) <= 1

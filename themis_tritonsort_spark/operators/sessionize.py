@@ -13,46 +13,71 @@ the current session):
 This is NOT the textbook inactivity-gap rule: the emission test is
 against the session's FIRST click, and trailing clicks that never reach
 the threshold emit nothing.  The anchor state makes the scan genuinely
-sequential per user, so the Spark-first implementation is a grouped
-Arrow UDF (``applyInPandas``) partitioned by user — the same shuffle a
-groupBy would do, with per-group work linear and vectorized per batch.
-A window-function formulation cannot express the reset (the anchor
-depends on its own output), hence the UDF is justified here.
+sequential per user, so a window-function formulation cannot express the
+reset (the anchor depends on its own output) and the implementation is a
+Python-side scan — but a cheap one:
+
+  - the scan itself is O(sessions * log events) per user, not
+    O(events): with timestamps sorted, the closing click of the session
+    anchored at i is the first index with ``ts >= ts[i] + threshold`` —
+    one ``np.searchsorted`` jump per session;
+  - the Spark plan is ONE hash shuffle on the user (exactly what a
+    groupBy would pay) + ``sortWithinPartitions`` + a single
+    ``mapInPandas`` pass — users are processed contiguously inside each
+    Arrow batch instead of one applyInPandas call (and one tiny Arrow
+    frame) per user, which matters when there are millions of users.
 """
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _scan_spans(ts: np.ndarray, threshold: int) -> list[tuple[int, int]]:
+    """Anchor-reset scan over a sorted timestamp array.
+
+    Returns (anchor_idx, close_idx) per emitted session.  Loop runs once
+    per SESSION: the closing click is found with a binary search, and
+    the next anchor is the click right after the close.
+    """
+    spans: list[tuple[int, int]] = []
+    n = len(ts)
+    i = 0
+    while i < n:
+        j = int(np.searchsorted(ts, ts[i] + threshold, side="left"))
+        if j >= n:
+            break  # trailing clicks never reach the threshold: no emit
+        spans.append((i, j))
+        i = j + 1
+    return spans
+
+
 def sessionize_pdf(
     pdf: pd.DataFrame, ts_col: str, url_col: str, threshold: int, keys: list[str]
 ) -> pd.DataFrame:
-    """Pure-pandas core of the anchor-reset scan (unit-testable)."""
-    out_rows = []
+    """Pure-pandas core of the anchor-reset scan (unit-testable).
+
+    ``pdf`` must already be sorted by ``ts_col`` (within one key group).
+    """
     key_vals = {k: pdf[k].iloc[0] for k in keys} if len(pdf) else {}
     ts = pdf[ts_col].to_numpy()
     urls = pdf[url_col].to_numpy()
-    anchor = -1  # index of anchor click, -1 = none
-    for i in range(len(pdf)):
-        if anchor < 0:
-            anchor = i
-        if ts[i] - ts[anchor] >= threshold:
-            out_rows.append(
-                {
-                    **key_vals,
-                    "first_ts": int(ts[anchor]),
-                    "last_ts": int(ts[i]),
-                    "first_url": urls[anchor],
-                    "last_url": urls[i],
-                }
-            )
-            anchor = -1
+    out_rows = [
+        {
+            **key_vals,
+            "first_ts": int(ts[a]),
+            "last_ts": int(ts[c]),
+            "first_url": urls[a],
+            "last_url": urls[c],
+        }
+        for a, c in _scan_spans(ts, threshold)
+    ]
     cols = [*keys, "first_ts", "last_ts", "first_url", "last_url"]
     return pd.DataFrame(out_rows, columns=cols)
 
@@ -67,24 +92,54 @@ def sessionize(
 ) -> DataFrame:
     """Anchor-reset sessionization (reference Q6).
 
-    ``ts_col`` must be integer-like (epoch seconds).  Output:
+    ``ts_col`` must be integer-like (epoch micros/seconds).  Output:
     (user, first_ts, last_ts, first_url, last_url).
     """
     tiebreak = list(order_tiebreak)
-    sort_cols = [ts_col, *tiebreak]
-
     schema = (
         f"{user_col} long, first_ts long, last_ts long, "
         f"first_url string, last_url string"
     )
+    out_cols = [user_col, "first_ts", "last_ts", "first_url", "last_url"]
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        return sessionize_pdf(pdf, ts_col, url_col, threshold, [user_col])
+    def scan_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Rows arrive sorted by (user, ts, tiebreak); a user's rows are
+        # contiguous but may straddle Arrow batch boundaries, so carry
+        # the last (possibly incomplete) user over to the next batch.
+        leftover: pd.DataFrame | None = None
+
+        def emit(chunk: pd.DataFrame) -> pd.DataFrame:
+            users = chunk[user_col].to_numpy()
+            ts = chunk[ts_col].to_numpy()
+            urls = chunk[url_col].to_numpy()
+            starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+            bounds = np.r_[starts, len(users)]
+            rows = []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                for a, c in _scan_spans(ts[s:e], threshold):
+                    rows.append(
+                        (int(users[s]), int(ts[s + a]), int(ts[s + c]),
+                         urls[s + a], urls[s + c])
+                    )
+            return pd.DataFrame(rows, columns=out_cols)
+
+        for pdf in batches:
+            if leftover is not None and len(leftover):
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_user = pdf[user_col].iloc[-1]
+            complete = pdf[pdf[user_col] != last_user]
+            leftover = pdf[pdf[user_col] == last_user]
+            if len(complete):
+                yield emit(complete)
+        if leftover is not None and len(leftover):
+            yield emit(leftover)
 
     cols = [user_col, ts_col, url_col, *tiebreak]
     return (
         df.select(*dict.fromkeys(cols))  # prune before the shuffle
-        .groupBy(user_col)
-        .applyInPandas(fn, schema=schema)
+        .repartition(user_col)
+        .sortWithinPartitions(user_col, ts_col, *tiebreak)
+        .mapInPandas(scan_partition, schema=schema)
     )

@@ -15,6 +15,9 @@ reproducible across engines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -157,8 +160,6 @@ def cosine_neardup_pairs(
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic Gaussian random hyperplanes (sign-LSH for cosine)."""
-    import numpy as np
-
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
 
@@ -199,52 +200,37 @@ def hyperplane_lsh_neardup(
     Scale shape: the band join carries ONLY (id, band, bucket) rows —
     vectors never enter the shuffle; candidates are deduped as bare id
     pairs and the vectors are fetched back by two hash joins for the
-    exact verify.
+    exact verify.  Signature and verify are Arrow-vectorized numpy
+    (one (batch x dim) @ (dim x n_planes) matmul per batch) — the
+    n_planes-fold Catalyst expression this replaces evaluated
+    higher-order functions per element and was ~10x slower; this is the
+    sanctioned Pandas-UDF exception for genuinely numeric kernels.
     """
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes_m = np.asarray(_hyperplanes(dim, n_planes, seed)).T  # dim x n_planes
     rows_per_band = n_planes // bands
+    weights = (1 << np.arange(rows_per_band)).astype(np.int64)
 
-    def _bit(v: Column, plane: list[float], i: int) -> Column:
-        d = F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(float(x)) for x in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"__b{i}")
+    @F.pandas_udf("array<long>")
+    def band_buckets(vs: pd.Series) -> pd.Series:
+        m = np.asarray(vs.tolist(), dtype=np.float64)  # batch x dim
+        bits = (m @ planes_m >= 0).astype(np.int64)  # batch x n_planes
+        packed = bits.reshape(len(m), bands, rows_per_band) @ weights
+        return pd.Series(list(packed))
+
+    @F.pandas_udf("double")
+    def cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.asarray(a.tolist(), dtype=np.float64)
+        mb = np.asarray(b.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
 
     sided = df.select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
-    sig = sided.select(
-        "__id", *[_bit(F.col("__v"), p, i) for i, p in enumerate(planes)]
     )
-    # One row per (vector, band): bucket = the band's bits packed into a
-    # long (no strings on the shuffle).
-    band_rows = sig.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        sum(
-                            (
-                                F.col(f"__b{bi * rows_per_band + j}") * (1 << j)
-                                for j in range(1, rows_per_band)
-                            ),
-                            start=F.col(f"__b{bi * rows_per_band}"),
-                        ).cast("long").alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("__band"),
-    ).select("__id", "__band.band", "__band.bucket")
-
+    band_rows = sided.select(
+        "__id", F.posexplode(band_buckets("__v")).alias("band", "bucket")
+    )
     cand = (
         band_rows.alias("a")
         .join(
@@ -256,16 +242,11 @@ def hyperplane_lsh_neardup(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = sided.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
-    )
-    vb = sided.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
-    )
+    va = sided.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = sided.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
     fetched = cand.join(va, "id_a").join(vb, "id_b")
-    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
-        fetched.withColumn("__cos", cos)
+        fetched.withColumn("__cos", cos_batch("__va", "__vb"))
         .where(F.col("__cos") >= threshold)
         .select(
             "id_a",
