@@ -115,3 +115,28 @@ def test_anchor_sessions_stream_matches_batch_rule(spark, stream_dir):
     # same expectation as the batch unit test: one session for user 1,
     # nothing for user 2 (threshold never reached)
     assert rows == [(1, 0, 99, "a", "c")]
+
+
+def test_dedup_exact_stream(spark, stream_dir):
+    from themis_tritonsort_spark.streaming.dedup import dedup_exact_stream
+
+    src = os.path.join(stream_dir, "src")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 00:00:00", "same-content"),
+            (2, "2024-01-01 00:05:00", "same-content"),   # dup within horizon
+            (3, "2024-01-01 00:06:00", "other-content"),
+            (4, "2024-01-01 00:07:00", "same-content"),   # dup within horizon
+        ],
+    )
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    out = dedup_exact_stream(stream, content_col="event_type", watermark="1 hour")
+    _run_to_memory(out, "dedup_stream")
+    kept = sorted(
+        r["event_type"] for r in spark.sql("SELECT * FROM dedup_stream").collect()
+    )
+    assert kept == ["other-content", "same-content"]

@@ -1,0 +1,75 @@
+"""Job-runner CLI: the reference's submission lifecycle collapsed into
+the Spark driver.
+
+In the reference, a Python generator builds a job-spec JSON, run_job.py
+pushes it onto a Redis queue, and cluster/node coordinators launch the
+native binary per node (SURVEY.md §3.1; ``job_runner/run_job.py:46-60``,
+``cluster_coordinator.py:97-144``).  On Spark the queue, coordinators,
+and phase machinery are the driver + DAG scheduler, so "submission" is
+just: parse spec -> build DataFrame plan -> action.
+
+Usage:
+  # run a job spec (single dict or list of chained dicts):
+  python -m themis_tritonsort_spark.run --spec spec.json \
+      --sf-dir /root/testdata/sf0.01 [--output /tmp/out.parquet]
+
+  # or run a declared query from the catalog:
+  python -m themis_tritonsort_spark.run --query q03_wordcount \
+      --sf-dir /root/testdata/sf0.01 [--output /tmp/out.parquet]
+
+Without --output the result is counted and the first rows are shown
+(an action either way — the plan always executes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--spec", help="path to job-spec JSON (dict or list of dicts)")
+    src.add_argument("--query", help="declared query name from the catalog")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="testdata dir for input_table / query sources")
+    ap.add_argument("--output", help="write result to this parquet path")
+    ap.add_argument("--show", type=int, default=10,
+                    help="rows to display when --output is absent")
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name="themis-run")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.query:
+        from .queries import QUERIES
+
+        if args.query not in QUERIES:
+            print(f"unknown query {args.query!r}; known: {', '.join(sorted(QUERIES))}",
+                  file=sys.stderr)
+            return 2
+        out = QUERIES[args.query](spark, args.sf_dir)
+    else:
+        from .plans.job import ThemisJob, run_in_sequence
+
+        with open(args.spec) as f:
+            spec = json.load(f)
+        specs = spec if isinstance(spec, list) else [spec]
+        jobs = [ThemisJob.from_spec(s) for s in specs]
+        out = run_in_sequence(spark, jobs, sf_dir=args.sf_dir)
+
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        out.show(args.show, truncate=False)
+        print(f"{out.count()} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
