@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the PLANS.md claims, asserted.
+
+These pin the plan *shape* (pushdown, broadcast, top-k, shuffle count),
+not exact operator text, so AQE/codegen cosmetics don't break them.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from themis_tritonsort_spark import queries as q
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q14_filter_and_projection_reach_scan(spark):
+    plan = _plan(q.q14_pricing_summary(spark, SF_SMOKE))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1]
+    # column pruning: the scan's ReadSchema must not include unused cols
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_returnflag" in read_schema
+
+
+def test_q15_dimensions_broadcast(spark):
+    plan = _plan(q.q15_revenue_by_nation(spark, SF_SMOKE), mode="simple")
+    # all 4 dimension joins build broadcast sides; the fact table is
+    # never shuffled before the final aggregate
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q16_topk_avoids_global_sort(spark):
+    plan = _plan(q.q16_top_customers(spark, SF_SMOKE), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q01_rank_without_single_partition_window(spark):
+    plan = _plan(q.q01_sort_events(spark, SF_SMOKE), mode="simple")
+    # global rank must come from range partition + per-partition offsets;
+    # the only SinglePartition exchange allowed is the numPartitions-row
+    # offsets aggregate, never a window over the data itself
+    assert "rangepartitioning" in plan
+    assert plan.count("SinglePartition") <= 1
+    # the ranked relation is materialized once — the offsets branch must
+    # read the cache, not re-run the scan + range shuffle
+    assert "InMemoryTableScan" in plan
+
+
+def test_q36_asof_single_shuffle(spark):
+    plan = _plan(q.q36_asof_join(spark, SF_SMOKE), mode="simple")
+    # the merge-scan formulation: the union shuffles once on the key;
+    # the purchase-side pre-aggregate adds one more — nothing else
+    assert plan.count("hashpartitioning") <= 2
+
+
+def test_q37_range_join_is_equi_join(spark):
+    plan = _plan(q.q37_range_join(spark, SF_SMOKE), mode="simple")
+    # bucket quantization keeps it a hash-equi join on (bucket, key) —
+    # no BroadcastNestedLoopJoin / CartesianProduct fallback
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 _PID = "__ts_pid"
 _RN = "__ts_rn"
@@ -46,7 +47,14 @@ def with_global_rank(
     ranged = df.repartitionByRange(num_partitions, *order_cols)
     ranged = ranged.withColumn(_PID, F.spark_partition_id())
     w = Window.partitionBy(_PID).orderBy(*order_cols)
-    ranked = ranged.withColumn(_RN, F.row_number().over(w))
+    # Materialize the ranked relation: the counts branch below otherwise
+    # re-executes the scan AND the range shuffle (physical-plan exchange
+    # reuse does not fire across the two branches).  The counts job runs
+    # first (broadcast subquery), populating the cache the main pass
+    # then reads — one scan, one shuffle total.
+    ranked = ranged.withColumn(_RN, F.row_number().over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     counts = ranked.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
     # numPartitions rows: a global window here is fine (it is the phase-0

@@ -1048,6 +1048,47 @@ FROM s WHERE c >= {NEARDUP_COS}
 """
 
 
+# Q40 Nation market summary: two fact-side aggregates (supplier,
+# customer) joined to the same dimension — covers the one testdata
+# table (supplier) no other query touches.
+def q40_nation_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    su = table(spark, sf_dir, "supplier")
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    s_agg = su.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(cents("s_acctbal")).alias("supp_bal_cents"),
+    )
+    c_agg = cu.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    return (
+        na.join(s_agg, na.n_nationkey == s_agg.s_nationkey, "left")
+        .join(c_agg, na.n_nationkey == c_agg.c_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("supp_bal_cents", F.lit(0)).alias("supp_bal_cents"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+    )
+
+
+_Q40_SQL = """
+WITH s AS (
+  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS supp_bal_cents
+  FROM supplier GROUP BY 1
+),
+c AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers FROM customer GROUP BY 1)
+SELECT n_name,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       COALESCE(supp_bal_cents, 0) AS supp_bal_cents,
+       COALESCE(n_customers, 0) AS n_customers
+FROM nation
+LEFT JOIN s ON n_nationkey = s_nationkey
+LEFT JOIN c ON n_nationkey = c_nationkey
+"""
+
+
 # Q39 Sign-LSH near-dup (approximate — recall < 1 by design; rows-only).
 def q39_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import hyperplane_lsh_neardup
@@ -1133,6 +1174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_range_join": q37_range_join,
     "q38_cosine_neardup": q38_cosine_neardup,
     "q39_lsh_neardup": q39_lsh_neardup,
+    "q40_nation_market": q40_nation_market,
 }
 
 ORACLES: dict[str, str] = {
@@ -1175,4 +1217,5 @@ ORACLES: dict[str, str] = {
     "q37_range_join": _Q37_SQL,
     "q38_cosine_neardup": _Q38_SQL,
     # q39_lsh_neardup: approximate by design — driver records rows-only.
+    "q40_nation_market": _Q40_SQL,
 }
