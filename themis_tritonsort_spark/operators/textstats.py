@@ -111,3 +111,37 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fp): md5 fingerprint of normalized text (dedup/lineage key)."""
     return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+
+
+# GPT-2-style pre-tokenizer shape, simplified to what Java regex and
+# RE2 (the DuckDB oracle) interpret identically: letter runs, digit
+# runs, and single non-alphanumeric marks.  Real BPE would merge within
+# these pieces, so this counts an upper bound of BPE tokens — the
+# standard cheap estimator for token budgets.
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token-budget estimators:
+    (id, n_ws_tokens, n_bpe_tokens, bpe_per_100_ws).
+
+    n_ws_tokens counts whitespace-delimited words; n_bpe_tokens counts
+    BPE-ish pieces (see BPE_ISH_PATTERN); bpe_per_100_ws is their ratio
+    as an exact integer percent (100 = one piece per word).
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[^ ]+"), 0)).alias("__ws"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("__bpe"),
+    )
+    return staged.select(
+        id_col,
+        F.col("__ws").cast("long").alias("n_ws_tokens"),
+        F.col("__bpe").cast("long").alias("n_bpe_tokens"),
+        F.when(F.col("__ws") > 0, F.expr("__bpe * 100 div __ws"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bpe_per_100_ws"),
+    )

@@ -1048,6 +1048,60 @@ FROM s WHERE c >= {NEARDUP_COS}
 """
 
 
+# Q41 Token-budget estimators (whitespace words + BPE-ish pieces).
+def q41_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import token_counts
+
+    docs = table(spark, sf_dir, "documents")
+    return token_counts(docs, "doc_id", "text")
+
+
+_Q41_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[^ ]+')) AS ws,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ws AS BIGINT) AS n_ws_tokens,
+       CAST(bpe AS BIGINT) AS n_bpe_tokens,
+       CAST(CASE WHEN ws > 0 THEN bpe * 100 // ws ELSE 0 END AS BIGINT) AS bpe_per_100_ws
+FROM c
+"""
+
+
+# Q42 Exact distribution quantiles per group (the declarative analog of
+# the reference's phase-0 boundary estimation, BoundaryDecider O6 —
+# there sampled medians pick partition boundaries; here percentile_disc
+# computes them exactly).  Discrete quantiles return actual data values
+# (integers) so the cross-engine compare is hash-stable.
+def q42_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", cents("value").alias("__c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __c)")
+            .cast("long")
+            .alias("p50_cents"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY __c)")
+            .cast("long")
+            .alias("p90_cents"),
+        )
+    )
+
+
+_Q42_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.5) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.9) AS BIGINT) AS p90_cents
+FROM events GROUP BY event_type
+"""
+
+
 # Q40 Nation market summary: two fact-side aggregates (supplier,
 # customer) joined to the same dimension — covers the one testdata
 # table (supplier) no other query touches.
@@ -1175,6 +1229,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_cosine_neardup": q38_cosine_neardup,
     "q39_lsh_neardup": q39_lsh_neardup,
     "q40_nation_market": q40_nation_market,
+    "q41_token_counts": q41_token_counts,
+    "q42_value_quantiles": q42_value_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -1218,4 +1274,6 @@ ORACLES: dict[str, str] = {
     "q38_cosine_neardup": _Q38_SQL,
     # q39_lsh_neardup: approximate by design — driver records rows-only.
     "q40_nation_market": _Q40_SQL,
+    "q41_token_counts": _Q41_SQL,
+    "q42_value_quantiles": _Q42_SQL,
 }
