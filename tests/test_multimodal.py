@@ -47,3 +47,15 @@ def test_frame_sample_offsets(spark, sf_dir):
     }
     for i, offs in by_id.items():
         assert sorted(offs) == list(range(0, max(sizes[i], 1), 100))
+
+
+def test_resize_media_uniform_payloads(spark, sf_dir):
+    from themis_tritonsort_spark.operators.multimodal import resize_media
+
+    media = media_from_documents(table(spark, sf_dir, "documents")).limit(20)
+    out = resize_media(media, target_bytes=128).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(bytes(r["media"])) == 128
+        assert r["meta"]["n_bytes"] == 128
+        assert r["meta"]["source"] == "documents"

@@ -132,3 +132,34 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             yield pd.DataFrame({"id": ids, "offset": offs, "chunk_hash": hashes})
 
     return media.mapInPandas(fn, schema="id long, offset long, chunk_hash string")
+
+
+def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Image-resize stand-in: one-to-one payload transform to a fixed
+    target size (a real implementation decodes, resamples, re-encodes;
+    the plumbing — payload-in/payload-out mapInPandas preserving the
+    media schema, meta updated to the new size — is identical).
+
+    Truncates or zero-pads each payload to ``target_bytes`` so output
+    sizes are uniform, like a thumbnail pipeline's fixed resolution.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytes(m)[:target_bytes].ljust(target_bytes, b"\0")
+                for m in pdf["media"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media": resized,
+                    "media_type": pdf["media_type"],
+                    "meta": [
+                        {"n_bytes": target_bytes, "source": m["source"]}
+                        for m in pdf["meta"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(fn, schema=MEDIA_SCHEMA)

@@ -1071,6 +1071,44 @@ FROM c
 """
 
 
+# Q43 Corpus curation pipeline end-to-end: language filter + quality
+# floor + exact-dedup keep-canonical, composed from the q17/q21/q22
+# operators — the selection a training-data pipeline actually ships.
+def q43_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    quality = text_quality(docs, "doc_id", "text").select("doc_id", "n_tokens", "quality_pct")
+    langs = lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    # exact_duplicates lists only docs in dup groups; keep a doc unless
+    # it is a non-canonical member of such a group
+    dupes = exact_duplicates(docs, "doc_id", "text").where(
+        F.col("doc_id") != F.col("canonical_id")
+    ).select("doc_id")
+    return (
+        quality.join(langs, "doc_id")
+        .join(dupes, "doc_id", "left_anti")
+        .where((F.col("pred_lang") == "en") & (F.col("quality_pct") >= 40))
+        .select("doc_id", "n_tokens", "quality_pct", "pred_lang")
+    )
+
+
+_Q43_SQL = f"""
+WITH q AS ({_Q21_SQL}),
+l AS ({_Q22_SQL}),
+h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+dupes AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY ch) AS canon,
+           count(*) OVER (PARTITION BY ch) AS gs
+    FROM h
+  ) WHERE gs > 1 AND doc_id <> canon
+)
+SELECT q.doc_id, q.n_tokens, q.quality_pct, l.pred_lang
+FROM q JOIN l ON q.doc_id = l.doc_id
+WHERE q.doc_id NOT IN (SELECT doc_id FROM dupes)
+  AND l.pred_lang = 'en' AND q.quality_pct >= 40
+"""
+
+
 # Q42 Exact distribution quantiles per group (the declarative analog of
 # the reference's phase-0 boundary estimation, BoundaryDecider O6 —
 # there sampled medians pick partition boundaries; here percentile_disc
@@ -1231,6 +1269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_nation_market": q40_nation_market,
     "q41_token_counts": q41_token_counts,
     "q42_value_quantiles": q42_value_quantiles,
+    "q43_corpus_pipeline": q43_corpus_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -1276,4 +1315,5 @@ ORACLES: dict[str, str] = {
     "q40_nation_market": _Q40_SQL,
     "q41_token_counts": _Q41_SQL,
     "q42_value_quantiles": _Q42_SQL,
+    "q43_corpus_pipeline": _Q43_SQL,
 }
