@@ -35,6 +35,36 @@ def test_asof_join_backward_inclusive(spark):
     assert out.count() == left.count()  # left-outer: no row loss
 
 
+def test_asof_join_matches_naive_on_random_data(spark):
+    import random
+
+    rnd = random.Random(11)
+    left = [(rnd.randrange(6), rnd.randrange(0, 500), i) for i in range(200)]
+    # unique (key, ts) on the right: deterministic as-of target
+    right_keys = {(rnd.randrange(6), rnd.randrange(0, 500)) for _ in range(120)}
+    right = [(k, ts, 1000 + i) for i, (k, ts) in enumerate(sorted(right_keys))]
+
+    ldf = spark.createDataFrame(left, "k long, ts long, lid long")
+    rdf = spark.createDataFrame(right, "k long, rts long, payload long")
+    out = {
+        (r["k"], r["ts"], r["lid"]): (r["payload"], r["asof_ts"])
+        for r in asof_join(ldf, rdf, key="k", left_ts="ts", right_ts="rts",
+                           right_cols=["payload"]).collect()
+    }
+    # brute-force reference: max rts <= ts per key
+    by_key: dict = {}
+    for k, rts, payload in right:
+        by_key.setdefault(k, []).append((rts, payload))
+    for k, ts, lid in left:
+        best = max(
+            ((rts, p) for rts, p in by_key.get(k, []) if rts <= ts),
+            default=(None, None),
+        )
+        want = (best[1], best[0])
+        assert out[(k, ts, lid)] == want, (k, ts, lid)
+    assert len(out) == len(left)
+
+
 def test_range_join_bucketed_matches_naive(spark):
     import random
 

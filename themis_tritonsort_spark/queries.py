@@ -196,21 +196,23 @@ FROM scan WHERE f_ts IS NOT NULL
 
 
 # Q7 PageRank, 3 iterations, reference dangling rule (no damping).
-# Graph: consecutive-lineitem part adjacency within each order.
+# Graph: consecutive-lineitem part adjacency within each order, read
+# off a lag window over a TOTAL per-order ordering ((l_linenumber,
+# l_partkey) — linenumbers repeat in the synthetic data, so the
+# tiebreak makes lag deterministic and identical in both engines).
+# One hash shuffle on l_orderkey; the former self-join formulation
+# shuffled the table twice and cross-multiplied duplicate linenumbers.
 def _lineitem_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
-    a = li.alias("a")
-    b = li.alias("b")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1)
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        li.withColumn("src", F.lag("l_partkey").over(w))
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("l_partkey")))
+        .select("src", F.col("l_partkey").alias("dst"))
         .distinct()
     )
 
@@ -222,10 +224,12 @@ def q07_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q07_SQL = """
 WITH edges AS (
-  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
-   AND a.l_partkey <> b.l_partkey
+  SELECT DISTINCT src, l_partkey AS dst FROM (
+    SELECT l_partkey,
+           lag(l_partkey) OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS src
+    FROM lineitem
+  ) WHERE src IS NOT NULL AND src <> l_partkey
 ),
 deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
 r0 AS (SELECT src AS vid, 1.0 AS r FROM deg),
