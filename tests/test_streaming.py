@@ -140,3 +140,26 @@ def test_dedup_exact_stream(spark, stream_dir):
         r["event_type"] for r in spark.sql("SELECT * FROM dedup_stream").collect()
     )
     assert kept == ["other-content", "same-content"]
+
+
+def test_enrich_stream_static_join(spark, stream_dir):
+    from themis_tritonsort_spark.streaming.dedup import enrich_stream
+
+    src = os.path.join(stream_dir, "src")
+    _write_events(
+        spark,
+        src,
+        [(1, "2024-01-01 00:00:00", "click"), (2, "2024-01-01 00:01:00", "view")],
+    )
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    out = enrich_stream(stream, dim, key="user_id")
+    _run_to_memory(out, "enriched")
+    rows = {
+        r["user_id"]: r["tier"] for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert rows == {1: "gold", 2: "silver"}

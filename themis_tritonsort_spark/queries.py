@@ -1075,6 +1075,22 @@ FROM c
 """
 
 
+# Q44 Skew-salted aggregation under the oracle gate: the two-stage
+# salted count must produce byte-identical results to a plain GROUP BY
+# (salting is physical, not semantic).  user_id is the skewed-ish key
+# (150 users x ~67 events at sf0.01).
+def q44_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_count
+
+    ev = table(spark, sf_dir, "events")
+    return salted_count(ev, ["user_id"], salt_buckets=16, count_col="cnt")
+
+
+_Q44_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+"""
+
+
 # Q43 Corpus curation pipeline end-to-end: language filter + quality
 # floor + exact-dedup keep-canonical, composed from the q17/q21/q22
 # operators — the selection a training-data pipeline actually ships.
@@ -1274,6 +1290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_token_counts": q41_token_counts,
     "q42_value_quantiles": q42_value_quantiles,
     "q43_corpus_pipeline": q43_corpus_pipeline,
+    "q44_salted_count": q44_salted_count,
 }
 
 ORACLES: dict[str, str] = {
@@ -1320,4 +1337,5 @@ ORACLES: dict[str, str] = {
     "q41_token_counts": _Q41_SQL,
     "q42_value_quantiles": _Q42_SQL,
     "q43_corpus_pipeline": _Q43_SQL,
+    "q44_salted_count": _Q44_SQL,
 }

@@ -38,3 +38,18 @@ def dedup_exact_stream(
         .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach (slowly-changing) dimension
+    columns to a streaming fact.  Spark re-reads the static side per
+    micro-batch, so dimension updates are picked up without restarting
+    the query; the static side is broadcast when small (normal Catalyst
+    sizing — at 100 TB/day the fact side never shuffles for this join).
+    """
+    return events.join(F.broadcast(dim), key, how)
