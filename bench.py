@@ -18,6 +18,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from themis_tritonsort_spark import queries as q
@@ -85,8 +87,19 @@ def main() -> None:
     spark = get_spark(app_name="themis-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen before timing.
+    # Warm the JVM/codegen AND the Python worker pool before timing
+    # (the first Arrow UDF otherwise pays worker spin-up, which is
+    # session overhead, not query cost).
     table(spark, sf_dir, "lineitem").count()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():

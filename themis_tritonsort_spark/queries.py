@@ -13,6 +13,8 @@ Sections:
   q17-q23   beyond-reference corpus ops (dedup, ANN, text analysis)
   q24-q35   windows / set ops / JSON / subqueries / rollup
   q36-q39   temporal joins + embedding near-dup (as-of, range, cosine)
+  q40-q44   supplier rollup, token budgets, exact quantiles, corpus
+            pipeline, skew-salted aggregation
 """
 
 from __future__ import annotations
