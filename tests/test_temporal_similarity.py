@@ -88,6 +88,27 @@ def test_range_join_bucketed_matches_naive(spark):
     assert got == want and len(want) > 0
 
 
+def test_range_join_bucketed_negative_timestamps(spark):
+    # pre-epoch timestamps: floor-division bucketing must keep ts=-1 and
+    # ts=+1 in different buckets (cast-truncation would merge them)
+    left = spark.createDataFrame(
+        [(1, 10, -130), (1, 11, -1), (1, 12, 1), (1, 13, 50)],
+        "k long, pid long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, -140, -60), (1, 101, -10, 10), (1, 102, 0, 64)],
+        "k long, rid long, lo long, hi long",
+    )
+    got = sorted(
+        (r["pid"], r["rid"])
+        for r in range_join_bucketed(
+            left, right, key="k", left_ts="ts", right_lo="lo", right_hi="hi",
+            bucket=64,
+        ).collect()
+    )
+    assert got == [(10, 100), (11, 101), (12, 101), (12, 102), (13, 102)]
+
+
 def test_lsh_neardup_subset_of_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = {

@@ -102,15 +102,21 @@ def range_join_bucketed(
     ``ceil(len/bucket)+1`` bucket rows).  Output keeps all columns of
     both inputs (key once).
     """
-    lb = left.withColumn("__bucket", (F.col(left_ts) / bucket).cast("long"))
+    # floor division, NOT cast-truncation: for negative timestamps
+    # (pre-epoch dates) truncation rounds toward zero and would put
+    # ts=-1 and ts=+1 in the same bucket, losing/duplicating matches.
+    def _bucket(c: str) -> F.Column:
+        return F.floor(F.col(c) / F.lit(bucket)).cast("long")
+
+    lb = left.withColumn("__bucket", _bucket(left_ts))
     rb = right.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.col(right_lo) / bucket).cast("long"),
+                _bucket(right_lo),
                 # hi is exclusive, but a row at floor(hi/bucket) can still
                 # have ts < hi, so that bucket is included.
-                (F.col(right_hi) / bucket).cast("long"),
+                _bucket(right_hi),
             )
         ),
     )
