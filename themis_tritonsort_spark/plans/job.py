@@ -137,6 +137,186 @@ def _tuple_lengths(df: DataFrame, params: dict) -> DataFrame:
     )
 
 
+@_register(MAP_FUNCTIONS, "CombiningWordCountMapFunction")
+def _combining_wordcount_map(df: DataFrame, params: dict) -> DataFrame:
+    """Same logical op as WordCountMapFunction — the reference variant
+    adds an in-map combiner (CombiningWordCountMapFunction.cc), which
+    here is Catalyst's automatic partial aggregation (SURVEY §4)."""
+    return _wordcount_map(df, params)
+
+
+@_register(MAP_FUNCTIONS, "InvertedIndexMapFunction")
+def _inverted_index_map(df: DataFrame, params: dict) -> DataFrame:
+    """(key=word, value=document) postings emission
+    (InvertedIndexMapFunction.cc:12-49); params: COLUMN (text),
+    DOC_COLUMN (document id)."""
+    col = params.get("COLUMN", "value")
+    doc = params.get("DOC_COLUMN", "key")
+    return (
+        df.select(F.col(doc).alias("__doc"), tokens(F.col(col)).alias("__toks"))
+        .select(F.explode("__toks").alias("key"), F.col("__doc").alias("value"))
+    )
+
+
+@_register(MAP_FUNCTIONS, "KMeansMapFunction")
+def _kmeans_map(df: DataFrame, params: dict) -> DataFrame:
+    """Assign each vector to its nearest center
+    (KMeansMapFunction.cc:188-214); params: KCENTERS (list of centers),
+    COLUMN (array column).  Output (key=cluster, value=vector)."""
+    from ..operators.kmeans import assign_clusters
+
+    centers = params["KCENTERS"]
+    col = params.get("COLUMN", "value")
+    return assign_clusters(df, col, centers, out_col="key").select(
+        F.col("key").cast("long").alias("key"), F.col(col).alias("value")
+    )
+
+
+@_register(MAP_FUNCTIONS, "PageRankMapFunction")
+def _pagerank_map(df: DataFrame, params: dict) -> DataFrame:
+    """Edge scatter (PageRankMapFunction.cc:108-143): re-emit the
+    structural tuple, send rank/degree to each neighbor, and a dangling
+    vertex sends its whole rank to itself.  Input (vid, rank, adj);
+    output (key, kind 'S'|'C', adj, contrib)."""
+    struct_rows = df.select(
+        F.col("vid").alias("key"),
+        F.lit("S").alias("kind"),
+        F.col("adj").alias("adj"),
+        F.lit(None).cast("double").alias("contrib"),
+    )
+    deg = F.size("adj")
+    contribs = df.where(deg > 0).select(
+        F.explode("adj").alias("key"),
+        F.lit("C").alias("kind"),
+        F.lit(None).cast("array<long>").alias("adj"),
+        (F.col("rank") / deg).alias("contrib"),
+    )
+    dangling = df.where(deg == 0).select(
+        F.col("vid").alias("key"),
+        F.lit("C").alias("kind"),
+        F.lit(None).cast("array<long>").alias("adj"),
+        F.col("rank").alias("contrib"),
+    )
+    return struct_rows.unionByName(contribs).unionByName(dangling)
+
+
+@_register(MAP_FUNCTIONS, "ParseNetworkMapFunction")
+def _parse_network_map(df: DataFrame, params: dict) -> DataFrame:
+    """Parse 'src dst' text edges (ParseNetworkMapFunction.cc:1-116);
+    params: COLUMN."""
+    col = params.get("COLUMN", "value")
+    parts = F.split(F.trim(F.col(col)), r"\s+")
+    return df.select(
+        parts.getItem(0).cast("long").alias("src"),
+        parts.getItem(1).cast("long").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+
+@_register(MAP_FUNCTIONS, "WEXLinkExtractorMapFunction")
+def _wex_link_map(df: DataFrame, params: dict) -> DataFrame:
+    """(page, link target) per wiki link (WEXLinkExtractorMapFunction.cc:4-89);
+    input: raw WEX lines in COLUMN."""
+    from ..functions.wex import extract_links, parse_wex
+
+    return extract_links(parse_wex(df, line_col=params.get("COLUMN", "value")))
+
+
+@_register(MAP_FUNCTIONS, "WEXTextExtractorMapFunction")
+def _wex_text_map(df: DataFrame, params: dict) -> DataFrame:
+    """(page, plain text) (WEXTextExtractorMapFunction.cc:93-151)."""
+    from ..functions.wex import extract_text, parse_wex
+
+    return extract_text(parse_wex(df, line_col=params.get("COLUMN", "value")))
+
+
+@_register(MAP_FUNCTIONS, "RatioMapFunction")
+def _ratio_map(df: DataFrame, params: dict) -> DataFrame:
+    """Data inflation: emit each tuple ~RATIO times under fresh keys
+    (RatioMapFunction.cc:218-256).  Deterministic keys: hash of the
+    original key and the copy index."""
+    ratio = int(params.get("RATIO", 2))
+    copies = F.explode(F.sequence(F.lit(0), F.lit(ratio - 1))).alias("__i")
+    out = df.select("*", copies)
+    return out.select(
+        F.xxhash64(F.col("key"), F.col("__i")).alias("key"),
+        F.col("value"),
+    )
+
+
+def _seeded_range(df: DataFrame, params: dict, default_n: int) -> DataFrame:
+    n = int(params.get("NUM_TUPLES", default_n))
+    return df.sparkSession.range(n)
+
+
+@_register(MAP_FUNCTIONS, "GenRandomNetworkMapFunction")
+def _gen_random_network(df: DataFrame, params: dict) -> DataFrame:
+    """Seeded G(n, p)-style random edges, <= MAX_NEIGHBORS per vertex
+    (GenRandomNetworkMapFunction.cc:1-122)."""
+    seed = int(params.get("SEED", 42))
+    nv = int(params.get("NUM_VERTICES", 1000))
+    maxn = int(params.get("MAX_NEIGHBORS", 4))
+    base = _seeded_range(df, params, nv).select(
+        F.col("id").alias("vid"),
+        F.floor(F.rand(seed) * (maxn + 1)).cast("int").alias("__deg"),
+    )
+    # sequence(1, 0) would DESCEND and emit rows — degree-0 vertices
+    # must be filtered before the explode
+    edges = base.where(F.col("__deg") > 0).select(
+        "vid", F.explode(F.sequence(F.lit(1), F.col("__deg"))).alias("__j")
+    )
+    return edges.select(
+        F.col("vid").alias("src"),
+        F.floor(F.rand(seed + 1) * nv).cast("long").alias("dst"),
+    )
+
+
+@_register(MAP_FUNCTIONS, "GenPowerLawRandomNetworkMapFunction")
+def _gen_powerlaw_network(df: DataFrame, params: dict) -> DataFrame:
+    """Power-law out-degrees: deg ~ min(MAX_NEIGHBORS, 1/u)
+    (GenPowerLawRandomNetworkMapFunction.cc:1-131)."""
+    seed = int(params.get("SEED", 42))
+    nv = int(params.get("NUM_VERTICES", 1000))
+    maxn = int(params.get("MAX_NEIGHBORS", 64))
+    base = _seeded_range(df, params, nv).select(
+        F.col("id").alias("vid"),
+        F.least(
+            F.lit(maxn), F.floor(1.0 / (F.rand(seed) + 1e-9)).cast("int")
+        ).alias("__deg"),
+    )
+    edges = base.where(F.col("__deg") > 0).select(
+        "vid", F.explode(F.sequence(F.lit(1), F.col("__deg"))).alias("__j")
+    )
+    return edges.select(
+        F.col("vid").alias("src"),
+        F.floor(F.rand(seed + 1) * nv).cast("long").alias("dst"),
+    )
+
+
+@_register(MAP_FUNCTIONS, "GenRandomKMeansDataMapFunction")
+def _gen_kmeans_data(df: DataFrame, params: dict) -> DataFrame:
+    """Seeded random points (GenRandomKMeansDataMapFunction.cc:1-93);
+    params: NUM_TUPLES, DIMENSION."""
+    dim = int(params.get("DIMENSION", 8))
+    seed = int(params.get("SEED", 42))
+    base = _seeded_range(df, params, 1000)
+    return base.select(
+        F.col("id").alias("key"),
+        F.array(*[F.rand(seed + i) for i in range(dim)]).alias("value"),
+    )
+
+
+@_register(MAP_FUNCTIONS, "GenRandomRatioDataMapFunction")
+def _gen_ratio_data(df: DataFrame, params: dict) -> DataFrame:
+    """Seeded random (key, value) tuples
+    (GenRandomRatioDataMapFunction.cc:1-74)."""
+    seed = int(params.get("SEED", 42))
+    base = _seeded_range(df, params, 1000)
+    return base.select(
+        F.xxhash64(F.col("id"), F.lit(seed)).alias("key"),
+        F.rand(seed).alias("value"),
+    )
+
+
 # ---- reduce functions (reference functions/reduce/*) ---------------------
 @_register(REDUCE_FUNCTIONS, "IdentityReduceFunction")
 def _identity_reduce(df: DataFrame, params: dict) -> DataFrame:
@@ -172,6 +352,74 @@ def _inverted_index(df: DataFrame, params: dict) -> DataFrame:
     expects (key=word, value=doc)."""
     return df.groupBy("key").agg(
         F.sort_array(F.collect_list("value")).alias("value")
+    )
+
+
+@_register(REDUCE_FUNCTIONS, "PageRankReduceFunction")
+def _pagerank_reduce(df: DataFrame, params: dict) -> DataFrame:
+    """Merge contribution and structural tuples per vertex
+    (PageRankReduceFunction.cc:245-286): new rank = sum of contributions
+    (0 when only structure arrived); contribution-only vertices are
+    CREATED with an empty adjacency (the dangling rule, :265-276).
+    Input is PageRankMapFunction's output shape."""
+    merged = df.groupBy("key").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "C", F.col("contrib"))), F.lit(0.0)
+        ).alias("rank"),
+        F.max(F.when(F.col("kind") == "S", F.col("adj"))).alias("adj"),
+    )
+    return merged.select(
+        F.col("key").alias("vid"),
+        "rank",
+        F.coalesce("adj", F.array().cast("array<long>")).alias("adj"),
+    )
+
+
+@_register(REDUCE_FUNCTIONS, "ClickLogSessionSummarizerReduceFunction")
+def _sessionize_reduce(df: DataFrame, params: dict) -> DataFrame:
+    """Anchor-reset sessionization
+    (ClickLogSessionSummarizerReduceFunction.cc:168-222); params:
+    THRESHOLD (same units as TS_COLUMN), USER/TS/URL column names."""
+    from ..operators.sessionize import sessionize
+
+    return sessionize(
+        df,
+        user_col=params.get("USER_COLUMN", "user_id"),
+        ts_col=params.get("TS_COLUMN", "ts"),
+        url_col=params.get("URL_COLUMN", "url"),
+        threshold=int(params["THRESHOLD"]),
+        order_tiebreak=tuple(params.get("TIEBREAK", ())),
+    )
+
+
+@_register(REDUCE_FUNCTIONS, "KMeansReduceFunction")
+def _kmeans_reduce(df: DataFrame, params: dict) -> DataFrame:
+    """Per-cluster centroid = element-wise mean of the member vectors
+    (KMeansReduceFunction.cc:300-345).  Input (key=cluster,
+    value=array); output (key, value=centroid array)."""
+    exploded = df.select("key", F.posexplode("value").alias("__p", "__x"))
+    per_dim = exploded.groupBy("key", "__p").agg(F.avg("__x").alias("__m"))
+    return per_dim.groupBy("key").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__p", "__m"))),
+            lambda s: s["__m"],
+        ).alias("value")
+    )
+
+
+@_register(REDUCE_FUNCTIONS, "RatioReduceFunction")
+def _ratio_reduce(df: DataFrame, params: dict) -> DataFrame:
+    """Reduce-side inflation mirroring RatioMapFunction
+    (RatioReduceFunction.cc:303-346)."""
+    return _ratio_map(df, params)
+
+
+@_register(REDUCE_FUNCTIONS, "GenPowerLawRandomNetworkReduceFunction")
+def _powerlaw_adjacency_reduce(df: DataFrame, params: dict) -> DataFrame:
+    """Collect generated edges into per-vertex adjacency
+    (GenPowerLawRandomNetworkReduceFunction.cc)."""
+    return df.groupBy(F.col("src").alias("vid")).agg(
+        F.array_sort(F.collect_set("dst")).alias("adj")
     )
 
 
