@@ -79,6 +79,9 @@ BENCH_QUERIES = {
     "q36_asof_join": q.q36_asof_join,
     "q37_range_join": q.q37_range_join,
     "q39_lsh_neardup": _lsh_neardup_wide,
+    "q41_token_counts": q.q41_token_counts,
+    "q42_value_quantiles": q.q42_value_quantiles,
+    "q43_corpus_pipeline": q.q43_corpus_pipeline,
 }
 
 

@@ -118,3 +118,31 @@ def test_sessionize_reduce_fragment(spark):
         df, {"THRESHOLD": 20}
     ).collect()
     assert [(r["user_id"], r["first_ts"], r["last_ts"]) for r in out] == [(1, 0, 99)]
+
+
+def test_pagerank_two_iterations_via_job_chain(spark):
+    """SURVEY §3.1 chaining parity: the reference's pagerank.py submits
+    one job per iteration; run_in_sequence over (map, reduce) fragment
+    jobs must equal the operator module's 2-iteration result."""
+    from themis_tritonsort_spark.operators.pagerank import pagerank
+    from themis_tritonsort_spark.plans.job import ThemisJob, run_in_sequence
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 1), (3, 4)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    want = {
+        (r["vid"], round(r["rank"], 9))
+        for r in pagerank(edf, iterations=2).collect()
+    }
+
+    verts = (
+        edf.groupBy(F.col("src").alias("vid"))
+        .agg(F.array_sort(F.collect_list("dst")).alias("adj"))
+        .withColumn("rank", F.lit(1.0))
+    )
+    it = ThemisJob(
+        map_function="PageRankMapFunction",
+        reduce_function="PageRankReduceFunction",
+    )
+    out = run_in_sequence(spark, [it, it], df=verts)
+    got = {(r["vid"], round(r["rank"], 9)) for r in out.collect()}
+    assert got == want
