@@ -1,0 +1,62 @@
+"""Operators must be total over empty inputs (no rows is the steady
+state of many partitions at 100 TB — filters, empty buckets, idle
+keys)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from themis_tritonsort_spark.operators.dedup import jaccard_pairs, minhash_signature
+from themis_tritonsort_spark.operators.sessionize import sessionize
+from themis_tritonsort_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    hyperplane_lsh_neardup,
+)
+from themis_tritonsort_spark.operators.sort import with_global_rank
+from themis_tritonsort_spark.operators.temporal import asof_join, range_join_bucketed
+
+
+def test_empty_inputs_yield_empty_outputs(spark):
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    no_events = spark.createDataFrame([], "user_id long, ts long, url string, eid long")
+    no_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    no_right = spark.createDataFrame([], "user_id long, rts long, payload long")
+    no_iv = spark.createDataFrame([], "user_id long, lo long, hi long")
+
+    assert jaccard_pairs(no_docs, "doc_id", "text", n=1, min_jaccard=0.5).count() == 0
+    assert minhash_signature(no_docs, "doc_id", "text", n=1, num_hashes=4).count() == 0
+    assert cosine_neardup_pairs(no_vecs, "vec_id", "embedding", 0.5).count() == 0
+    assert (
+        hyperplane_lsh_neardup(
+            no_vecs, "vec_id", "embedding", 0.5, dim=4, n_planes=4, bands=2
+        ).count()
+        == 0
+    )
+    assert (
+        sessionize(no_events, "user_id", "ts", "url", threshold=10).count() == 0
+    )
+    assert with_global_rank(no_events, ["user_id", "ts", "eid"]).count() == 0
+    assert (
+        asof_join(
+            no_events.select("user_id", "ts", "eid"),
+            no_right, key="user_id", left_ts="ts", right_ts="rts",
+            right_cols=["payload"],
+        ).count()
+        == 0
+    )
+    assert (
+        range_join_bucketed(
+            no_events.select("user_id", F.col("ts")),
+            no_iv, key="user_id", left_ts="ts", right_lo="lo", right_hi="hi",
+            bucket=10,
+        ).count()
+        == 0
+    )
+
+
+def test_asof_empty_right_keeps_all_left(spark):
+    left = spark.createDataFrame([(1, 5, 7)], "k long, ts long, lid long")
+    right = spark.createDataFrame([], "k long, rts long, payload long")
+    rows = asof_join(left, right, key="k", left_ts="ts", right_ts="rts",
+                     right_cols=["payload"]).collect()
+    assert len(rows) == 1 and rows[0]["payload"] is None

@@ -102,3 +102,31 @@ def test_sessionize_pdf_matches_reference(gaps, threshold):
         for _, r in sessionize_pdf(pdf, "ts", "url", threshold, ["u"]).iterrows()
     ]
     assert got == reference_sessions(clicks, threshold)
+
+
+def test_jaccard_prefix_filter_is_exact(spark):
+    """ppjoin prefix filtering is an EXACT optimization: with and
+    without it, the qualifying pair set must be identical (random docs,
+    seeded)."""
+    import random
+
+    from themis_tritonsort_spark.operators.dedup import jaccard_pairs
+
+    rnd = random.Random(23)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rnd.choices(vocab, k=rnd.randrange(3, 15))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=1, min_jaccard=0.5)
+    with_filter = {
+        (r["doc_a"], r["doc_b"], r["inter_size"], r["union_size"])
+        for r in jaccard_pairs(docs, "doc_id", "text", prefix_filter=True, **kw).collect()
+    }
+    without = {
+        (r["doc_a"], r["doc_b"], r["inter_size"], r["union_size"])
+        for r in jaccard_pairs(docs, "doc_id", "text", prefix_filter=False, **kw).collect()
+    }
+    assert with_filter == without
+    assert len(without) > 0
