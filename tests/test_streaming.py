@@ -163,3 +163,24 @@ def test_enrich_stream_static_join(spark, stream_dir):
         r["user_id"]: r["tier"] for r in spark.sql("SELECT * FROM enriched").collect()
     }
     assert rows == {1: "gold", 2: "silver"}
+
+
+def test_corpus_ops_run_on_streams(spark, stream_dir):
+    """The stateless corpus operators (token counting, quality, lang-id)
+    are plain projections, so the same functions run unchanged on a
+    streaming DataFrame — no batch/stream forking in the pipeline."""
+    from themis_tritonsort_spark.operators.textstats import token_counts
+
+    src = os.path.join(stream_dir, "src")
+    spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "un deux trois 42!")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = token_counts(stream, "doc_id", "text")
+    _run_to_memory(out, "stream_tokens")
+    rows = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in spark.sql("SELECT * FROM stream_tokens").collect()
+    }
+    assert rows == {1: (4, 4), 2: (4, 5)}
