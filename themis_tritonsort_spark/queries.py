@@ -1131,6 +1131,34 @@ WHERE q.doc_id NOT IN (SELECT doc_id FROM dupes)
 """
 
 
+# Q45 Hypertable-style time rollup: hierarchical day -> hour ->
+# event_type continuous-aggregate in ONE pass (Catalyst expands the
+# rollup to grouping sets with partial aggregation — the timeseries-DB
+# "continuous aggregate" materialization, computed declaratively).
+def q45_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+        "event_type",
+        cents("value").alias("__c"),
+    )
+    return ev.rollup("day_us", "hour_us", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__c").alias("v_cents"),
+    )
+
+
+_Q45_SQL = """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+       epoch_us(date_trunc('hour', ts)) AS hour_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+FROM events
+GROUP BY ROLLUP (day_us, hour_us, event_type)
+"""
+
+
 # Q42 Exact distribution quantiles per group (the declarative analog of
 # the reference's phase-0 boundary estimation, BoundaryDecider O6 —
 # there sampled medians pick partition boundaries; here percentile_disc
@@ -1293,6 +1321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_value_quantiles": q42_value_quantiles,
     "q43_corpus_pipeline": q43_corpus_pipeline,
     "q44_salted_count": q44_salted_count,
+    "q45_time_rollup": q45_time_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1340,4 +1369,5 @@ ORACLES: dict[str, str] = {
     "q42_value_quantiles": _Q42_SQL,
     "q43_corpus_pipeline": _Q43_SQL,
     "q44_salted_count": _Q44_SQL,
+    "q45_time_rollup": _Q45_SQL,
 }
