@@ -64,31 +64,39 @@ def pagerank(
     )
 
     for _ in range(iterations):
-        # Contributions: out-edges scatter rank/deg; dangling keep rank.
+        # ONE shuffle per iteration: contributions (edge scatter +
+        # dangling self-send) and the vertex skeleton (vid, deg) are
+        # tagged into one union and merged by a single groupBy — the
+        # exact shape of the reference reduce, which sees rank tuples
+        # and the structural tuple in one key-group
+        # (PageRankReduceFunction.cc:245-286).  The former
+        # full-outer-join formulation shuffled twice per round.
         scatter = (
             ranks.where(F.col("deg") > 0)
             .join(e, ranks.vid == e.src)
-            .select(F.col("dst").alias("vid"), (F.col("rank") / F.col("deg")).alias("c"))
-        )
-        self_keep = ranks.where(F.col("deg") == 0).select(
-            "vid", F.col("rank").alias("c")
-        )
-        contribs = scatter.unionByName(self_keep).groupBy("vid").agg(
-            F.sum("c").alias("in_rank")
-        )
-        # Reduce: structural vertices keep structure; contribution-only
-        # vertices are created with no out-edges (dangling rule,
-        # PageRankReduceFunction.cc:42-53).
-        ranks = (
-            ranks.select("vid", "deg")
-            .join(contribs, "vid", "full_outer")
             .select(
-                "vid",
-                F.coalesce("in_rank", F.lit(0.0)).alias("rank"),
-                F.coalesce("deg", F.lit(0)).alias("deg"),
+                F.col("dst").alias("vid"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+                F.lit(None).cast("long").alias("d"),
             )
         )
-        # Break the ever-growing lineage each round.
+        self_keep = ranks.where(F.col("deg") == 0).select(
+            "vid", F.col("rank").alias("c"), F.lit(None).cast("long").alias("d")
+        )
+        skeleton = ranks.select(
+            "vid", F.lit(None).cast("double").alias("c"), F.col("deg").alias("d")
+        )
+        merged = scatter.unionByName(self_keep).unionByName(skeleton)
+        # Contribution-only vertices are CREATED with no out-edges
+        # (dangling rule, PageRankReduceFunction.cc:42-53): their max(d)
+        # is null -> deg 0.  Structure-only vertices sum no c -> rank 0.
+        ranks = merged.groupBy("vid").agg(
+            F.coalesce(F.sum("c"), F.lit(0.0)).alias("rank"),
+            F.coalesce(F.max("d"), F.lit(0)).cast("long").alias("deg"),
+        )
+        # Break the ever-growing lineage each round (each ranks refers
+        # to the previous one three times — unchecked, the plan tree
+        # grows 3^iterations).
         ranks = ranks.localCheckpoint(eager=False)
 
     return ranks.select("vid", "rank")
