@@ -45,11 +45,24 @@ def assign_clusters(
     center — exponential analysis/codegen cost).
     """
     v = as_double(F.col(vec_col))
-    dists = F.array(
-        *[
-            F.struct(_dist_sq(v, c).alias("d"), F.lit(cid).alias("cid"))
-            for cid, c in enumerate(centers)
-        ]
+    # ONE transform lambda over a nested centers literal: the distance
+    # fold is compiled once and looped over centers at eval time,
+    # instead of k unrolled copies of the fold in the expression tree —
+    # same arithmetic (sequential left fold per center, so bit-identical
+    # to the per-center form), much cheaper analysis/codegen for large k.
+    centers_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    )
+    dists = F.transform(
+        centers_arr,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("cid"),
+        ),
     )
     return df.withColumn(out_col, F.array_min(dists)["cid"])
 
