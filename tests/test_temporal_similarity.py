@@ -128,3 +128,29 @@ def test_lsh_neardup_subset_of_exact(spark, sf_dir):
         # numpy (pairwise) vs Catalyst-fold (sequential) summation may
         # differ in the last ulp -> at most 1 ppm after rounding
         assert abs(ppm - exact[pair]) <= 1
+
+
+def test_connected_components_known_graph(spark):
+    from themis_tritonsort_spark.operators.components import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11}, isolated via self-loop: none
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (5, 5)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["vid"]: r["component"]
+        for r in connected_components(edf).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from themis_tritonsort_spark.operators.components import connected_components
+
+    n = 40  # diameter 39 > default max_iterations exercises the cap path
+    edges = [(i, i + 1) for i in range(n)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["vid"]: r["component"]
+        for r in connected_components(edf, max_iterations=50).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == n + 1

@@ -1,0 +1,104 @@
+"""Connected components over a pair/edge relation (beyond-reference).
+
+The finishing step of every near-duplicate pipeline: candidate pairs
+from MinHash-LSH / sign-LSH / Jaccard (operators.dedup, .similarity)
+form an undirected graph whose components are the duplicate CLUSTERS —
+one canonical representative (the minimum id) survives per component.
+
+Algorithm: iterative minimum-label propagation.  Each round every
+vertex adopts the smallest label among itself and its neighbors; a
+component converges in O(diameter) rounds (near-dup clusters are
+near-cliques, so 2-4 rounds in practice).  Each round is ONE groupBy
+shuffle over the undirected edge list + the label relation — the same
+tagged-union merge shape as operators.pagerank, and the same
+localCheckpoint lineage control.
+
+At 100 TB: the edge list is pre-partitioned and persisted once; only
+the (vid, label) relation iterates.  For adversarial long-chain graphs
+use the alternating small-star/large-star variant; near-dup graphs do
+not need it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Label every vertex of the undirected graph with its component's
+    minimum vertex id.  Returns (vid long, component long).
+
+    Converges early when a round changes no label (checked against a
+    driver-side count of changed labels — a scalar, not data).
+    """
+    spark = edges.sparkSession
+    npart = spark.sparkContext.defaultParallelism
+    # Undirected: propagate both ways; self-loops drop out naturally.
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(npart, "a")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    labels = (
+        e.select(F.col("a").alias("vid"))
+        .unionByName(e.select(F.col("b").alias("vid")))
+        .distinct()
+        .withColumn("label", F.col("vid"))
+    )
+
+    for _ in range(max_iterations):
+        # Each vertex offers its label to its neighbors (both
+        # directions) and keeps its own: one union + one min-groupBy.
+        to_b = e.join(labels, e.a == labels.vid).select(
+            F.col("b").alias("vid"), F.col("label")
+        )
+        to_a = e.join(labels, e.b == labels.vid).select(
+            F.col("a").alias("vid"), F.col("label")
+        )
+        keep = labels.select("vid", "label")
+        new_labels = (
+            to_b.unionByName(to_a)
+            .unionByName(keep)
+            .groupBy("vid")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vid")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("vid", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters: (vid, canonical_id)
+    with canonical_id = the cluster's minimum member id.  Feed with the
+    output of lsh_candidate_pairs / hyperplane_lsh_neardup /
+    jaccard_pairs; rows NOT in any pair are untouched (they are their
+    own canonical), so only the pair graph is processed.
+    """
+    cc = connected_components(
+        pairs, src=id_a, dst=id_b, max_iterations=max_iterations
+    )
+    return cc.select("vid", F.col("component").alias("canonical_id"))

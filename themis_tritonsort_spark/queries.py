@@ -1131,6 +1131,38 @@ WHERE q.doc_id NOT IN (SELECT doc_id FROM dupes)
 """
 
 
+# Q46 Near-dup clustering: MinHash-LSH candidate pairs (the q19 edge
+# set) grouped into duplicate clusters by connected components, each
+# labeled with its canonical (minimum) doc id.  Iterative min-label
+# propagation in Spark; the DuckDB oracle computes the same fixpoint
+# with a recursive CTE over the identical pair set.
+def q46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import dedup_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", n=1, num_hashes=16)
+    pairs = lsh_candidate_pairs(lsh_band_buckets(sig, bands=4, num_hashes=16))
+    return dedup_clusters(pairs, id_a="doc_a", id_b="doc_b")
+
+
+_Q46_SQL = f"""
+WITH RECURSIVE pairs AS ({_Q19_SQL}),
+eu AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+v AS (SELECT DISTINCT src AS vid FROM eu),
+r AS (
+  SELECT vid, vid AS label FROM v
+  UNION
+  SELECT e.dst AS vid, r.label FROM r JOIN eu e ON e.src = r.vid
+)
+SELECT vid, CAST(min(label) AS BIGINT) AS canonical_id
+FROM r GROUP BY vid
+"""
+
+
 # Q45 Hypertable-style time rollup: hierarchical day -> hour ->
 # event_type continuous-aggregate in ONE pass (Catalyst expands the
 # rollup to grouping sets with partial aggregation — the timeseries-DB
@@ -1322,6 +1354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_corpus_pipeline": q43_corpus_pipeline,
     "q44_salted_count": q44_salted_count,
     "q45_time_rollup": q45_time_rollup,
+    "q46_dedup_clusters": q46_dedup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -1370,4 +1403,5 @@ ORACLES: dict[str, str] = {
     "q43_corpus_pipeline": _Q43_SQL,
     "q44_salted_count": _Q44_SQL,
     "q45_time_rollup": _Q45_SQL,
+    "q46_dedup_clusters": _Q46_SQL,
 }
