@@ -191,3 +191,26 @@ def test_ivf_topk_subset_of_brute(spark):
     assert sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in ivf) == sorted(
         (r["query_id"], r["rank"], r["neighbor_id"]) for r in brute
     )
+
+
+def test_assign_clusters_numpy_matches_literal(spark, sf_dir):
+    """The large-k numpy path must agree with the literal (oracle-
+    parity) path on real data — random vectors have no exact distance
+    ties, so float summation-order differences cannot flip the argmin
+    here."""
+    from themis_tritonsort_spark.operators.kmeans import assign_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centers = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 6).orderBy("vec_id").collect()
+    ]
+    lit = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(emb, "embedding", centers, strategy="literal").collect()
+    }
+    npy = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(emb, "embedding", centers, strategy="numpy").collect()
+    }
+    assert lit == npy and len(lit) > 0

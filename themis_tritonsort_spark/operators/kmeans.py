@@ -15,10 +15,17 @@ avg.  Only k*dim scalars ever hit the driver.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double
+
+# Above this many center*dim literals the expression-tree form costs
+# more in analysis/codegen than the Arrow round-trip of the numpy form.
+_LITERAL_BUDGET = 4096
 
 
 def _dist_sq(vec: Column, center: list[float]) -> Column:
@@ -31,19 +38,58 @@ def _dist_sq(vec: Column, center: list[float]) -> Column:
     )
 
 
+def _assign_numpy(
+    df: DataFrame, vec_col: str, centers: list[list[float]], out_col: str
+) -> DataFrame:
+    """Arrow-batched argmin for large center sets: one
+    (batch x dim) @ (dim x k) matmul per batch (||v-c||^2 =
+    ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is constant per row so argmin
+    needs only the last two terms).  numpy argmin takes the FIRST
+    minimum -> lowest cid on exact ties, same rule as the literal form
+    (float summation order differs, so near-ties can assign
+    differently — document as the approximate-scale path)."""
+    c = np.asarray(centers, dtype=np.float64)  # k x dim
+    c_t = c.T
+    c_sq = (c * c).sum(axis=1)  # k
+
+    @F.pandas_udf("long")
+    def nearest(vs: pd.Series) -> pd.Series:
+        m = np.asarray(vs.tolist(), dtype=np.float64)
+        scores = c_sq - 2.0 * (m @ c_t)  # batch x k
+        return pd.Series(scores.argmin(axis=1).astype("int64"))
+
+    return df.withColumn(out_col, nearest(as_double(F.col(vec_col))))
+
+
 def assign_clusters(
-    df: DataFrame, vec_col: str, centers: list[list[float]], out_col: str = "cluster"
+    df: DataFrame,
+    vec_col: str,
+    centers: list[list[float]],
+    out_col: str = "cluster",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Nearest-center (squared L2) assignment; ties -> lowest center id
     (matching the reference's strict-< argmin scan in id order,
     KMeansMapFunction.cc:188-214).
 
-    Implemented as array_min over (dist, cid) structs: struct ordering
-    is lexicographic, so the min is the smallest distance with the
-    lowest cid on ties.  Each distance expression appears exactly once
-    (a chained when/otherwise scan would double the expression tree per
-    center — exponential analysis/codegen cost).
+    strategy: 'literal' folds centers into the plan (JVM-side, exact
+    left-fold arithmetic — the oracle-parity path), 'numpy' uses an
+    Arrow-batched matmul (the large-k path: a 65k-cell IVF codebook
+    cannot be a Catalyst literal), 'auto' picks by k*dim.
+
+    The literal form is array_min over (dist, cid) structs computed by
+    ONE transform lambda: struct ordering is lexicographic, so the min
+    is the smallest distance with the lowest cid on ties, and the fold
+    is compiled once regardless of k.
     """
+    if strategy == "auto":
+        strategy = (
+            "literal"
+            if len(centers) * len(centers[0]) <= _LITERAL_BUDGET
+            else "numpy"
+        )
+    if strategy == "numpy":
+        return _assign_numpy(df, vec_col, centers, out_col)
     v = as_double(F.col(vec_col))
     # ONE transform lambda over a nested centers literal: the distance
     # fold is compiled once and looped over centers at eval time,
