@@ -214,3 +214,24 @@ def test_assign_clusters_numpy_matches_literal(spark, sf_dir):
         for r in assign_clusters(emb, "embedding", centers, strategy="numpy").collect()
     }
     assert lit == npy and len(lit) > 0
+
+
+def test_build_ivf_recall_floor(spark, sf_dir):
+    """Self-trained IVF with nprobe=half-the-cells must recover most of
+    the exact top-k (deterministic: seeded centroids, fixed data)."""
+    from themis_tritonsort_spark.operators.similarity import build_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, "vec_id", "embedding", k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in build_ivf_topk(
+            emb, queries, "vec_id", "embedding", k=10, n_cells=8, nprobe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall

@@ -254,3 +254,37 @@ def hyperplane_lsh_neardup(
             F.round(F.col("__cos") * 1e6).cast("long").alias("cos_ppm"),
         )
     )
+
+
+def build_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    train_iterations: int = 3,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """End-to-end IVF: train the cell codebook on the corpus itself
+    (Lloyd, seeded by the first n_cells corpus vectors in id order —
+    deterministic), then run the pruned probe search.  This is the
+    self-contained form of ivf_topk for when no external codebook
+    exists; at scale you train on a sample and reuse the codebook
+    across queries (it is just a list of floats).
+    """
+    from .kmeans import lloyd
+
+    seeds = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.orderBy(id_col).limit(n_cells).collect()
+    ]
+    _, centroids = lloyd(
+        corpus, vec_col, k=n_cells, iterations=train_iterations,
+        initial_centers=seeds,
+    )
+    return ivf_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
+        centroids=centroids, nprobe=nprobe, query_id_col=query_id_col,
+    )
