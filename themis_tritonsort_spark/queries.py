@@ -1131,6 +1131,53 @@ WHERE q.doc_id NOT IN (SELECT doc_id FROM dupes)
 """
 
 
+# Q47 Textbook gap-based sessionization (the inactivity rule — distinct
+# from the reference's anchor-reset rule in q06): a session breaks when
+# the gap since the PREVIOUS event reaches the threshold.  Pure window
+# functions (lag -> boundary flag -> running session counter), one
+# shuffle on the user key.
+def q47_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "__new",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) >= SESSION_THRESHOLD_US, 1
+        ).otherwise(0),
+    ).withColumn("session_seq", F.sum("__new").over(w).cast("long"))
+    return flagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("first_ts"),
+        F.max("ts_us").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_Q47_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_THRESHOLD_US}
+              THEN 1 ELSE 0 END AS nw
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+seq AS (
+  SELECT user_id, ts_us,
+         CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ts_us) AS first_ts, max(ts_us) AS last_ts,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM seq GROUP BY user_id, session_seq
+"""
+
+
 # Q46 Near-dup clustering: MinHash-LSH candidate pairs (the q19 edge
 # set) grouped into duplicate clusters by connected components, each
 # labeled with its canonical (minimum) doc id.  Iterative min-label
@@ -1355,6 +1402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_salted_count": q44_salted_count,
     "q45_time_rollup": q45_time_rollup,
     "q46_dedup_clusters": q46_dedup_clusters,
+    "q47_gap_sessions": q47_gap_sessions,
 }
 
 ORACLES: dict[str, str] = {
@@ -1404,4 +1452,5 @@ ORACLES: dict[str, str] = {
     "q44_salted_count": _Q44_SQL,
     "q45_time_rollup": _Q45_SQL,
     "q46_dedup_clusters": _Q46_SQL,
+    "q47_gap_sessions": _Q47_SQL,
 }
