@@ -1131,6 +1131,45 @@ WHERE q.doc_id NOT IN (SELECT doc_id FROM dupes)
 """
 
 
+# Q48 Shipping-priority top-10 (TPC-H Q3 shape): segment-filtered
+# customer ⋈ orders ⋈ lineitem, revenue per order, top 10.  Exercises
+# broadcast-filtered dimension + two fact joins + TakeOrderedAndProject.
+def q48_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == F.lit("BUILDING")
+    )
+    od = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.unix_micros("o_orderdate").alias("odate_us"), "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q48_SQL = """
+SELECT o_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority,
+       CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, epoch_us(o_orderdate), o_orderpriority
+ORDER BY revenue_cents DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
 # Q47 Textbook gap-based sessionization (the inactivity rule — distinct
 # from the reference's anchor-reset rule in q06): a session breaks when
 # the gap since the PREVIOUS event reaches the threshold.  Pure window
@@ -1403,6 +1442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_time_rollup": q45_time_rollup,
     "q46_dedup_clusters": q46_dedup_clusters,
     "q47_gap_sessions": q47_gap_sessions,
+    "q48_shipping_priority": q48_shipping_priority,
 }
 
 ORACLES: dict[str, str] = {
@@ -1453,4 +1493,5 @@ ORACLES: dict[str, str] = {
     "q45_time_rollup": _Q45_SQL,
     "q46_dedup_clusters": _Q46_SQL,
     "q47_gap_sessions": _Q47_SQL,
+    "q48_shipping_priority": _Q48_SQL,
 }
