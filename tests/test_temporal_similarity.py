@@ -154,3 +154,34 @@ def test_connected_components_long_chain_converges(spark):
         for r in connected_components(edf, max_iterations=50).collect()
     }
     assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_asof_join_null_payload_not_backfilled(spark):
+    # a NULL payload in the MATCHING right row must stay NULL, not be
+    # backfilled from an older right row (all right columns must come
+    # from the same right row)
+    left = spark.createDataFrame([(1, 3, 7)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 1, 5), (1, 2, None)], "k long, rts long, payload long"
+    )
+    rows = asof_join(left, right, key="k", left_ts="ts", right_ts="rts",
+                     right_cols=["payload"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["asof_ts"] == 2 and rows[0]["payload"] is None
+
+
+def test_sessionize_rejects_nonpositive_threshold(spark):
+    import pytest
+
+    from themis_tritonsort_spark.operators.sessionize import (
+        _scan_spans,
+        sessionize,
+    )
+
+    ev = spark.createDataFrame([(1, 0, "a")], "user_id long, ts long, url string")
+    with pytest.raises(ValueError):
+        sessionize(ev, "user_id", "ts", "url", threshold=0)
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        _scan_spans(np.array([5, 5]), 0)

@@ -56,6 +56,7 @@ def connected_components(
         .withColumn("label", F.col("vid"))
     )
 
+    changed = -1
     for _ in range(max_iterations):
         # Each vertex offers its label to its neighbors (both
         # directions) and keeps its own: one union + one min-groupBy.
@@ -82,6 +83,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Silent truncation would return labels that are NOT components
+        # (a >max_iterations-diameter chain keeps non-minimal labels) —
+        # surface it instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations (graph diameter bounds the rounds needed)"
+        )
 
     return labels.select("vid", F.col("label").alias("component"))
 

@@ -46,6 +46,12 @@ def _scan_spans(ts: np.ndarray, threshold: int) -> list[tuple[int, int]]:
     per SESSION: the closing click is found with a binary search, and
     the next anchor is the click right after the close.
     """
+    if threshold <= 0:
+        # ts[i] + threshold <= ts[i] would make searchsorted return
+        # j <= i and the scan loop forever on duplicate timestamps; the
+        # reference semantics are degenerate here anyway (every click
+        # closes a session against itself).
+        raise ValueError(f"threshold must be positive, got {threshold}")
     spans: list[tuple[int, int]] = []
     n = len(ts)
     i = 0
@@ -95,6 +101,8 @@ def sessionize(
     ``ts_col`` must be integer-like (epoch micros/seconds).  Output:
     (user, first_ts, last_ts, first_url, last_url).
     """
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
     tiebreak = list(order_tiebreak)
     schema = (
         f"{user_col} long, first_ts long, last_ts long, "

@@ -185,8 +185,8 @@ def hyperplane_lsh_neardup(
     scale that is a hash shuffle of n_rows * bands small rows instead of
     the O(n^2) cross product.
 
-    The hyperplanes are literal-folded into the plan (dim * n_planes
-    doubles), the same broadcast-as-literals pattern as kmeans centers.
+    The hyperplanes ship to executors inside the UDF closure (dim *
+    n_planes doubles — a broadcast-sized constant, like kmeans centers).
 
     Tuning: recall for a pair at angle θ is 1-(1-p^r)^bands with
     p = 1-θ/π and r = n_planes/bands bits per band.  Few bits per band
@@ -206,6 +206,10 @@ def hyperplane_lsh_neardup(
     higher-order functions per element and was ~10x slower; this is the
     sanctioned Pandas-UDF exception for genuinely numeric kernels.
     """
+    if n_planes % bands != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by bands ({bands})"
+        )
     planes_m = np.asarray(_hyperplanes(dim, n_planes, seed)).T  # dim x n_planes
     rows_per_band = n_planes // bands
     weights = (1 << np.arange(rows_per_band)).astype(np.int64)

@@ -51,7 +51,11 @@ def with_global_rank(
     # re-executes the scan AND the range shuffle (physical-plan exchange
     # reuse does not fire across the two branches).  The counts job runs
     # first (broadcast subquery), populating the cache the main pass
-    # then reads — one scan, one shuffle total.
+    # then reads — one scan, one shuffle total.  The cache cannot be
+    # unpersisted inside this lazy plan; Spark's ContextCleaner reclaims
+    # it when the DataFrame becomes unreachable, so repeated calls don't
+    # leak unboundedly, but callers looping over many sorts in one
+    # session can spark.catalog.clearCache() between them.
     ranked = ranged.withColumn(_RN, F.row_number().over(w)).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -46,21 +46,35 @@ def asof_join(
     reference semantics of every as-of engine, incl. the DuckDB oracle).
     """
     l_payload = [c for c in left.columns if c not in (key, left_ts)]
+    # The right row travels as ONE struct so the running last() always
+    # takes every right column from the SAME (latest) right row — a
+    # per-column last(ignorenulls) would backfill a NULL payload in the
+    # newest right row from an older row, mixing rows.  The struct is
+    # non-null exactly on right rows, so ignorenulls keys on row
+    # presence, not field nullability.
+    r_struct = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    null_struct = F.lit(None).cast(
+        "struct<__rts:" + right.schema[right_ts].dataType.simpleString()
+        + "".join(
+            f",{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols
+        )
+        + ">"
+    )
     tagged_l = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
         *[F.col(c) for c in l_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        null_struct.alias("__r"),
     )
     tagged_r = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_payload],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(right_ts).alias("__r_ts"),
+        r_struct.alias("__r"),
     )
     # Right rows (tag 0) sort before left rows (tag 1) at equal ts, so a
     # right row AT the left timestamp is visible to it (inclusive <=).
@@ -74,15 +88,14 @@ def asof_join(
         "__ts",
         "__tag",
         *l_payload,
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in right_cols],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
+        F.last("__r", ignorenulls=True).over(w).alias("__f"),
     )
     return filled.where(F.col("__tag") == 1).select(
         F.col("__k").alias(key),
         F.col("__ts").alias(left_ts),
         *l_payload,
-        *[F.col(f"__f_{c}").alias(c) for c in right_cols],
-        F.col("__f_ts").alias("asof_ts"),
+        *[F.col(f"__f.{c}").alias(c) for c in right_cols],
+        F.col("__f.__rts").alias("asof_ts"),
     )
 
 

@@ -66,8 +66,14 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         print(f"wrote {args.output}")
     else:
-        out.show(args.show, truncate=False)
-        print(f"{out.count()} rows")
+        # One execution for both the preview and the count (show() and
+        # count() would otherwise each run the full plan).
+        out = out.persist()
+        try:
+            out.show(args.show, truncate=False)
+            print(f"{out.count()} rows")
+        finally:
+            out.unpersist()
     return 0
 
 

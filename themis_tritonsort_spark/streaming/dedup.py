@@ -49,7 +49,9 @@ def enrich_stream(
     """Stream-static enrichment join: attach (slowly-changing) dimension
     columns to a streaming fact.  Spark re-reads the static side per
     micro-batch, so dimension updates are picked up without restarting
-    the query; the static side is broadcast when small (normal Catalyst
-    sizing — at 100 TB/day the fact side never shuffles for this join).
+    the query.  No broadcast hint: Catalyst broadcasts automatically
+    below spark.sql.autoBroadcastJoinThreshold and falls back to a
+    shuffle join for dimensions too large to ship — forcing the hint
+    would OOM on a multi-GB dimension.
     """
-    return events.join(F.broadcast(dim), key, how)
+    return events.join(dim, key, how)

@@ -7,7 +7,7 @@ compares with oracle_sql()[name] via DuckDB (row count + sorted column
 names + order-insensitive value multiset). Prints one OK/FAIL line per
 query; exits nonzero on any failure.
 
-Usage: python scratch/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python tools/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
 """
 
 from __future__ import annotations
