@@ -66,3 +66,86 @@ def test_q37_range_join_is_equi_join(spark):
     # bucket quantization keeps it a hash-equi join on (bucket, key) —
     # no BroadcastNestedLoopJoin / CartesianProduct fallback
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_cobucketed_join_elides_exchange_and_sort(spark):
+    from pyspark.sql import functions as F
+
+    from themis_tritonsort_spark.sources.bucketed import (
+        drop_bucketed,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    a = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("va")
+    )
+    b = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 11).alias("vb")
+    )
+    try:
+        write_bucketed(a, "bkt_a", ["k"], 8, sort_cols=["k"])
+        write_bucketed(b, "bkt_b", ["k"], 8, sort_cols=["k"])
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_bucketed(spark, "bkt_a").join(
+                read_bucketed(spark, "bkt_b"), "k"
+            )
+            plan = _plan(joined, mode="simple")
+            # co-bucketed scans satisfy the join's distribution AND
+            # ordering requirements: no shuffle, no per-side sort
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert joined.count() == 5000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        drop_bucketed(spark, "bkt_a")
+        drop_bucketed(spark, "bkt_b")
+
+
+def test_bucketed_groupby_elides_exchange(spark):
+    from pyspark.sql import functions as F
+
+    from themis_tritonsort_spark.sources.bucketed import (
+        drop_bucketed,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    a = spark.range(0, 5000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    try:
+        write_bucketed(a, "bkt_g", ["k"], 8)
+        agg = read_bucketed(spark, "bkt_g").groupBy("k").agg(
+            F.sum("v").alias("s")
+        )
+        plan = _plan(agg, mode="simple")
+        assert "Exchange" not in plan
+        assert agg.count() == 100
+    finally:
+        drop_bucketed(spark, "bkt_g")
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from themis_tritonsort_spark.data import table
+    from themis_tritonsort_spark.sources.bucketed import write_partitioned
+
+    ev = table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, ["day"])
+
+    days = [r["day"] for r in spark.read.parquet(path).select("day").distinct().collect()]
+    assert len(days) > 1  # pruning is only meaningful across >1 dir
+    one = spark.read.parquet(path).where(F.col("day") == F.lit(days[0]))
+    plan = _plan(one)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "day" in pf[1].splitlines()[0]
+    expected = ev.where(F.col("day") == F.lit(days[0])).count()
+    assert one.count() == expected

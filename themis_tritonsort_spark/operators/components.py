@@ -40,47 +40,45 @@ def connected_components(
     """
     spark = edges.sparkSession
     npart = spark.sparkContext.defaultParallelism
-    # Undirected: propagate both ways; self-loops drop out naturally.
+    # Undirected: materialize BOTH orientations once, partitioned by the
+    # propagation source — each round is then ONE join (src side
+    # co-located with the persisted partitioning) instead of two.
+    half = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col("s") != F.col("d")
+    )
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
+        half.unionByName(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        .repartition(npart, "a")
+        .repartition(npart, "s")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    labels = (
-        e.select(F.col("a").alias("vid"))
-        .unionByName(e.select(F.col("b").alias("vid")))
-        .distinct()
-        .withColumn("label", F.col("vid"))
+    labels = e.select(F.col("s").alias("vid")).distinct().withColumn(
+        "label", F.col("vid")
     )
 
     changed = -1
     for _ in range(max_iterations):
-        # Each vertex offers its label to its neighbors (both
-        # directions) and keeps its own: one union + one min-groupBy.
-        to_b = e.join(labels, e.a == labels.vid).select(
-            F.col("b").alias("vid"), F.col("label")
+        # Each vertex offers its label to its neighbors and keeps its
+        # own.  The keep row carries the previous label in `old`, so
+        # after the min-groupBy the convergence check is a filter-count
+        # on the checkpointed result — no extra join per round (min
+        # ignores the NULL `old` on propagated rows; every vid has
+        # exactly one keep row, so `old` IS the previous label).
+        offered = e.join(labels, e.s == labels.vid).select(
+            F.col("d").alias("vid"),
+            F.col("label"),
+            F.lit(None).cast("long").alias("old"),
         )
-        to_a = e.join(labels, e.b == labels.vid).select(
-            F.col("a").alias("vid"), F.col("label")
-        )
-        keep = labels.select("vid", "label")
-        new_labels = (
-            to_b.unionByName(to_a)
-            .unionByName(keep)
+        keep = labels.select("vid", "label", F.col("label").alias("old"))
+        merged = (
+            offered.unionByName(keep)
             .groupBy("vid")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vid")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.where(F.col("label") != F.col("old")).count()
+        labels = merged.select("vid", "label")
         if changed == 0:
             break
     else:

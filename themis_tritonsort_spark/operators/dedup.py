@@ -15,7 +15,9 @@ DataFrame plans:
                  chosen because the DuckDB oracle computes the identical
                  digest — lexicographic min over uniformly distributed
                  hex digests is a valid min-hash.
-  simhash      — 64-bit sign-sum fingerprint over token hashes.
+  simhash      — sign-sum fingerprint over token hashes (60-bit
+                 md5-derived by default so the oracle reproduces it;
+                 64-bit xxhash64 as the cheapest-per-token variant).
 
 Scale notes: every operator is shuffle-on-key only; the shingle join's
 worst case is a hot shingle shared by many docs — cap posting-list
@@ -245,26 +247,44 @@ def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash over tokens: bit b of the fingerprint is 1 iff the
-    sum over tokens of sign(bit b of xxhash64(token)) is positive.
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, hasher: str = "md5"
+) -> DataFrame:
+    """SimHash over tokens: bit b of the fingerprint is 1 iff the sum
+    over tokens of sign(bit b of hash(token)) is positive.
 
-    JVM-side: explode tokens -> xxhash64 -> per-bit +/-1 sums via a
-    64-element aggregate.  Returns (doc, simhash long).
+    ``hasher="md5"`` (default) derives a 60-bit token hash from the md5
+    hex digest — the same ``conv(substr(md5(w),1,15),16,10)`` family as
+    min-hash, chosen because DuckDB reproduces the exact integers
+    (``('0x'||substr(md5(w),1,15))::BIGINT``), so the fingerprints are
+    oracle-checkable end to end.  ``hasher="xxhash64"`` uses the full
+    64-bit JVM hash — cheaper per token at 100 TB, same plan shape —
+    when cross-engine reproducibility is not needed.
+
+    JVM-side either way: explode tokens -> hash -> per-bit +/-1 sums
+    via one n_bits-element aggregate (a single groupBy pass; no
+    per-bit shuffle).  Returns (doc, simhash long).
     """
+    if hasher == "xxhash64":
+        hh, n_bits = F.xxhash64("w"), 64
+    elif hasher == "md5":
+        hh = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+        n_bits = 60
+    else:
+        raise ValueError(f"unknown hasher {hasher!r} (md5 | xxhash64)")
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("w")
-    ).withColumn("hh", F.xxhash64("w"))
+    ).withColumn("hh", hh)
     bit_sums = tok.groupBy("doc").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("hh"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ]
     )
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         sig = sig + F.when(
             F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))

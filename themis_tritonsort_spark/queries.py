@@ -1373,12 +1373,31 @@ def q29_kmeans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
 
 
-# Q30 SimHash fingerprints (64-bit bit-ops; no SQL oracle).
+# Q30 SimHash fingerprints (md5-derived 60-bit token hashes, so the
+# exact fingerprint integers are oracle-reproducible).
 def q30_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash64
 
     docs = table(spark, sf_dir, "documents")
     return simhash64(docs, "doc_id", "text")
+
+
+_Q30_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS doc, unnest({_TOK.format(col='text')}) AS w FROM documents
+),
+hashed AS (
+  SELECT doc, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hh FROM tok
+),
+bits AS (
+  SELECT doc, b,
+         sum(CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS b)
+  GROUP BY doc, b
+)
+SELECT doc, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc
+"""
 
 
 # Q31 IVF approximate ANN (recall < 1 by design; no SQL oracle).
@@ -1475,8 +1494,9 @@ ORACLES: dict[str, str] = {
     "q26_distinct_agg": _Q26_SQL,
     "q27_parts_shipped_by_brand": _Q27_SQL,
     "q28_json_extract": _Q28_SQL,
-    # q29_kmeans_full, q30_simhash, q31_ivf_ann: iterative / bit-level /
-    # approximate — not ANSI-SQL-expressible; driver records rows-only.
+    # q29_kmeans_full, q31_ivf_ann: iterative / approximate — not
+    # ANSI-SQL-expressible; driver records rows-only.
+    "q30_simhash": _Q30_SQL,
     "q32_above_avg_parts": _Q32_SQL,
     "q33_late_ship_orders": _Q33_SQL,
     "q34_region_share": _Q34_SQL,
