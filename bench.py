@@ -82,6 +82,8 @@ BENCH_QUERIES = {
     "q41_token_counts": q.q41_token_counts,
     "q42_value_quantiles": q.q42_value_quantiles,
     "q43_corpus_pipeline": q.q43_corpus_pipeline,
+    "q49_stratified_sample": q.q49_stratified_sample,
+    "q51_chunk_documents": q.q51_chunk_documents,
 }
 
 

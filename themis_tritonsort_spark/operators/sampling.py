@@ -1,0 +1,100 @@
+"""Deterministic corpus sampling — the selection half of a training-data
+pipeline (beyond-reference; reference analog: the seeded samplers behind
+``RdRandFormatReader`` and the Ratio inflate/sample functions,
+``functions/map/RatioMapFunction.cc``).
+
+Training mixes are specified as "at most k documents per stratum" and
+"sample stratum g at rate r_g".  Both are implemented HASH-deterministic
+(md5 of the row id), not pseudo-random:
+
+  * reruns and retried tasks pick the SAME rows (Spark's ``sample()`` is
+    seed-stable only per-partitioning; a shuffle upstream changes it),
+  * the selection is reproducible by any engine (the DuckDB oracle
+    computes the identical md5), and
+  * no coordination: rate sampling is a stateless per-row predicate —
+    at 100 TB it runs map-side, touches each row once, and shuffles
+    nothing.
+
+``stratified_topk_sample`` needs one shuffle on the stratum key (the
+same shuffle any per-group top-k pays).  Strata are low-cardinality
+(language, domain, source); for a hot stratum the row_number window
+sorts that stratum on one executor — acceptable for selection caps,
+or pre-thin with ``hash_rate_sample`` first so the window sees only
+~k·fudge rows per stratum.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# md5-hex prefix of 15 nibbles = 60 bits, the same oracle-reproducible
+# integer family as operators.dedup (minhash / simhash).
+_HASH_MOD = 1_000_000
+
+
+def _row_hash(id_col: str):
+    """Uniform deterministic bucket in [0, 1e6) from the row id."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _HASH_MOD
+    )
+
+
+def stratified_topk_sample(
+    df: DataFrame, group_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Keep at most ``k`` rows per stratum, chosen by md5(id) order —
+    a uniform, deterministic, engine-reproducible per-group sample.
+
+    Ties broken by the id itself so the result is total-order stable.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def hash_rate_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float | None = None,
+    rates: Mapping[str, float] | None = None,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Keep each row iff md5-bucket(id) < rate·1e6 — a deterministic
+    Bernoulli sample.  With ``rates`` + ``group_col``, each stratum gets
+    its own rate (the training-mixture weighting: {"en": 1.0,
+    "code": 0.5, ...}; strata absent from the map are dropped).
+
+    Purely map-side: no shuffle, no state, each row decided from its
+    own bytes.
+    """
+    bucket = _row_hash(id_col)
+    if rates is not None:
+        if group_col is None:
+            raise ValueError("rates requires group_col")
+        if not rates:
+            raise ValueError("rates must be non-empty")
+        thresh = None
+        for g, r in sorted(rates.items()):
+            if not 0.0 <= r <= 1.0:
+                raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+            cond, val = F.col(group_col) == g, F.lit(int(r * _HASH_MOD))
+            thresh = F.when(cond, val) if thresh is None else thresh.when(cond, val)
+        # no otherwise: unmatched strata compare NULL -> dropped
+        return df.where(bucket < thresh)
+    if rate is None:
+        raise ValueError("pass rate= or rates=")
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(bucket < F.lit(int(rate * _HASH_MOD)))

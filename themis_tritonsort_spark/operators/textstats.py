@@ -145,3 +145,51 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .cast("long")
         .alias("bpe_per_100_ws"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-token-budget chunks with overlap —
+    the context-window packing step of a training pipeline.  Returns
+    (id, chunk_idx long, n_chunk_tokens long, chunk_text string); docs
+    whose whole text fits produce exactly one chunk, empty docs none.
+
+    Chunk i covers tokens [1 + i*step, 1 + i*step + chunk_tokens) with
+    step = chunk_tokens - overlap; start positions run to
+    max(n_tokens - overlap, 1) so a tail shorter than the overlap (a
+    strict subset of the previous chunk) is never emitted.
+
+    Plan: one generator expression per doc (tokenize once, slice per
+    start) — JVM-side, no shuffle, no UDF; chunking 100 TB is purely
+    map-side and parallel in the scan.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    step = chunk_tokens - overlap
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).where(F.size("__toks") > 0)
+    chunks = staged.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(__toks) - {overlap}, 1),"
+                f" {step}), s -> slice(__toks, s, {chunk_tokens}))"
+            )
+        ).alias("chunk_idx", "__chunk"),
+    )
+    return chunks.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )

@@ -1412,6 +1412,78 @@ def q31_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q49 Deterministic stratified sample: at most k docs per language,
+# chosen by md5(doc_id) order — reproducible across engines and reruns.
+def q49_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_topk_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return stratified_topk_sample(docs, "lang", "doc_id", k=25).select(
+        "doc_id", "lang"
+    )
+
+
+_Q49_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 25
+"""
+
+
+# Q50 Training-mixture rate sampling: per-language keep rates applied as
+# a stateless map-side hash predicate (no shuffle, no RNG state).
+MIXTURE_RATES = {"en": 0.9, "fr": 0.5, "de": 0.25, "zh": 0.1}
+
+
+def q50_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_rate_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return hash_rate_sample(
+        docs, "doc_id", rates=MIXTURE_RATES, group_col="lang"
+    ).select("doc_id", "lang", "source")
+
+
+_Q50_SQL = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS b
+  FROM documents
+) WHERE b < CASE lang WHEN 'en' THEN 900000 WHEN 'fr' THEN 500000
+                      WHEN 'de' THEN 250000 WHEN 'zh' THEN 100000 END
+"""
+
+
+# Q51 Context-window chunking: 64-token chunks, 8-token overlap —
+# map-side generator expression, one tokenizer pass per doc.
+def q51_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+
+
+_Q51_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK.format(col='text')} AS t FROM documents
+),
+nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+starts AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(1, greatest(n - 8, 1), 56)) AS s
+  FROM nz
+)
+SELECT doc_id,
+       CAST((s - 1) // 56 AS BIGINT) AS chunk_idx,
+       CAST(len(t[s:s+63]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(t[s:s+63], ' ') AS chunk_text
+FROM starts
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -1462,6 +1534,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_dedup_clusters": q46_dedup_clusters,
     "q47_gap_sessions": q47_gap_sessions,
     "q48_shipping_priority": q48_shipping_priority,
+    "q49_stratified_sample": q49_stratified_sample,
+    "q50_mixture_sample": q50_mixture_sample,
+    "q51_chunk_documents": q51_chunk_documents,
 }
 
 ORACLES: dict[str, str] = {
@@ -1514,4 +1589,7 @@ ORACLES: dict[str, str] = {
     "q46_dedup_clusters": _Q46_SQL,
     "q47_gap_sessions": _Q47_SQL,
     "q48_shipping_priority": _Q48_SQL,
+    "q49_stratified_sample": _Q49_SQL,
+    "q50_mixture_sample": _Q50_SQL,
+    "q51_chunk_documents": _Q51_SQL,
 }
