@@ -130,3 +130,111 @@ def test_jaccard_prefix_filter_is_exact(spark):
     }
     assert with_filter == without
     assert len(without) > 0
+
+
+# ------------------------------------------------------------- chunking
+def reference_chunks(toks: list[str], chunk: int, overlap: int) -> list[list[str]]:
+    """Straight-line port of the chunking contract: starts at
+    1 + i*step up to max(n - overlap, 1)."""
+    if not toks:
+        return []
+    step = chunk - overlap
+    n = len(toks)
+    last_start = max(n - overlap, 1)
+    out = []
+    s = 1
+    while s <= last_start:
+        out.append(toks[s - 1 : s - 1 + chunk])
+        s += step
+    return out
+
+
+@given(
+    n_tokens=st.integers(min_value=0, max_value=200),
+    chunk=st.integers(min_value=2, max_value=50),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.99),
+)
+@settings(max_examples=60, deadline=None)
+def test_chunk_contract_covers_all_tokens_in_order(n_tokens, chunk, overlap_frac):
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    toks = [f"w{i}" for i in range(n_tokens)]
+    chunks = reference_chunks(toks, chunk, overlap)
+    if not toks:
+        assert chunks == []
+        return
+    # full in-order coverage: stitching chunks (dropping each overlap)
+    # reconstructs the document exactly
+    step = chunk - overlap
+    stitched = list(chunks[0])
+    for c in chunks[1:]:
+        stitched.extend(c[overlap:])
+    assert stitched == toks
+    # every chunk except possibly the last is full-size; none is a
+    # subset of its predecessor
+    for c in chunks[:-1]:
+        assert len(c) == min(chunk, len(toks))
+    assert len(chunks[-1]) > overlap or len(toks) <= overlap
+    # starts advance by exactly step
+    for i, c in enumerate(chunks):
+        assert c[0] == toks[i * step]
+
+
+def test_chunk_documents_matches_reference_contract(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from themis_tritonsort_spark.operators.textstats import chunk_documents
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(f"t{rng.randrange(100)}x{j}" for j in range(rng.randrange(0, 90))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, "doc_id", "text", chunk_tokens=16, overlap=4).collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"].split()))
+    for doc_id, text in docs:
+        expected = reference_chunks(text.split(), 16, 4)
+        have = [c for _, c in sorted(got.get(doc_id, []))]
+        assert have == expected, doc_id
+
+
+# ------------------------------------------------------------- as-of join
+def test_asof_join_matches_naive_python(spark):
+    import random
+
+    from themis_tritonsort_spark.operators.temporal import asof_join
+
+    rng = random.Random(11)
+    left = [(rng.randrange(6), rng.randrange(50), i) for i in range(300)]
+    # right side unique per (k, rts): with duplicates the winner among
+    # equal timestamps is engine-order-dependent in ANY as-of engine
+    # (q36 dedups the same way before joining)
+    uniq: dict[tuple[int, int], int | None] = {}
+    for i in range(120):
+        uniq[(rng.randrange(6), rng.randrange(50))] = (
+            1000 + i if rng.random() > 0.2 else None
+        )
+    right = [(k, rts, p) for (k, rts), p in uniq.items()]
+    ldf = spark.createDataFrame(left, "k long, ts long, lid long")
+    rdf = spark.createDataFrame(right, "k long, rts long, payload long")
+    got = {
+        (r["k"], r["ts"], r["lid"]): (r["asof_ts"], r["payload"])
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="ts", right_ts="rts", right_cols=["payload"]
+        ).collect()
+    }
+    assert len(got) == len(left)
+    # naive: latest right row with rts <= ts; ties on rts -> the row
+    # that sorts last among equals (running last() semantics)
+    by_key: dict[int, list[tuple[int, int | None]]] = {}
+    for k, rts, payload in right:
+        by_key.setdefault(k, []).append((rts, payload))
+    for k in by_key:
+        by_key[k].sort(key=lambda t: t[0])
+    for k, ts, lid in left:
+        matches = [t for t in by_key.get(k, []) if t[0] <= ts]
+        want = matches[-1] if matches else (None, None)
+        assert got[(k, ts, lid)] == want, (k, ts, lid)

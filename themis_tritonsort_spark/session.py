@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # 256 MB scan splits: at 100 TB this is ~400k tasks (~50 waves
+        # on 8k cores) — fine granularity for stragglers/retries without
+        # task-launch overhead dominating; harmless at test scale.
+        .config("spark.sql.files.maxPartitionBytes", str(256 * 1024 * 1024))
         # Arrow for applyInPandas/mapInPandas operators.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
