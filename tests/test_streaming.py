@@ -184,3 +184,58 @@ def test_corpus_ops_run_on_streams(spark, stream_dir):
         for r in spark.sql("SELECT * FROM stream_tokens").collect()
     }
     assert rows == {1: (4, 4), 2: (4, 5)}
+
+
+def test_interval_join_streams_attribution(spark, stream_dir):
+    from themis_tritonsort_spark.streaming.joins import interval_join_streams
+
+    imp_dir = os.path.join(stream_dir, "impressions")
+    clk_dir = os.path.join(stream_dir, "clicks")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 100),
+            (1, "2024-01-01 02:00:00", 101),
+            (2, "2024-01-01 00:00:00", 102),
+        ],
+        "user_id long, imp_ts string, imp_id long",
+    ).withColumn("imp_ts", F.to_timestamp("imp_ts")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(imp_dir)
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:30:00", 900),  # within 1h of imp 100
+            (1, "2024-01-01 02:10:00", 901),  # within 1h of imp 101 only
+            (2, "2024-01-01 05:00:00", 902),  # beyond horizon: unmatched
+            (3, "2024-01-01 00:10:00", 903),  # no impression for user 3
+        ],
+        "user_id long, clk_ts string, clk_id long",
+    ).withColumn("clk_ts", F.to_timestamp("clk_ts")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(clk_dir)
+
+    imp = spark.readStream.schema(
+        "user_id long, imp_ts timestamp, imp_id long"
+    ).parquet(imp_dir)
+    clk = spark.readStream.schema(
+        "user_id long, clk_ts timestamp, clk_id long"
+    ).parquet(clk_dir)
+    joined = interval_join_streams(
+        imp, clk, key="user_id", left_ts="imp_ts", right_ts="clk_ts",
+        horizon="1 hour",
+    )
+    q = _run_to_memory(joined, "attrib")
+    got = {
+        (r["imp_id"], r["clk_id"])
+        for r in spark.sql("SELECT imp_id, clk_id FROM attrib").collect()
+    }
+    q.stop()
+    assert got == {(100, 900), (101, 901)}
+
+
+def test_interval_join_streams_rejects_colliding_columns(spark):
+    from themis_tritonsort_spark.streaming.joins import interval_join_streams
+
+    a = spark.createDataFrame([(1, "2024-01-01", 3)], "k long, ts string, v long").withColumn("ts", F.to_timestamp("ts"))
+    b = spark.createDataFrame([(1, "2024-01-01", 3)], "k long, ts2 string, v long").withColumn("ts2", F.to_timestamp("ts2"))
+    with pytest.raises(ValueError):
+        interval_join_streams(a, b, key="k", left_ts="ts", right_ts="ts2")
