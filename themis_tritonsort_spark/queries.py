@@ -15,6 +15,9 @@ Sections:
   q36-q39   temporal joins + embedding near-dup (as-of, range, cosine)
   q40-q44   supplier rollup, token budgets, exact quantiles, corpus
             pipeline, skew-salted aggregation
+  q45-q51   time rollup, dedup clustering, sessions, sampling, chunking
+  q52-q55   correlated agg (Q17), outer-join distribution (Q13),
+            set operations (INTERSECT/EXCEPT), pivot
 """
 
 from __future__ import annotations
@@ -1484,6 +1487,137 @@ FROM starts
 """
 
 
+# Q52 Correlated aggregate across tables (TPC-H Q17 shape): revenue
+# from lineitems whose quantity is below 20% of the part's average.
+# Spark form: the correlated scalar subquery becomes a per-part
+# aggregate joined back to lineitem.  The agg output is ~|parts| rows
+# (2 narrow columns), orders of magnitude smaller than lineitem, so at
+# sf0.001 AQE broadcasts it; at 100 TB it still fits executor memory
+# long before lineitem does, keeping the join one-sided — lineitem
+# itself is never shuffled for the join.
+def q52_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("__thresh")
+    )
+    return (
+        li.join(thresh, "l_partkey")
+        .where(F.col("l_quantity") < F.col("__thresh"))
+        .groupBy()
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q52_SQL = """
+SELECT CAST(sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem q WHERE q.l_partkey = l.l_partkey)
+"""
+
+
+# Q53 Outer-join double aggregation (TPC-H Q13 shape): distribution of
+# customers by order count, INCLUDING zero-order customers (the outer
+# join is load-bearing — a semi join would drop them).
+def q53_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders")
+    per_cust = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_Q53_SQL = """
+SELECT n_orders, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+"""
+
+
+# Q54 Set operations (INTERSECT / EXCEPT — absent from the reference,
+# SURVEY §2 "no set operations"): customer retention cohorts between
+# two order years.  Spark intersect/subtract are set-semantic
+# (duplicate-eliminating), matching SQL INTERSECT/EXCEPT; both compile
+# to aggregate-over-union / left-anti forms, one hash shuffle each.
+def q54_yearly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+
+    def active(year: int) -> DataFrame:
+        return od.where(F.year("o_orderdate") == year).select(
+            F.col("o_custkey").alias("custkey")
+        )
+
+    a, b = active(1995), active(1996)
+    both = a.intersect(b).select(F.lit("both").alias("cohort"), "custkey")
+    only_a = a.subtract(b).select(
+        F.lit("only_1995").alias("cohort"), "custkey"
+    )
+    only_b = b.subtract(a).select(
+        F.lit("only_1996").alias("cohort"), "custkey"
+    )
+    return both.unionByName(only_a).unionByName(only_b)
+
+
+_Q54_SQL = """
+WITH a AS (SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995),
+     b AS (SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'both' AS cohort, custkey
+FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
+UNION ALL
+SELECT 'only_1995' AS cohort, custkey
+FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
+UNION ALL
+SELECT 'only_1996' AS cohort, custkey
+FROM (SELECT custkey FROM b EXCEPT SELECT custkey FROM a)
+"""
+
+
+# Q55 Pivot / conditional aggregation: yearly revenue pivoted across
+# return flags.  The explicit values list ["A","N","R"] matters at
+# scale — without it Spark runs an extra distinct-values job over the
+# full table before it can even plan the pivot.
+def q55_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.withColumn("ship_year", F.year("l_shipdate"))
+        .groupBy("ship_year")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(cents("l_extendedprice")))
+    )
+    return pivoted.select(
+        "ship_year",
+        F.coalesce("A", F.lit(0)).alias("rev_a_cents"),
+        F.coalesce("N", F.lit(0)).alias("rev_n_cents"),
+        F.coalesce("R", F.lit(0)).alias("rev_r_cents"),
+    )
+
+
+_Q55_SQL = """
+SELECT year(l_shipdate) AS ship_year,
+       CAST(coalesce(sum(CASE WHEN l_returnflag = 'A'
+                 THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) END), 0) AS BIGINT) AS rev_a_cents,
+       CAST(coalesce(sum(CASE WHEN l_returnflag = 'N'
+                 THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) END), 0) AS BIGINT) AS rev_n_cents,
+       CAST(coalesce(sum(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) END), 0) AS BIGINT) AS rev_r_cents
+FROM lineitem
+GROUP BY year(l_shipdate)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -1537,6 +1671,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_stratified_sample": q49_stratified_sample,
     "q50_mixture_sample": q50_mixture_sample,
     "q51_chunk_documents": q51_chunk_documents,
+    "q52_small_qty_revenue": q52_small_qty_revenue,
+    "q53_order_count_distribution": q53_order_count_distribution,
+    "q54_yearly_cohorts": q54_yearly_cohorts,
+    "q55_returnflag_pivot": q55_returnflag_pivot,
 }
 
 ORACLES: dict[str, str] = {
@@ -1592,4 +1730,8 @@ ORACLES: dict[str, str] = {
     "q49_stratified_sample": _Q49_SQL,
     "q50_mixture_sample": _Q50_SQL,
     "q51_chunk_documents": _Q51_SQL,
+    "q52_small_qty_revenue": _Q52_SQL,
+    "q53_order_count_distribution": _Q53_SQL,
+    "q54_yearly_cohorts": _Q54_SQL,
+    "q55_returnflag_pivot": _Q55_SQL,
 }
