@@ -235,3 +235,36 @@ def test_build_ivf_recall_floor(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_cohort_fused_agg_equals_set_ops(spark, sf_dir):
+    """q54's fused conditional aggregate (1 scan, 1 shuffle) must equal
+    the literal DataFrame.intersect/subtract formulation (6 scans,
+    3 shuffles) — the set-op API coverage witness."""
+    from themis_tritonsort_spark.data import table
+    from themis_tritonsort_spark.queries import q54_yearly_cohorts
+
+    od = table(spark, sf_dir, "orders")
+
+    def active(year):
+        return od.where(F.year("o_orderdate") == year).select(
+            F.col("o_custkey").alias("custkey")
+        )
+
+    a, b = active(1995), active(1996)
+    set_form = (
+        a.intersect(b)
+        .select(F.lit("both").alias("cohort"), "custkey")
+        .unionByName(
+            a.subtract(b).select(F.lit("only_1995").alias("cohort"), "custkey")
+        )
+        .unionByName(
+            b.subtract(a).select(F.lit("only_1996").alias("cohort"), "custkey")
+        )
+    )
+    expected = {(r["cohort"], r["custkey"]) for r in set_form.collect()}
+    fused = {
+        (r["cohort"], r["custkey"])
+        for r in q54_yearly_cohorts(spark, sf_dir).collect()
+    }
+    assert fused == expected and len(fused) > 0

@@ -16,8 +16,8 @@ Sections:
   q40-q44   supplier rollup, token budgets, exact quantiles, corpus
             pipeline, skew-salted aggregation
   q45-q51   time rollup, dedup clustering, sessions, sampling, chunking
-  q52-q55   correlated agg (Q17), outer-join distribution (Q13),
-            set operations (INTERSECT/EXCEPT), pivot
+  q52-q57   correlated agg (Q17), outer-join distribution (Q13),
+            set-op cohorts, pivot, range-frame window, cube
 """
 
 from __future__ import annotations
@@ -1547,28 +1547,33 @@ GROUP BY n_orders
 """
 
 
-# Q54 Set operations (INTERSECT / EXCEPT — absent from the reference,
-# SURVEY §2 "no set operations"): customer retention cohorts between
-# two order years.  Spark intersect/subtract are set-semantic
-# (duplicate-eliminating), matching SQL INTERSECT/EXCEPT; both compile
-# to aggregate-over-union / left-anti forms, one hash shuffle each.
+# Q54 Set-operation semantics (INTERSECT / EXCEPT — absent from the
+# reference, SURVEY §2 "no set operations"): customer retention
+# cohorts between two order years.  The literal intersect/subtract
+# formulation scans orders 6× and shuffles 3×; at 100 TB the right
+# plan is this fused conditional aggregate — ONE scan (year-pruned)
+# and ONE shuffle on custkey, classifying each customer from per-year
+# presence flags.  tests/test_operators.py asserts the fused form
+# equals the intersect/subtract form (which stays the API-coverage
+# witness for DataFrame.intersect/subtract).
 def q54_yearly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = table(spark, sf_dir, "orders")
-
-    def active(year: int) -> DataFrame:
-        return od.where(F.year("o_orderdate") == year).select(
-            F.col("o_custkey").alias("custkey")
+    flags = (
+        od.withColumn("y", F.year("o_orderdate"))
+        .where(F.col("y").isin(1995, 1996))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("y") == 1995).alias("__in_a"),
+            F.max(F.col("y") == 1996).alias("__in_b"),
         )
-
-    a, b = active(1995), active(1996)
-    both = a.intersect(b).select(F.lit("both").alias("cohort"), "custkey")
-    only_a = a.subtract(b).select(
-        F.lit("only_1995").alias("cohort"), "custkey"
     )
-    only_b = b.subtract(a).select(
-        F.lit("only_1996").alias("cohort"), "custkey"
+    return flags.select(
+        F.when(F.col("__in_a") & F.col("__in_b"), "both")
+        .when(F.col("__in_a"), "only_1995")
+        .otherwise("only_1996")
+        .alias("cohort"),
+        "custkey",
     )
-    return both.unionByName(only_a).unionByName(only_b)
 
 
 _Q54_SQL = """
@@ -1615,6 +1620,71 @@ SELECT year(l_shipdate) AS ship_year,
                  THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) END), 0) AS BIGINT) AS rev_r_cents
 FROM lineitem
 GROUP BY year(l_shipdate)
+"""
+
+
+# Q56 RANGE-frame window (value-based, not row-based): rolling 1-hour
+# per-user event stats.  A RANGE frame over epoch-micros is the
+# declarative form of a time-based sliding window — same single
+# hash-shuffle on user_id as q24's ROWS frames, but frame membership
+# is decided by timestamp arithmetic, so tied timestamps share one
+# frame (deterministic under ties, unlike a ROWS spec).
+def q56_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    hour_us = 3_600 * 1_000_000
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        cents("value").alias("v_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-hour_us, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("v_cents").over(w).alias("v_1h_cents"),
+    )
+
+
+_Q56_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS v_1h_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# Q57 CUBE grouping sets: revenue by (ship_year, returnflag) plus all
+# three marginal totals in ONE aggregation pass — Spark expands the
+# grouping sets before the shuffle, so it stays a single Exchange
+# rather than 4 unioned groupBys.
+def q57_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("ship_year", F.year("l_shipdate"))
+        .cube("ship_year", "l_returnflag")
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q57_SQL = """
+SELECT year(l_shipdate) AS ship_year, l_returnflag,
+       CAST(sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY CUBE (year(l_shipdate), l_returnflag)
 """
 
 
@@ -1675,6 +1745,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_order_count_distribution": q53_order_count_distribution,
     "q54_yearly_cohorts": q54_yearly_cohorts,
     "q55_returnflag_pivot": q55_returnflag_pivot,
+    "q56_rolling_hour": q56_rolling_hour,
+    "q57_cube_revenue": q57_cube_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -1734,4 +1806,6 @@ ORACLES: dict[str, str] = {
     "q53_order_count_distribution": _Q53_SQL,
     "q54_yearly_cohorts": _Q54_SQL,
     "q55_returnflag_pivot": _Q55_SQL,
+    "q56_rolling_hour": _Q56_SQL,
+    "q57_cube_revenue": _Q57_SQL,
 }
