@@ -84,6 +84,12 @@ BENCH_QUERIES = {
     "q43_corpus_pipeline": q.q43_corpus_pipeline,
     "q49_stratified_sample": q.q49_stratified_sample,
     "q51_chunk_documents": q.q51_chunk_documents,
+    "q52_small_qty_revenue": q.q52_small_qty_revenue,
+    "q53_order_count_distribution": q.q53_order_count_distribution,
+    "q54_yearly_cohorts": q.q54_yearly_cohorts,
+    "q55_returnflag_pivot": q.q55_returnflag_pivot,
+    "q56_rolling_hour": q.q56_rolling_hour,
+    "q57_cube_revenue": q.q57_cube_revenue,
 }
 
 
