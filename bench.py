@@ -90,6 +90,8 @@ BENCH_QUERIES = {
     "q55_returnflag_pivot": q.q55_returnflag_pivot,
     "q56_rolling_hour": q.q56_rolling_hour,
     "q57_cube_revenue": q.q57_cube_revenue,
+    "q58_repetition_stats": q.q58_repetition_stats,
+    "q59_decontaminate": q.q59_decontaminate,
 }
 
 

@@ -96,3 +96,49 @@ def test_chunk_documents_cover_and_overlap(spark):
         chunk_documents(df, "doc_id", "text", chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Known docs with hand-computable gram arithmetic:
+    'a b a b a b' -> bigrams [ab,ba,ab,ba,ab]: top share 3/5;
+    trigrams [aba,bab,aba,bab]: 2 dups of 4.  A no-repeat doc scores 0
+    on both; a doc shorter than the gram sizes scores 0 via the guards.
+    """
+    from themis_tritonsort_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "p q r s"), (3, "x")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_stats(df, "doc_id", "text").collect()
+    }
+    assert rows[1]["n_tokens"] == 6
+    assert rows[1]["dup_ngram_ppm"] == 1_000_000 * 2 // 4
+    assert rows[1]["top_ngram_ppm"] == 1_000_000 * 3 // 5
+    assert rows[2]["dup_ngram_ppm"] == 0 and rows[2]["top_ngram_ppm"] == 1_000_000 * 1 // 3
+    assert rows[3]["dup_ngram_ppm"] == 0 and rows[3]["top_ngram_ppm"] == 0
+
+
+def test_contamination_flags_planted_overlap(spark):
+    """A train doc embedding an eval doc's 4-gram is flagged with the
+    exact distinct-shared count; disjoint docs produce no row."""
+    from themis_tritonsort_spark.operators.textstats import contamination
+
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    train_df = spark.createDataFrame(
+        [
+            # contains 'alpha beta gamma delta' AND 'beta gamma delta epsilon'
+            (1, "zz alpha beta gamma delta epsilon yy"),
+            (2, "totally different words here none shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in contamination(train_df, eval_df, "doc_id", "text", n=4).collect()
+    }
+    assert out == {1: 2}

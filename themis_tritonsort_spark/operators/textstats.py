@@ -193,3 +193,122 @@ def chunk_documents(
         F.size("__chunk").cast("long").alias("n_chunk_tokens"),
         F.array_join("__chunk", " ").alias("chunk_text"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dup_n: int = 3,
+    top_n: int = 2,
+) -> DataFrame:
+    """Per-document repetition features (the Gopher-style repetition
+    filter, adapted to unstructured token streams):
+    (id, n_tokens, dup_ngram_ppm, top_ngram_ppm).
+
+    dup_ngram_ppm  = fraction of ``dup_n``-grams that are repeats of an
+                     earlier gram in the same doc, in exact ppm.
+    top_ngram_ppm  = share of the single most frequent ``top_n``-gram
+                     among all the doc's ``top_n``-grams, in exact ppm.
+
+    Highly repetitive machine-generated or boilerplate docs light up
+    both; natural text stays low.  All ratios are exact integer DIV
+    (hash-stable across engines).
+
+    Scale: the dup fraction is pure map-side array math (array_distinct
+    per row).  The top-gram share needs per-(doc, gram) counts — one
+    partial-agged shuffle keyed by (id, gram), then a second tiny one
+    on id; docs shorter than ``top_n`` tokens are preserved via the
+    left join (0 ppm).
+    """
+    from ..functions.text import ngrams as _ngrams
+
+    staged = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        _ngrams(F.col("__toks"), dup_n).alias("__dg"),
+        _ngrams(F.col("__toks"), top_n).alias("__tg"),
+    )
+    map_side = staged.select(
+        F.col(id_col),
+        "n_tokens",
+        # long BEFORE the 1e6 multiply — int would overflow past ~2k
+        # duplicate grams per doc.
+        F.size("__dg").cast("long").alias("__dtot"),
+        (F.size("__dg") - F.size(F.array_distinct("__dg")))
+        .cast("long")
+        .alias("__ddup"),
+        F.col("__tg"),
+    ).withColumn(
+        "dup_ngram_ppm",
+        F.when(F.col("__dtot") > 0, F.expr("1000000 * __ddup div __dtot"))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+    per_gram = (
+        staged.select(F.col(id_col), F.explode("__tg").alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    top = per_gram.groupBy(id_col).agg(
+        F.max("__c").alias("__top"), F.sum("__c").alias("__ttot")
+    )
+    return (
+        map_side.join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_ngram_ppm",
+            F.when(
+                F.col("__ttot") > 0, F.expr("1000000 * __top div __ttot")
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("top_ngram_ppm"),
+        )
+    )
+
+
+def contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with an evaluation set.  Returns
+    (id, n_shared_ngrams) for CONTAMINATED train docs only (clean docs
+    produce no row — the caller anti-joins to drop flagged ids).
+
+    Scale: the eval side (benchmarks) is tiny next to a 100 TB corpus,
+    so its distinct shingle set is broadcast — the corpus is scanned
+    once, map-side joined, and only matching (id, gram) pairs reach the
+    final per-doc aggregation.  13-gram is the common published
+    setting; 8 here because the synthetic corpus vocabulary is small.
+    """
+    from ..functions.text import shingles_from_tokens
+
+    ev = (
+        eval_set.select(
+            F.explode(
+                shingles_from_tokens(tokens(F.col(text_col)), n)
+            ).alias("__g")
+        )
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(tokens(F.col(text_col)), n)).alias(
+            "__g"
+        ),
+    )
+    return (
+        tr.join(F.broadcast(ev), "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )

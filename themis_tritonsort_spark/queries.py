@@ -16,8 +16,9 @@ Sections:
   q40-q44   supplier rollup, token budgets, exact quantiles, corpus
             pipeline, skew-salted aggregation
   q45-q51   time rollup, dedup clustering, sessions, sampling, chunking
-  q52-q57   correlated agg (Q17), outer-join distribution (Q13),
-            set-op cohorts, pivot, range-frame window, cube
+  q52-q59   correlated agg (Q17), outer-join distribution (Q13),
+            set-op cohorts, pivot, range-frame window, cube,
+            repetition filter, benchmark decontamination
 """
 
 from __future__ import annotations
@@ -1688,6 +1689,80 @@ GROUP BY CUBE (year(l_shipdate), l_returnflag)
 """
 
 
+# Q58 Repetition filtering (Gopher-style): per-doc duplicate-trigram
+# fraction + top-bigram share, exact ppm.  The dup fraction is pure
+# map-side array math; only the top-gram share shuffles (partial-agged
+# (doc, gram) counts).
+def q58_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import repetition_stats
+
+    docs = table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+_Q58_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOK.format(col='text')} AS t FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         list_transform(range(1, greatest(len(t) - 1, 1)),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS dg,
+         list_transform(range(1, greatest(len(t), 1)),
+                        i -> t[i] || ' ' || t[i+1]) AS tg
+  FROM toks
+),
+map_side AS (
+  SELECT doc_id, n_tokens, tg,
+         CASE WHEN len(dg) > 0
+              THEN 1000000 * (len(dg) - len(list_distinct(dg))) // len(dg)
+              ELSE 0 END AS dup_ngram_ppm
+  FROM base
+),
+counts AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(tg) AS g FROM base)
+  GROUP BY doc_id, g
+),
+top AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM counts GROUP BY doc_id)
+SELECT m.doc_id, m.n_tokens,
+       CAST(m.dup_ngram_ppm AS BIGINT) AS dup_ngram_ppm,
+       CAST(COALESCE(1000000 * t.topc // t.tot, 0) AS BIGINT) AS top_ngram_ppm
+FROM map_side m LEFT JOIN top t ON m.doc_id = t.doc_id
+"""
+
+
+# Q59 Benchmark decontamination: train docs (doc_id % 100 != 0) that
+# share any distinct word 4-gram with the held-out eval split
+# (doc_id % 100 == 0); the eval shingle set is broadcast so the corpus
+# scan never shuffles before the per-doc count.  (Published pipelines
+# use 8-13-grams — the operator's default is 8 — but the synthetic
+# vocabulary is so small that only n<=4 produces any overlap to
+# verify against.)
+def q59_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import contamination
+
+    docs = table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 100 == 0)
+    tr = docs.where(F.col("doc_id") % 100 != 0)
+    return contamination(tr, ev, "doc_id", "text", n=4)
+
+
+_Q59_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOK.format(col='text')} AS t FROM documents),
+g4 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1)),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS g
+  FROM toks
+),
+ev AS (SELECT DISTINCT g FROM g4 WHERE doc_id % 100 = 0),
+tr AS (SELECT doc_id, g FROM g4 WHERE doc_id % 100 <> 0)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM tr JOIN ev USING (g)
+GROUP BY tr.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -1747,6 +1822,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_returnflag_pivot": q55_returnflag_pivot,
     "q56_rolling_hour": q56_rolling_hour,
     "q57_cube_revenue": q57_cube_revenue,
+    "q58_repetition_stats": q58_repetition_stats,
+    "q59_decontaminate": q59_decontaminate,
 }
 
 ORACLES: dict[str, str] = {
@@ -1808,4 +1885,6 @@ ORACLES: dict[str, str] = {
     "q55_returnflag_pivot": _Q55_SQL,
     "q56_rolling_hour": _Q56_SQL,
     "q57_cube_revenue": _Q57_SQL,
+    "q58_repetition_stats": _Q58_SQL,
+    "q59_decontaminate": _Q59_SQL,
 }
