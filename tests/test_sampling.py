@@ -142,3 +142,24 @@ def test_contamination_flags_planted_overlap(spark):
         for r in contamination(train_df, eval_df, "doc_id", "text", n=4).collect()
     }
     assert out == {1: 2}
+
+
+def test_encode_tokens_roundtrip_and_unks(spark):
+    """Ids decode back to the original tokens for in-vocab words; OOV
+    words map to 0 and are counted; id order follows token order."""
+    from themis_tritonsort_spark.operators.textstats import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "b a b c b a"), (2, "a zz a")], ["doc_id", "text"]
+    )
+    vocab = build_vocab(df, "text", 3)
+    v = {r["word"]: r["wid"] for r in vocab.collect()}
+    # counts: a=4 b=3 c=1 zz=1 -> a=1, b=2, c=3 (count desc, word asc)
+    assert v == {"a": 1, "b": 2, "c": 3}
+    out = {r["doc_id"]: r for r in encode_tokens(df, "doc_id", "text", vocab).collect()}
+    assert out[1]["ids_str"] == "2 1 2 3 2 1" and out[1]["n_unk"] == 0
+    assert out[2]["ids_str"] == "1 0 1" and out[2]["n_unk"] == 1
+    assert out[1]["n_tokens"] == 6 and out[2]["n_tokens"] == 3

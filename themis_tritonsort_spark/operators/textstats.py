@@ -312,3 +312,66 @@ def contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+def build_vocab(df: DataFrame, text_col: str, vocab_size: int) -> DataFrame:
+    """Corpus vocabulary: the ``vocab_size`` most frequent tokens,
+    ids 1..vocab_size dense by (count DESC, word ASC) — fully
+    deterministic (id 0 is reserved for unknown).  Returns (word, wid).
+
+    Scale: one word-count shuffle, then TakeOrdered(vocab_size); the
+    row_number window runs over only vocab_size rows (metadata scale,
+    like sort-boundary offsets — not corpus data).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), "word")
+        .limit(vocab_size)
+    )
+    w = Window.orderBy(F.col("__c").desc(), "word")
+    return counts.select(
+        "word", F.row_number().over(w).cast("long").alias("wid")
+    )
+
+
+def encode_tokens(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Encode documents against (word, wid) ``vocab``:
+    (id, n_tokens, n_unk, ids_str) with ids_str the space-joined id
+    sequence in token order and unknown tokens mapped to 0.
+
+    Scale: the vocab broadcasts (even a 1M-word vocab is ~tens of MB);
+    the token stream is position-exploded, map-side joined, and
+    regrouped by document — ONE shuffle keyed by doc id, which any
+    per-document reassembly pays.  Docs with no tokens produce no row
+    (same as the SQL unnest form).
+    """
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__p", "__w"),
+    )
+    enc = pos.join(
+        F.broadcast(vocab), pos.__w == vocab.word, "left"
+    ).select(
+        F.col(id_col),
+        F.col("__p"),
+        F.coalesce(F.col("wid"), F.lit(0)).alias("__wid"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__wid") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_unk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__wid"))),
+                lambda s: s["__wid"].cast("string"),
+            ),
+            " ",
+        ).alias("ids_str"),
+    )

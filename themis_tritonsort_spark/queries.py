@@ -1763,6 +1763,43 @@ GROUP BY tr.doc_id
 """
 
 
+# Q60 Vocabulary encoding: build the top-16 token vocab (count-desc,
+# word-asc dense ids; 0 = unknown), then encode every document as its
+# id sequence.  The vocab broadcasts; the token stream regroups by doc
+# in one shuffle.  ids_str is the space-joined sequence so the compare
+# is array-normalization-proof.
+def q60_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import build_vocab, encode_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", 16)
+    return encode_tokens(docs, "doc_id", "text", vocab)
+
+
+_Q60_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOK.format(col='text')} AS t FROM documents),
+counts AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+vocab AS (
+  SELECT w, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS wid
+  FROM counts ORDER BY c DESC, w LIMIT 16
+),
+pos AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS p, t FROM toks),
+enc AS (
+  SELECT x.doc_id, x.p, COALESCE(v.wid, 0) AS wid
+  FROM (SELECT doc_id, p, t[p] AS w FROM pos) x
+  LEFT JOIN vocab v USING (w)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE wid = 0) AS BIGINT) AS n_unk,
+       string_agg(wid::VARCHAR, ' ' ORDER BY p) AS ids_str
+FROM enc GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -1824,6 +1861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_cube_revenue": q57_cube_revenue,
     "q58_repetition_stats": q58_repetition_stats,
     "q59_decontaminate": q59_decontaminate,
+    "q60_encode_tokens": q60_encode_tokens,
 }
 
 ORACLES: dict[str, str] = {
@@ -1887,4 +1925,5 @@ ORACLES: dict[str, str] = {
     "q57_cube_revenue": _Q57_SQL,
     "q58_repetition_stats": _Q58_SQL,
     "q59_decontaminate": _Q59_SQL,
+    "q60_encode_tokens": _Q60_SQL,
 }
