@@ -92,6 +92,9 @@ BENCH_QUERIES = {
     "q57_cube_revenue": q.q57_cube_revenue,
     "q58_repetition_stats": q.q58_repetition_stats,
     "q59_decontaminate": q.q59_decontaminate,
+    "q62_pii_scrub": q.q62_pii_scrub,
+    "q63_tfidf_topk": q.q63_tfidf_topk,
+    "q64_unigram_surprisal": q.q64_unigram_surprisal,
 }
 
 

@@ -1,0 +1,86 @@
+"""Unit semantics for PII redaction, TF-IDF, and unigram surprisal —
+planted inputs with hand-computed expectations (the synthetic corpus
+contains no PII, so the catalog query alone would not exercise the
+replacement paths)."""
+
+from __future__ import annotations
+
+import math
+
+from themis_tritonsort_spark.operators.pii import redact_pii
+from themis_tritonsort_spark.operators.sampling import split_assign
+from themis_tritonsort_spark.operators.textstats import (
+    tf_idf_topk,
+    unigram_surprisal,
+)
+
+
+def test_redact_pii_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.com now"),
+            (2, "host 192.168.0.1 ssn 123-45-6789"),
+            (3, "call 555-867-5309 or 555.867.5309"),
+            (4, "clean text only"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    assert out[1]["n_email"] == 1 and out[1]["text"] == "mail <EMAIL> now"
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_ssn"] == 1
+    assert out[2]["text"] == "host <IP> ssn <SSN>"
+    assert out[3]["n_phone"] == 2
+    assert out[3]["text"] == "call <PHONE> or <PHONE>"
+    assert out[4]["text"] == "clean text only"
+    assert all(
+        out[4][c] == 0 for c in ("n_email", "n_ipv4", "n_ssn", "n_phone")
+    )
+
+
+def test_split_assign_total_and_valid(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    splits = [("train", 0.9), ("validation", 0.05), ("test", 0.05)]
+    rows = split_assign(df, "doc_id", splits).collect()
+    assert len(rows) == 200  # every row assigned, none dropped
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) <= {"train", "validation", "test"}
+    # deterministic: rerun gives the identical assignment
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(df, "doc_id", splits).collect()
+    }
+    assert all(again[i] == s for s, ids in by.items() for i in ids)
+    # train dominates at these fractions
+    assert len(by["train"]) > 150
+
+
+def test_tf_idf_topk_hand_computed(spark):
+    # 2 docs; "rare" only in doc 1: idf_scaled = 2*1e6 // 1 = 2e6.
+    # "common" in both: idf_scaled = 2*1e6 // 2 = 1e6.
+    df = spark.createDataFrame(
+        [(1, "rare common common"), (2, "common common common")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["word"]): r
+        for r in tf_idf_topk(df, "doc_id", "text", 2).collect()
+    }
+    assert out[(1, "rare")]["tfidf"] == 1 * 2_000_000
+    assert out[(1, "common")]["tfidf"] == 2 * 1_000_000
+    assert out[(2, "common")]["tfidf"] == 3 * 1_000_000
+    assert len(out) == 3
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    # corpus: a a a b  -> P(a)=3/4, P(b)=1/4
+    df = spark.createDataFrame([(1, "a a a"), (2, "b")], ["doc_id", "text"])
+    s_a = round(-1_000_000 * math.log(3 / 4))
+    s_b = round(-1_000_000 * math.log(1 / 4))
+    out = {
+        r["doc_id"]: r for r in unigram_surprisal(df, "doc_id", "text").collect()
+    }
+    assert out[1]["n_tokens"] == 3 and out[1]["nll_micronat"] == 3 * s_a
+    assert out[1]["mean_micronat"] == s_a
+    assert out[2]["n_tokens"] == 1 and out[2]["nll_micronat"] == s_b

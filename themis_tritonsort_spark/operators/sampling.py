@@ -64,6 +64,38 @@ def stratified_topk_sample(
     )
 
 
+def split_assign(
+    df: DataFrame, id_col: str, splits: list[tuple[str, float]]
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to one of the named
+    fractions (e.g. ``[("train", .9), ("validation", .05),
+    ("test", .05)]``) by md5-bucket of the row id.
+
+    Deterministic and engine-reproducible like ``hash_rate_sample``:
+    the same row lands in the same split on every rerun, at every
+    scale factor, and under any partitioning.  Fractions must sum to 1
+    (±1e-9); the last split absorbs the rounding remainder so every
+    row is assigned.  Purely map-side: no shuffle, no state.
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if any(f < 0 for _, f in splits):
+        raise ValueError("split fractions must be non-negative")
+    bucket = _row_hash(id_col)
+    expr = None
+    acc = 0.0
+    for name, frac in splits[:-1]:
+        acc += frac
+        cond = bucket < F.lit(int(round(acc * _HASH_MOD)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(splits[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
 def hash_rate_sample(
     df: DataFrame,
     id_col: str,

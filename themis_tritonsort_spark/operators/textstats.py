@@ -314,6 +314,102 @@ def contamination(
     )
 
 
+def tf_idf_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Top-``k`` terms per document by tf·idf:
+    (id, word, tf, tfidf) with ``tfidf = tf * ((N * 1e6) div df)`` —
+    reciprocal document frequency scaled to integers, so the score is
+    EXACT (integer division, no float log) and hash-identical in any
+    engine.  Ties break by word ascending; rank is total-ordered.
+
+    Scale: one (doc, word) shuffle builds term frequencies; document
+    frequency is a word-keyed aggregate of that same relation (persisted
+    so the corpus is tokenized once) and is vocabulary-sized, so it
+    BROADCASTS back onto the tf relation; the final per-doc top-k is one
+    shuffle on the doc id — the same shuffle any per-group top-k pays.
+    N is a driver-side scalar (a column-less count, metadata at any
+    scale).
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    n_docs = df.count()
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
+    scored = tf.join(F.broadcast(dfreq), "word").select(
+        F.col(id_col),
+        F.col("word"),
+        F.col("tf"),
+        F.expr(f"tf * ((CAST({n_docs} AS BIGINT) * 1000000) div dfreq)").alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unigram negative log-likelihood — the classic
+    perplexity-style quality signal: (id, n_tokens, nll_micronat,
+    mean_micronat) where each token contributes
+    ``round(-1e6 * ln(count(word)/total_tokens))`` micro-nats.
+
+    The per-WORD surprisal is rounded to an integer BEFORE the per-doc
+    sum, so the document aggregate is an exact integer sum (order
+    independent); only ~|vocab| distinct ln() evaluations exist, each
+    computed from the same two integers in any engine.
+
+    Scale: word counts are one vocabulary-sized aggregate that
+    BROADCASTS back onto the (doc, word) tf relation (persisted, so the
+    corpus tokenizes once); the per-doc rollup is one shuffle on the doc
+    id.  Total corpus tokens is a driver-side scalar.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wc = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
+    total = wc.agg(F.sum("cnt")).collect()[0][0]
+    surprisal = wc.select(
+        "word",
+        F.round(
+            F.lit(-1_000_000.0)
+            * F.log(F.col("cnt").cast("double") / F.lit(float(total)))
+        )
+        .cast("long")
+        .alias("s_micronat"),
+    )
+    return (
+        tf.join(F.broadcast(surprisal), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("s_micronat")).cast("long").alias(
+                "nll_micronat"
+            ),
+        )
+        .withColumn(
+            "mean_micronat", F.expr("nll_micronat div n_tokens").cast("long")
+        )
+    )
+
+
 def build_vocab(df: DataFrame, text_col: str, vocab_size: int) -> DataFrame:
     """Corpus vocabulary: the ``vocab_size`` most frequent tokens,
     ids 1..vocab_size dense by (count DESC, word ASC) — fully

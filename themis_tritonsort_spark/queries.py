@@ -1800,6 +1800,128 @@ FROM enc GROUP BY doc_id
 """
 
 
+# Q61 Train/validation/test split: deterministic md5-bucket assignment
+# (90/5/5), rolled up per split.  Map-side assignment; one tiny
+# 3-group aggregate.
+def q61_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import split_assign
+
+    docs = table(spark, sf_dir, "documents")
+    assigned = split_assign(
+        docs, "doc_id", [("train", 0.9), ("validation", 0.05), ("test", 0.05)]
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+_Q61_SQL = """
+SELECT CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'validation'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS b
+  FROM documents
+) GROUP BY 1
+"""
+
+
+# Q62 PII scrub: per-pattern counts on the original text plus an md5 of
+# the redacted text (so the oracle checks the REPLACEMENT too, not just
+# the counts).  Entirely map-side regex work.
+def q62_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pii import redact_pii
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return redact_pii(docs, "text").select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_ssn",
+        "n_phone",
+        F.md5(F.col("text")).alias("redacted_md5"),
+    )
+
+
+_Q62_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+# Q63 TF-IDF top terms: integer-exact reciprocal-df weighting (no float
+# log), top-3 per document, ties by word.  The document-frequency
+# relation broadcasts; see operators/textstats.py: tf_idf_topk.
+def q63_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import tf_idf_topk
+
+    docs = table(spark, sf_dir, "documents")
+    return tf_idf_topk(docs, "doc_id", "text", 3)
+
+
+_Q63_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK.format(col='text')}) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+dfreq AS (SELECT word, count(*) AS dfreq FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
+         CAST(tf * ((n_docs * 1000000) // dfreq) AS BIGINT) AS tfidf
+  FROM tf JOIN dfreq USING (word), n
+)
+SELECT doc_id, word, tf, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+# Q64 Unigram surprisal: per-word surprisal rounded to integer
+# micro-nats BEFORE the per-doc sum, so document scores are exact
+# integer aggregates.  The word-probability table broadcasts.
+def q64_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import unigram_surprisal
+
+    docs = table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs, "doc_id", "text")
+
+
+_Q64_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK.format(col='text')}) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+wc AS (SELECT word, sum(tf) AS cnt FROM tf GROUP BY word),
+tot AS (SELECT sum(cnt) AS total FROM wc),
+s AS (
+  SELECT word,
+         CAST(ROUND(-1000000.0 * ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))) AS BIGINT) AS s
+  FROM wc, tot
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(tf * s) AS BIGINT) AS nll_micronat,
+       CAST(sum(tf * s) // sum(tf) AS BIGINT) AS mean_micronat
+FROM tf JOIN s USING (word)
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -1862,6 +1984,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_repetition_stats": q58_repetition_stats,
     "q59_decontaminate": q59_decontaminate,
     "q60_encode_tokens": q60_encode_tokens,
+    "q61_train_split": q61_train_split,
+    "q62_pii_scrub": q62_pii_scrub,
+    "q63_tfidf_topk": q63_tfidf_topk,
+    "q64_unigram_surprisal": q64_unigram_surprisal,
 }
 
 ORACLES: dict[str, str] = {
@@ -1926,4 +2052,8 @@ ORACLES: dict[str, str] = {
     "q58_repetition_stats": _Q58_SQL,
     "q59_decontaminate": _Q59_SQL,
     "q60_encode_tokens": _Q60_SQL,
+    "q61_train_split": _Q61_SQL,
+    "q62_pii_scrub": _Q62_SQL,
+    "q63_tfidf_topk": _Q63_SQL,
+    "q64_unigram_surprisal": _Q64_SQL,
 }
