@@ -93,6 +93,7 @@ BENCH_QUERIES = {
     "q58_repetition_stats": q.q58_repetition_stats,
     "q59_decontaminate": q.q59_decontaminate,
     "q62_pii_scrub": q.q62_pii_scrub,
+    "q65_dedup_spans": q.q65_dedup_spans,
     "q63_tfidf_topk": q.q63_tfidf_topk,
     "q64_unigram_surprisal": q.q64_unigram_surprisal,
 }

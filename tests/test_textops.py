@@ -73,6 +73,63 @@ def test_tf_idf_topk_hand_computed(spark):
     assert len(out) == 3
 
 
+def test_dedup_spans_keep_first(spark):
+    from themis_tritonsort_spark.operators.textstats import dedup_spans
+
+    # span size 2; "a b" appears in doc 1 (twice) and doc 2 — only the
+    # doc-1 position-0 copy survives.
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b x y"), (3, "z z")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_spans(df, "doc_id", "text", span_tokens=2).collect()
+    }
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["dedup_text"] == "a b"
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["dedup_text"] == "x y"
+    assert out[3]["n_kept"] == 1 and out[3]["dedup_text"] == "z z"
+
+
+def test_dedup_spans_fully_duplicated_doc_survives_empty(spark):
+    from themis_tritonsort_spark.operators.textstats import dedup_spans
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a b")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup_spans(df, "doc_id", "text", span_tokens=2).collect()
+    }
+    assert out[2]["n_kept"] == 0 and out[2]["dedup_text"] == ""
+
+
+def test_blocklist_filter_drops_hit_docs(spark):
+    from themis_tritonsort_spark.operators.pii import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "visit badsite today"),
+            (2, "plain benign prose"),
+            (3, "short ok"),  # no >=6-letter target at all
+        ],
+        ["doc_id", "text"],
+    )
+    blocked = spark.createDataFrame([("badsite",), ("malware",)], ["target"])
+    kept = sorted(
+        r["doc_id"]
+        for r in blocklist_filter(df, "doc_id", "text", blocked).collect()
+    )
+    assert kept == [2, 3]
+    # non-broadcast fallback gives the identical result
+    kept2 = sorted(
+        r["doc_id"]
+        for r in blocklist_filter(
+            df, "doc_id", "text", blocked, broadcast_hits=False
+        ).collect()
+    )
+    assert kept2 == [2, 3]
+
+
 def test_unigram_surprisal_hand_computed(spark):
     # corpus: a a a b  -> P(a)=3/4, P(b)=1/4
     df = spark.createDataFrame([(1, "a a a"), (2, "b")], ["doc_id", "text"])

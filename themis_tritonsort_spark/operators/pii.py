@@ -38,6 +38,43 @@ def redacted(col: Column) -> Column:
     return out
 
 
+def blocklist_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocked: DataFrame,
+    pattern: str = r"[a-z]{6,}",
+    broadcast_hits: bool = True,
+) -> DataFrame:
+    """Drop every document that mentions any blocked target: extract
+    link-like targets with ``pattern`` (the q08 convention), semi-join
+    them against the blocklist, and anti-join the hits back onto the
+    corpus.  ``blocked`` has one column ``target``.
+
+    Scale: real blocklists (domains/URLs) are ~100k entries — far
+    under the broadcast threshold — so both joins are map-side: the
+    semi-join marks hit docs against the broadcast list, and the
+    anti-join streams the corpus against the (small) hit-id set.  No
+    corpus-sized shuffle.  If the blocklist is expected to hit a large
+    FRACTION of the corpus (hit ids no longer broadcastable), pass
+    ``broadcast_hits=False`` to fall back to a shuffled anti-join.
+    """
+    targets = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(text_col, F.lit(pattern), 0)
+        ).alias("target"),
+    )
+    bad_ids = (
+        targets.join(F.broadcast(blocked), "target", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if broadcast_hits:
+        bad_ids = F.broadcast(bad_ids)
+    return df.join(bad_ids, id_col, "left_anti")
+
+
 def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
     """Replace ``text_col`` with its redacted form and add one
     ``n_<kind>`` count column per pattern (counted on the original

@@ -195,6 +195,50 @@ def chunk_documents(
     )
 
 
+def dedup_spans(
+    df: DataFrame, id_col: str, text_col: str, span_tokens: int = 128
+) -> DataFrame:
+    """Corpus-wide span-level dedup (the RefinedWeb/C4 recipe): chunk
+    every document into non-overlapping ``span_tokens`` spans, keep
+    only the FIRST occurrence of each span text across the corpus
+    (ordered by (id, position) — deterministic), and reassemble.
+    Returns (id, n_spans, n_kept, dedup_text); empty docs produce no
+    row (no spans), fully-duplicated docs survive with n_kept=0 and
+    empty text.
+
+    Scale: one shuffle keyed by span text (the dedup decision) and one
+    keyed by doc id (reassembly) — each span crosses the wire once.
+    The keep-first window sorts only within a span's duplicate set;
+    near-universal spans (boilerplate) are the skew risk, bounded by
+    dup-count, and their payload is one span, not a document.
+    """
+    chunks = chunk_documents(df, id_col, text_col, span_tokens, overlap=0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk_text").orderBy(F.col(id_col), "chunk_idx")
+    marked = chunks.withColumn(
+        "__keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("__keep").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("chunk_idx", "__keep", "chunk_text")
+                        )
+                    ),
+                    lambda s: s["__keep"] == 1,
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str,

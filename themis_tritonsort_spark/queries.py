@@ -1922,6 +1922,86 @@ GROUP BY doc_id
 """
 
 
+# Q65 Span-level dedup (RefinedWeb/C4 recipe): 32-token spans, corpus
+# keep-first, reassembled documents.  One shuffle by span text + one by
+# doc id; see operators/textstats.py: dedup_spans.
+def q65_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import dedup_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return dedup_spans(docs, "doc_id", "text", span_tokens=32)
+
+
+_Q65_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK.format(col='text')} AS t FROM documents
+),
+nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(n, 1), 32)) AS s
+  FROM nz
+),
+chunks AS (
+  SELECT doc_id,
+         CAST((s - 1) // 32 AS BIGINT) AS chunk_idx,
+         array_to_string(t[s:s+31], ' ') AS chunk_text
+  FROM starts
+),
+marked AS (
+  SELECT *,
+         CASE WHEN row_number() OVER (
+           PARTITION BY chunk_text ORDER BY doc_id, chunk_idx
+         ) = 1 THEN 1 ELSE 0 END AS keep
+  FROM chunks
+)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       COALESCE(
+         string_agg(CASE WHEN keep = 1 THEN chunk_text END, ' '
+                    ORDER BY chunk_idx), '') AS dedup_text
+FROM marked GROUP BY doc_id
+"""
+
+
+# Q66 Blocklist filter: drop documents mentioning a blocked target
+# (q08's long-word link convention), per-source survivor counts.
+# Blocklist broadcasts; hit-id set broadcasts back — no corpus shuffle
+# before the final tiny per-source aggregate.
+BLOCKED_TARGETS = ("vector", "tracking")
+
+
+def q66_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pii import blocklist_filter
+
+    docs = table(spark, sf_dir, "documents")
+    blocked = spark.createDataFrame(
+        [(t,) for t in BLOCKED_TARGETS], ["target"]
+    )
+    clean = blocklist_filter(docs, "doc_id", "text", blocked)
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+_Q66_SQL = """
+WITH targets AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS target
+  FROM documents
+),
+bad AS (
+  SELECT DISTINCT doc_id FROM targets
+  WHERE target IN ('vector', 'tracking')
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -1988,6 +2068,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_pii_scrub": q62_pii_scrub,
     "q63_tfidf_topk": q63_tfidf_topk,
     "q64_unigram_surprisal": q64_unigram_surprisal,
+    "q65_dedup_spans": q65_dedup_spans,
+    "q66_blocklist_filter": q66_blocklist_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -2056,4 +2138,6 @@ ORACLES: dict[str, str] = {
     "q62_pii_scrub": _Q62_SQL,
     "q63_tfidf_topk": _Q63_SQL,
     "q64_unigram_surprisal": _Q64_SQL,
+    "q65_dedup_spans": _Q65_SQL,
+    "q66_blocklist_filter": _Q66_SQL,
 }
