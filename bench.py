@@ -117,6 +117,11 @@ def main() -> None:
     spark.range(1000).select(_warm("id")).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm the shuffle/sort machinery too (exchange + external sorter
+    # codegen paths), on synthetic data — not on any bench query.
+    spark.range(100_000).repartitionByRange(8, "id").sortWithinPartitions(
+        "id"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
