@@ -96,6 +96,7 @@ BENCH_QUERIES = {
     "q65_dedup_spans": q.q65_dedup_spans,
     "q63_tfidf_topk": q.q63_tfidf_topk,
     "q64_unigram_surprisal": q.q64_unigram_surprisal,
+    "q67_gap_fill": q.q67_gap_fill,
 }
 
 

@@ -185,3 +185,33 @@ def test_sessionize_rejects_nonpositive_threshold(spark):
 
     with pytest.raises(ValueError):
         _scan_spans(np.array([5, 5]), 0)
+
+
+def test_gap_fill_locf_semantics(spark):
+    from datetime import datetime
+
+    from themis_tritonsort_spark.operators.temporal import gap_fill
+
+    # user 1: readings at 00:10 (5.0) and 03:20 (7.0) -> hours 01,02
+    # synthesized carrying 500 cents; user 2: single reading, no fill.
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 10), 5.0),
+            (1, datetime(2024, 1, 1, 3, 20), 7.0),
+            (2, datetime(2024, 1, 1, 9, 0), 1.5),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    out = sorted(
+        (r["user_id"], r["bucket_epoch_us"], r["value_cents"], r["filled"])
+        for r in gap_fill(df, "user_id", "ts", "value").collect()
+    )
+    h = 3_600_000_000  # one hour in microseconds
+    t0 = int(datetime(2024, 1, 1).timestamp()) * 1_000_000
+    assert out == [
+        (1, t0 + 0 * h, 500, 0),
+        (1, t0 + 1 * h, 500, 1),
+        (1, t0 + 2 * h, 500, 1),
+        (1, t0 + 3 * h, 700, 0),
+        (2, t0 + 9 * h, 150, 0),
+    ]

@@ -138,3 +138,53 @@ def range_join_bucketed(
         .where((F.col(left_ts) >= F.col(right_lo)) & (F.col(left_ts) < F.col(right_hi)))
         .drop("__bucket")
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Hypertable-style gap fill with last-observation-carried-forward
+    (the TimescaleDB ``time_bucket_gapfill`` + ``locf`` pattern):
+    bucket each series to the hour (per-bucket gauge = max value in
+    cents), then emit one row per hour from each series' first to last
+    observed bucket, carrying the previous reading across empty hours.
+    Returns (series, bucket_epoch_us, value_cents, filled) — ``filled``
+    is 1 for rows that LOCF synthesized.
+
+    Plan: NO grid join.  Each observed bucket looks at its successor
+    (lead over the series) and generator-explodes the gap between them,
+    replicating its own value — LOCF falls out of the replication.  Two
+    shuffles total: the per-(series, bucket) aggregate and the window
+    by series; the explode is map-side.  At 100 TB the alternative
+    grid-outer-join shuffles the grid AND the observations — this
+    formulation moves each observation once and synthesizes gap rows
+    where they are consumed.  Trailing/leading edges emit nothing
+    outside the observed span (same as gapfill's finite range).
+    """
+    observed = df.groupBy(
+        F.col(series_col), F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    ).agg(
+        F.max(F.round(F.col(value_col) * 100).cast("long")).alias("value_cents")
+    )
+    w = Window.partitionBy(series_col).orderBy("bucket")
+    spanned = observed.withColumn("__next", F.lead("bucket").over(w))
+    rows = spanned.select(
+        F.col(series_col),
+        F.col("value_cents"),
+        F.posexplode(
+            F.expr(
+                "sequence(bucket,"
+                " coalesce(__next - interval 1 hour, bucket),"
+                " interval 1 hour)"
+            )
+        ).alias("__i", "__fb"),
+    )
+    return rows.select(
+        F.col(series_col),
+        F.unix_micros("__fb").alias("bucket_epoch_us"),
+        F.col("value_cents"),
+        (F.col("__i") > 0).cast("long").alias("filled"),
+    )

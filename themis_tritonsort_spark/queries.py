@@ -2002,6 +2002,42 @@ GROUP BY source
 """
 
 
+# Q67 Gap fill + LOCF (TimescaleDB time_bucket_gapfill pattern):
+# hourly per-user gauge, empty hours carry the last reading.  No grid
+# join — each observed bucket generator-explodes its own gap; see
+# operators/temporal.py: gap_fill.
+def q67_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import gap_fill
+
+    events = table(spark, sf_dir, "events")
+    return gap_fill(events, "user_id", "ts", "value")
+
+
+_Q67_SQL = """
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         max(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+  FROM events GROUP BY 1, 2
+),
+nxt AS (
+  SELECT *, lead(bucket) OVER (PARTITION BY user_id ORDER BY bucket) AS nb
+  FROM obs
+),
+g AS (
+  SELECT user_id, value_cents, bucket,
+         unnest(generate_series(bucket,
+                                COALESCE(nb - INTERVAL 1 HOUR, bucket),
+                                INTERVAL 1 HOUR)) AS fb
+  FROM nxt
+)
+SELECT user_id,
+       epoch_us(fb) AS bucket_epoch_us,
+       value_cents,
+       CAST(CASE WHEN fb = bucket THEN 0 ELSE 1 END AS BIGINT) AS filled
+FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -2070,6 +2106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_unigram_surprisal": q64_unigram_surprisal,
     "q65_dedup_spans": q65_dedup_spans,
     "q66_blocklist_filter": q66_blocklist_filter,
+    "q67_gap_fill": q67_gap_fill,
 }
 
 ORACLES: dict[str, str] = {
@@ -2140,4 +2177,5 @@ ORACLES: dict[str, str] = {
     "q64_unigram_surprisal": _Q64_SQL,
     "q65_dedup_spans": _Q65_SQL,
     "q66_blocklist_filter": _Q66_SQL,
+    "q67_gap_fill": _Q67_SQL,
 }
