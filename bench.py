@@ -97,6 +97,8 @@ BENCH_QUERIES = {
     "q63_tfidf_topk": q.q63_tfidf_topk,
     "q64_unigram_surprisal": q.q64_unigram_surprisal,
     "q67_gap_fill": q.q67_gap_fill,
+    "q68_triangle_counts": q.q68_triangle_counts,
+    "q69_funnel": q.q69_funnel,
 }
 
 

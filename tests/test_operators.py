@@ -268,3 +268,42 @@ def test_cohort_fused_agg_equals_set_ops(spark, sf_dir):
         for r in q54_yearly_cohorts(spark, sf_dir).collect()
     }
     assert fused == expected and len(fused) > 0
+
+
+def test_triangle_counts_known_graph(spark):
+    from themis_tritonsort_spark.operators.components import triangle_counts
+
+    # K4 on {1,2,3,4} has 4 triangles: 123,124,134 at vid 1; 234 at 2.
+    # Vertex 5 hangs off 1 (no triangle); edge given reversed + dup.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1), (2, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["vid"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_funnel_steps_strict_ordering(spark):
+    from datetime import datetime
+
+    from themis_tritonsort_spark.operators.sessionize import funnel_steps
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full funnel in order -> 3
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # user 2: purchase BEFORE click -> stops at 2
+        (2, t(1), "view"), (2, t(3), "click"), (2, t(2), "purchase"),
+        # user 3: click at the SAME instant as view -> strict > blocks
+        (3, t(1), "view"), (3, t(1), "click"),
+        # user 4: only irrelevant events -> absent from output
+        (4, t(1), "error"),
+        # user 5: click with no prior view -> 0
+        (5, t(1), "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["user_id"]: r["stage"]
+        for r in funnel_steps(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 1, 5: 0}

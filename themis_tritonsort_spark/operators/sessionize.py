@@ -151,3 +151,59 @@ def sessionize(
         .sortWithinPartitions(user_col, ts_col, *tiebreak)
         .mapInPandas(scan_partition, schema=schema)
     )
+
+
+def funnel_steps(
+    df,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+):
+    """Strict-sequence funnel progression: for each user, how many of
+    ``steps`` completed in order, where step i+1 must occur STRICTLY
+    after the (earliest-possible) completion of step i.  Returns
+    (user, stage) with stage in 0..len(steps).
+
+    Semantics match the cascaded-min SQL form (t1 = min ts of step 1;
+    t2 = min ts of step 2 with ts > t1; ...) — the greedy
+    earliest-advance scan is optimal because advancing earlier only
+    loosens every later constraint, and simultaneous-timestamp ties
+    cannot advance two stages regardless of scan order (strict >).
+
+    Plan: ONE shuffle (group by user), then a JVM-side fold
+    (``aggregate``) over each user's time-sorted event array — no
+    Python, no per-step join cascade (the textbook form pays one
+    aggregate + join PER STEP).  Assumes per-user event counts are
+    bounded (same assumption as sessionization); for unbounded keys,
+    pre-filter to the step event types — done here — so the array
+    holds only funnel-relevant events.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(steps)
+    if n == 0:
+        raise ValueError("steps must be non-empty")
+    steps_sql = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    evs = (
+        df.where(F.col(type_col).isin(list(steps)))
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t"))
+                )
+            ).alias("__evs")
+        )
+    )
+    stage = F.expr(
+        f"""aggregate(__evs,
+              named_struct('stage', 0, 'last', CAST(NULL AS TIMESTAMP)),
+              (acc, e) -> IF(acc.stage < {n}
+                             AND e.t = array({steps_sql})[acc.stage]
+                             AND (acc.stage = 0 OR e.ts > acc.last),
+                             named_struct('stage', acc.stage + 1, 'last', e.ts),
+                             acc),
+              acc -> acc.stage)"""
+    )
+    return evs.select(F.col(user_col), stage.cast("long").alias("stage"))

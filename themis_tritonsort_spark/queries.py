@@ -2038,6 +2038,80 @@ FROM g
 """
 
 
+# Q68 Triangle counting over the lineitem co-purchase graph:
+# node-iterator wedge join closed against a third edge scan, triangles
+# attributed to their smallest vertex.  See operators/components.py:
+# triangle_counts (degree orientation is the documented skew path).
+def q68_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import triangle_counts
+
+    return triangle_counts(_lineitem_edges(spark, sf_dir))
+
+
+_Q68_SQL = """
+WITH raw AS (
+  SELECT src, l_partkey AS dst FROM (
+    SELECT l_partkey,
+           lag(l_partkey) OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS src
+    FROM lineitem
+  ) WHERE src IS NOT NULL AND src <> l_partkey
+),
+edges AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw
+)
+SELECT e1.a AS vid, count(*) AS n_triangles
+FROM edges e1
+JOIN (SELECT a AS b, b AS c FROM edges) e2 USING (b)
+JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.c
+GROUP BY e1.a
+"""
+
+
+# Q69 Conversion funnel (view -> click -> purchase, strictly ordered):
+# one shuffle + JVM fold per user; equals the cascaded-min SQL.  See
+# operators/sessionize.py: funnel_steps.
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q69_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessionize import funnel_steps
+
+    events = table(spark, sf_dir, "events")
+    per_user = funnel_steps(events, "user_id", "ts", "event_type", FUNNEL_STEPS)
+    return per_user.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+_Q69_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1
+),
+users AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+)
+SELECT CASE WHEN t3.user_id IS NOT NULL THEN 3
+            WHEN t2.user_id IS NOT NULL THEN 2
+            WHEN t1.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS stage,
+       count(*) AS n_users
+FROM users u
+LEFT JOIN t1 ON u.user_id = t1.user_id
+LEFT JOIN t2 ON u.user_id = t2.user_id
+LEFT JOIN t3 ON u.user_id = t3.user_id
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -2107,6 +2181,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_dedup_spans": q65_dedup_spans,
     "q66_blocklist_filter": q66_blocklist_filter,
     "q67_gap_fill": q67_gap_fill,
+    "q68_triangle_counts": q68_triangle_counts,
+    "q69_funnel": q69_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -2178,4 +2254,6 @@ ORACLES: dict[str, str] = {
     "q65_dedup_spans": _Q65_SQL,
     "q66_blocklist_filter": _Q66_SQL,
     "q67_gap_fill": _Q67_SQL,
+    "q68_triangle_counts": _Q68_SQL,
+    "q69_funnel": _Q69_SQL,
 }
