@@ -99,6 +99,7 @@ BENCH_QUERIES = {
     "q67_gap_fill": q.q67_gap_fill,
     "q68_triangle_counts": q.q68_triangle_counts,
     "q69_funnel": q.q69_funnel,
+    "q70_cooccurrence_pmi": q.q70_cooccurrence_pmi,
 }
 
 

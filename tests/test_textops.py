@@ -141,3 +141,19 @@ def test_unigram_surprisal_hand_computed(spark):
     assert out[1]["n_tokens"] == 3 and out[1]["nll_micronat"] == 3 * s_a
     assert out[1]["mean_micronat"] == s_a
     assert out[2]["n_tokens"] == 1 and out[2]["nll_micronat"] == s_b
+
+
+def test_cooccurrence_pmi_hand_computed(spark):
+    import math
+
+    from themis_tritonsort_spark.operators.textstats import cooccurrence_pmi
+
+    # 4 docs: {a,b} x2, {a} x1, {b} x1 -> n_a=3, n_b=3, n_ab=2, N=4
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "b a a"), (3, "a"), (4, "b")], ["doc_id", "text"]
+    )
+    out = cooccurrence_pmi(df, "doc_id", "text").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["w1"], r["w2"], r["n_ab"]) == ("a", "b", 2)
+    assert r["pmi_micronat"] == round(1_000_000 * math.log(2 * 4 / (3 * 3)))

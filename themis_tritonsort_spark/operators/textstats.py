@@ -195,6 +195,78 @@ def chunk_documents(
     )
 
 
+def cooccurrence_pmi(
+    df: DataFrame, id_col: str, text_col: str, min_pairs: int = 1
+) -> DataFrame:
+    """Document-level word co-occurrence with pointwise mutual
+    information: (w1, w2, n_ab, pmi_micronat) over unordered distinct
+    word pairs (w1 < w2), with
+    ``pmi = ln(n_ab * N / (n_a * n_b))`` in integer micro-nats
+    (N = document count, n_x = documents containing x).
+
+    Plan: pairs are generated MAP-SIDE from each document's distinct
+    token array (a quadratic-in-vocab-per-doc generator expression —
+    no self-join of the exploded token relation, which would shuffle
+    the corpus twice and build the same pairs with a join).  One
+    shuffle aggregates pair counts; per-word document counts are
+    vocabulary-sized and broadcast back onto the pair relation twice.
+    The ln argument is assembled integer-exact (products first, one
+    division) so both engines round the same double.
+    """
+    n_docs = df.count()
+    words = df.select(
+        F.col(id_col),
+        F.array_distinct(F.array_sort(tokens(F.col(text_col)))).alias("__ws"),
+    )
+    pairs = words.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "__ws",
+                        lambda x: F.transform(
+                            "__ws", lambda y: F.struct(x.alias("w1"), y.alias("w2"))
+                        ),
+                    )
+                ),
+                lambda p: p["w1"] < p["w2"],
+            )
+        ).alias("__p"),
+    ).select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    wc = (
+        words.select(F.explode("__ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = (
+        pc.join(
+            F.broadcast(wc.select(F.col("w").alias("w1"), F.col("n").alias("__na"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(wc.select(F.col("w").alias("w2"), F.col("n").alias("__nb"))),
+            "w2",
+        )
+        .where(F.col("n_ab") >= min_pairs)
+    )
+    return joined.select(
+        "w1",
+        "w2",
+        "n_ab",
+        F.round(
+            F.lit(1_000_000.0)
+            * F.log(
+                (F.col("n_ab") * F.lit(int(n_docs))).cast("double")
+                / (F.col("__na") * F.col("__nb")).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("pmi_micronat"),
+    )
+
+
 def dedup_spans(
     df: DataFrame, id_col: str, text_col: str, span_tokens: int = 128
 ) -> DataFrame:

@@ -2112,6 +2112,40 @@ GROUP BY 1
 """
 
 
+# Q70 Word co-occurrence PMI: unordered distinct pairs per document,
+# generated map-side (no exploded self-join), PMI in integer
+# micro-nats.  See operators/textstats.py: cooccurrence_pmi.
+def q70_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import cooccurrence_pmi
+
+    docs = table(spark, sf_dir, "documents")
+    return cooccurrence_pmi(docs, "doc_id", "text", min_pairs=5)
+
+
+_Q70_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK.format(col='text')} AS t FROM documents
+),
+dw AS (SELECT DISTINCT doc_id, unnest(t) AS w FROM toks),
+pc AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS n_ab
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+),
+wc AS (SELECT w, count(*) AS n FROM dw GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents)
+SELECT w1, w2, n_ab,
+       CAST(ROUND(1000000.0 * ln(
+         CAST(n_ab * n_docs AS DOUBLE) / CAST(na.n * nb.n AS DOUBLE)
+       )) AS BIGINT) AS pmi_micronat
+FROM pc
+JOIN wc na ON pc.w1 = na.w
+JOIN wc nb ON pc.w2 = nb.w
+CROSS JOIN nd
+WHERE n_ab >= 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -2183,6 +2217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_gap_fill": q67_gap_fill,
     "q68_triangle_counts": q68_triangle_counts,
     "q69_funnel": q69_funnel,
+    "q70_cooccurrence_pmi": q70_cooccurrence_pmi,
 }
 
 ORACLES: dict[str, str] = {
@@ -2256,4 +2291,5 @@ ORACLES: dict[str, str] = {
     "q67_gap_fill": _Q67_SQL,
     "q68_triangle_counts": _Q68_SQL,
     "q69_funnel": _Q69_SQL,
+    "q70_cooccurrence_pmi": _Q70_SQL,
 }
