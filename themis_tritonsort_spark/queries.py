@@ -2146,6 +2146,83 @@ WHERE n_ab >= 5
 """
 
 
+# Q71 Weekly retention matrix: users cohorted by first-activity week,
+# counted in each later activity week.  Two shuffles: the per-user
+# first-week window and the (cohort, offset) aggregate — the classic
+# retention rollup with no per-user join (the first week rides along in
+# the window).
+def q71_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    weekly = events.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+    ).withColumn("cohort_wk", F.min("wk").over(w))
+    return (
+        weekly.groupBy(
+            F.unix_micros("cohort_wk").alias("cohort_epoch_us"),
+            ((F.unix_micros("wk") - F.unix_micros("cohort_wk"))
+             / F.lit(7 * 24 * 3_600_000_000)).cast("long").alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_Q71_SQL = """
+WITH weekly AS (
+  SELECT user_id, date_trunc('week', ts) AS wk,
+         min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort_wk
+  FROM events
+)
+SELECT epoch_us(cohort_wk) AS cohort_epoch_us,
+       CAST((epoch_us(wk) - epoch_us(cohort_wk)) // 604800000000 AS BIGINT)
+         AS weeks_since,
+       count(DISTINCT user_id) AS n_users
+FROM weekly
+GROUP BY 1, 2
+"""
+
+
+# Q72 Argmin per group (TPC-H Q2's min-cost shape on lineitem): for
+# each part, the supplier with the lowest total extended price, ties by
+# suppkey.  One (part, supp) aggregate shuffle + one per-part window —
+# the canonical groupwise-argmin plan.
+def q72_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(cents("l_extendedprice")).alias("cost_cents")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("cost_cents", "l_suppkey")
+    return (
+        per.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            "cost_cents",
+        )
+    )
+
+
+_Q72_SQL = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cost_cents
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_partkey AS partkey, l_suppkey AS suppkey, cost_cents FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_partkey ORDER BY cost_cents, l_suppkey
+  ) AS rn FROM per
+) WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -2218,6 +2295,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_triangle_counts": q68_triangle_counts,
     "q69_funnel": q69_funnel,
     "q70_cooccurrence_pmi": q70_cooccurrence_pmi,
+    "q71_retention": q71_retention,
+    "q72_cheapest_supplier": q72_cheapest_supplier,
 }
 
 ORACLES: dict[str, str] = {
@@ -2292,4 +2371,6 @@ ORACLES: dict[str, str] = {
     "q68_triangle_counts": _Q68_SQL,
     "q69_funnel": _Q69_SQL,
     "q70_cooccurrence_pmi": _Q70_SQL,
+    "q71_retention": _Q71_SQL,
+    "q72_cheapest_supplier": _Q72_SQL,
 }
