@@ -100,6 +100,8 @@ BENCH_QUERIES = {
     "q68_triangle_counts": q.q68_triangle_counts,
     "q69_funnel": q.q69_funnel,
     "q70_cooccurrence_pmi": q.q70_cooccurrence_pmi,
+    "q71_retention": q.q71_retention,
+    "q72_cheapest_supplier": q.q72_cheapest_supplier,
 }
 
 
