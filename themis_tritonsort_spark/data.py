@@ -36,12 +36,29 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make an externally-created SparkSession (the driver's) behave like
+    ours for the two confs correctness depends on.  Both are runtime-set
+    SQL confs; ignore failures so a locked-down session still reads the
+    micros-typed testdata (round-1 driver sessions choked on
+    TIMESTAMP(NANOS) parquet without nanosAsLong)."""
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame (columnar parquet scan —
     column pruning and predicate pushdown apply downstream)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
 
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLS.get(name, ()):
         dt = df.schema[c].dataType
