@@ -196,7 +196,11 @@ def chunk_documents(
 
 
 def cooccurrence_pmi(
-    df: DataFrame, id_col: str, text_col: str, min_pairs: int = 1
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_pairs: int = 1,
+    max_tokens_per_doc: int | None = None,
 ) -> DataFrame:
     """Document-level word co-occurrence with pointwise mutual
     information: (w1, w2, n_ab, pmi_micronat) over unordered distinct
@@ -205,32 +209,79 @@ def cooccurrence_pmi(
     (N = document count, n_x = documents containing x).
 
     Plan: pairs are generated MAP-SIDE from each document's distinct
-    token array (a quadratic-in-vocab-per-doc generator expression —
-    no self-join of the exploded token relation, which would shuffle
-    the corpus twice and build the same pairs with a join).  One
-    shuffle aggregates pair counts; per-word document counts are
-    vocabulary-sized and broadcast back onto the pair relation twice.
-    The ln argument is assembled integer-exact (products first, one
-    division) so both engines round the same double.
+    token array (no self-join of the exploded token relation, which
+    would shuffle the corpus twice and build the same pairs with a
+    join).  Only the upper triangle is generated — element i pairs
+    with ``slice(__ws, i+2, ...)`` — so a doc with d distinct tokens
+    builds exactly d*(d-1)/2 structs, never the d^2
+    generate-then-filter intermediate.  One shuffle aggregates pair
+    counts; per-word document counts are vocabulary-sized and
+    broadcast back onto the pair relation twice.  The ln argument is
+    assembled integer-exact (products first, one division) so both
+    engines round the same double.
+
+    ``max_tokens_per_doc`` caps the per-doc distinct-token set (kept
+    by highest in-doc frequency, ties to the lexicographically
+    smaller token) BEFORE pairing.  This is the 100 TB guard: without
+    it one 10k-distinct-token document materializes ~5*10^7 pair
+    structs in a single row — an executor-OOM hazard.  Word document
+    counts (n_a, n_b) are computed over the same capped sets so the
+    PMI stays self-consistent.
     """
     n_docs = df.count()
     words = df.select(
         F.col(id_col),
         F.array_distinct(F.array_sort(tokens(F.col(text_col)))).alias("__ws"),
     )
+    if max_tokens_per_doc is not None:
+        if max_tokens_per_doc <= 0:
+            raise ValueError(
+                f"max_tokens_per_doc must be positive, got {max_tokens_per_doc}"
+            )
+        # Rank each doc's distinct tokens by (frequency desc, token asc)
+        # via lexicographic struct sort, keep the top N, then re-sort
+        # alphabetically so the triangle generator's w1 < w2 invariant
+        # holds.  The frequency count reuses the raw token array — one
+        # tokenizer pass, all map-side.
+        toks_raw = tokens(F.col(text_col)).alias("__raw")
+        words = df.select(F.col(id_col), toks_raw).select(
+            F.col(id_col),
+            F.array_sort(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.transform(
+                                F.array_distinct("__raw"),
+                                lambda t: F.struct(
+                                    (
+                                        -F.size(
+                                            F.filter(
+                                                "__raw", lambda x: x == t
+                                            )
+                                        )
+                                    ).alias("negcnt"),
+                                    t.alias("w"),
+                                ),
+                            )
+                        ),
+                        1,
+                        max_tokens_per_doc,
+                    ),
+                    lambda p: p["w"],
+                )
+            ).alias("__ws"),
+        )
     pairs = words.select(
         F.col(id_col),
         F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        "__ws",
-                        lambda x: F.transform(
-                            "__ws", lambda y: F.struct(x.alias("w1"), y.alias("w2"))
-                        ),
-                    )
-                ),
-                lambda p: p["w1"] < p["w2"],
+            F.flatten(
+                F.transform(
+                    "__ws",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("__ws"), i + F.lit(2), F.size("__ws")),
+                        lambda y: F.struct(x.alias("w1"), y.alias("w2")),
+                    ),
+                )
             )
         ).alias("__p"),
     ).select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))

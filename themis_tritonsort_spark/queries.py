@@ -2113,20 +2113,34 @@ GROUP BY 1
 
 
 # Q70 Word co-occurrence PMI: unordered distinct pairs per document,
-# generated map-side (no exploded self-join), PMI in integer
-# micro-nats.  See operators/textstats.py: cooccurrence_pmi.
+# generated map-side as the upper triangle only (no exploded
+# self-join, no d^2 generate-then-filter), per-doc distinct tokens
+# capped at 16 by in-doc frequency — the executor-OOM guard a 100 TB
+# corpus needs.  See operators/textstats.py: cooccurrence_pmi.
 def q70_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import cooccurrence_pmi
 
     docs = table(spark, sf_dir, "documents")
-    return cooccurrence_pmi(docs, "doc_id", "text", min_pairs=5)
+    return cooccurrence_pmi(
+        docs, "doc_id", "text", min_pairs=5, max_tokens_per_doc=16
+    )
 
 
 _Q70_SQL = f"""
 WITH toks AS (
   SELECT doc_id, {_TOK.format(col='text')} AS t FROM documents
 ),
-dw AS (SELECT DISTINCT doc_id, unnest(t) AS w FROM toks),
+tokcnt AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2
+),
+dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, w,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w) AS rn
+    FROM tokcnt
+  ) WHERE rn <= 16
+),
 pc AS (
   SELECT a.w AS w1, b.w AS w2, count(*) AS n_ab
   FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
