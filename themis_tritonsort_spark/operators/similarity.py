@@ -173,6 +173,7 @@ def hyperplane_lsh_neardup(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 13,
+    verify: str = "numpy",
 ) -> DataFrame:
     """Approximate near-duplicate pairs via sign-random-projection LSH.
 
@@ -205,7 +206,18 @@ def hyperplane_lsh_neardup(
     n_planes-fold Catalyst expression this replaces evaluated
     higher-order functions per element and was ~10x slower; this is the
     sanctioned Pandas-UDF exception for genuinely numeric kernels.
+
+    ``verify`` selects the exact-cosine arithmetic for the candidate
+    verification step: "numpy" (default) uses the Arrow-batched einsum
+    kernel — the throughput path; "fold" uses the same sequential JVM
+    fold as cosine_neardup_pairs, making every surviving pair's
+    cos_ppm BIT-IDENTICAL to the exact baseline's (the oracle-parity
+    path: summation order differs between einsum's pairwise reduction
+    and the fold, so ppm roundings near a .5 boundary could otherwise
+    disagree).
     """
+    if verify not in ("numpy", "fold"):
+        raise ValueError(f"verify must be 'numpy' or 'fold', got {verify!r}")
     if n_planes % bands != 0:
         raise ValueError(
             f"n_planes ({n_planes}) must be divisible by bands ({bands})"
@@ -249,6 +261,23 @@ def hyperplane_lsh_neardup(
     va = sided.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
     vb = sided.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
     fetched = cand.join(va, "id_a").join(vb, "id_b")
+    if verify == "fold":
+        exact_cos = (
+            dot(F.col("__va"), F.col("__vb"))
+            / (
+                F.sqrt(dot(F.col("__va"), F.col("__va")))
+                * F.sqrt(dot(F.col("__vb"), F.col("__vb")))
+            )
+        )
+        return (
+            fetched.withColumn("__cos", exact_cos)
+            .where(F.col("__cos") >= threshold)
+            .select(
+                "id_a",
+                "id_b",
+                F.round(F.col("__cos") * 1e6).cast("long").alias("cos_ppm"),
+            )
+        )
     return (
         fetched.withColumn("__cos", cos_batch("__va", "__vb"))
         .where(F.col("__cos") >= threshold)

@@ -1360,12 +1360,27 @@ def q39_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return hyperplane_lsh_neardup(
         emb, "vec_id", "embedding", threshold=NEARDUP_COS, dim=64,
-        n_planes=16, bands=8,
+        n_planes=16, bands=8, verify="fold",
     )
 
 
-# Q29 Full Lloyd k-means, 5 iterations (iterative; no SQL oracle — the
-# driver records a rows-only check for this one).
+# Q39 oracle: the exact near-dup pair set (same SQL as q38).  Sign-LSH
+# candidates are verified with the SAME exact fold cosine as q38
+# (verify="fold"), so the output is a subset of the exact pairs with
+# identical cos_ppm values; the configured signature (16 planes, 8
+# bands of 2 bits) recovers every >=0.40-cosine pair of this corpus
+# (hyperplanes are seeded, so recall is a deterministic property of the
+# data, asserted by the gate itself — a miss would show up as a row
+# diff).  tests/test_temporal_similarity.py keeps the generic
+# subset+recall-floor guard for configurations where recall < 1.
+_Q39_SQL = _Q38_SQL
+
+
+# Q29 Full Lloyd k-means (5 iterations).  The oracle unrolls the loop
+# in SQL exactly like the pagerank oracle unrolls its iterations: seed
+# centers are deterministic (embeddings vec_id < 8), each iteration is
+# an argmin assignment + per-dimension means CTE pair, empty clusters
+# keep the previous center (kmeans.lloyd semantics).
 def q29_kmeans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.kmeans import lloyd
 
@@ -1375,6 +1390,50 @@ def q29_kmeans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         initial_centers=_seed_centers(spark, sf_dir),
     )
     return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+def _kmeans_unrolled_sql(k: int = 8, iterations: int = 5) -> str:
+    """DuckDB SQL mirroring kmeans.lloyd: a CTE chain of
+    (assign, means, centers) triples.  Distances use the same
+    sequential list_sum fold as _Q09_SQL; means average the double-cast
+    vectors per cluster per dimension."""
+    dist = (
+        "list_sum(list_transform(range(1, len(e.v) + 1), "
+        "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv "
+        f"FROM embeddings WHERE vec_id < {k})",
+        "dims AS (SELECT unnest(range(1, len(v) + 1)) AS i "
+        "FROM (SELECT v FROM e ORDER BY vec_id LIMIT 1))",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"a{t} AS (SELECT vec_id, v, cid AS cluster FROM ("
+            f"SELECT e.vec_id, e.v, c.cid, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM e CROSS JOIN c{t - 1} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{t} AS (SELECT cluster, list(m ORDER BY i) AS mv FROM ("
+            f"SELECT a.cluster, dims.i, avg(a.v[dims.i]) AS m "
+            f"FROM a{t} a CROSS JOIN dims GROUP BY 1, 2) GROUP BY cluster)"
+        )
+        parts.append(
+            f"c{t} AS (SELECT p.cid, coalesce(m.mv, p.cv) AS cv "
+            f"FROM c{t - 1} p LEFT JOIN m{t} m ON p.cid = m.cluster)"
+        )
+    final = (
+        f"SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM ("
+        f"SELECT e.vec_id, c.cid AS cluster, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn "
+        f"FROM e CROSS JOIN c{iterations} c) WHERE rn = 1"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+_Q29_SQL = _kmeans_unrolled_sql(k=8, iterations=5)
 
 
 # Q30 SimHash fingerprints (md5-derived 60-bit token hashes, so the
@@ -1404,7 +1463,12 @@ FROM bits GROUP BY doc
 """
 
 
-# Q31 IVF approximate ANN (recall < 1 by design; no SQL oracle).
+# Q31 IVF approximate ANN.  Recall < 1 vs exact search by design, but
+# the computation itself is fully deterministic (fixed codebook =
+# vec_id < 8 seed vectors, nprobe = 3), so the oracle replays it
+# exactly: assign every corpus vector to its nearest centroid, probe
+# each query's 3 nearest cells, exact cosine top-10 within the probed
+# union.
 def q31_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
@@ -1414,6 +1478,45 @@ def q31_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, id_col="vec_id", vec_col="embedding", k=10,
         centroids=_seed_centers(spark, sf_dir), nprobe=3,
     )
+
+
+_Q31_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+cells AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probed AS (
+  SELECT query_id, qv, cid AS cell FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+                      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cid) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 3
+),
+s AS (
+  SELECT p.query_id, s.vec_id AS neighbor_id,
+         list_dot_product(s.v, p.qv)
+           / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(p.qv, p.qv))) AS cos
+  FROM probed p JOIN cells s ON p.cell = s.cell
+  WHERE s.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM s
+)
+WHERE rnk <= 10
+"""
 
 
 # Q49 Deterministic stratified sample: at most k docs per language,
@@ -2313,6 +2416,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_cheapest_supplier": q72_cheapest_supplier,
 }
 
+# Driver-window rotation (round 3).  The round driver gates the FIRST
+# 50 entries of queries() against their oracles; CORRECTNESS_r02
+# covered exactly q01..q49, leaving q50..q72 bench-timed but
+# oracle-ungated.  Rotate the previously-ungated tail plus the three
+# newly-oracled queries (q29/q31/q39) into the window, and fill the
+# rest with the front of the catalog.  The 23 entries rotated OUT
+# (q24..q28, q30, q32..q38, q40..q49) were all triple-green in
+# CORRECTNESS_r02 with code unchanged since, and stay oracle-checked
+# locally by tests/test_queries_oracle.py over the full catalog.
+_WINDOW_PRIORITY = [
+    "q50_mixture_sample", "q51_chunk_documents", "q52_small_qty_revenue",
+    "q53_order_count_distribution", "q54_yearly_cohorts",
+    "q55_returnflag_pivot", "q56_rolling_hour", "q57_cube_revenue",
+    "q58_repetition_stats", "q59_decontaminate", "q60_encode_tokens",
+    "q61_train_split", "q62_pii_scrub", "q63_tfidf_topk",
+    "q64_unigram_surprisal", "q65_dedup_spans", "q66_blocklist_filter",
+    "q67_gap_fill", "q68_triangle_counts", "q69_funnel",
+    "q70_cooccurrence_pmi", "q71_retention", "q72_cheapest_supplier",
+    "q29_kmeans_full", "q31_ivf_ann", "q39_lsh_neardup",
+]
+QUERIES = {
+    **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
+    **{k: v for k, v in QUERIES.items() if k not in set(_WINDOW_PRIORITY)},
+}
+
 ORACLES: dict[str, str] = {
     "q01_sort_events": _Q01_SQL,
     "q02_sort_lineitem": _Q02_SQL,
@@ -2343,9 +2471,9 @@ ORACLES: dict[str, str] = {
     "q26_distinct_agg": _Q26_SQL,
     "q27_parts_shipped_by_brand": _Q27_SQL,
     "q28_json_extract": _Q28_SQL,
-    # q29_kmeans_full, q31_ivf_ann: iterative / approximate — not
-    # ANSI-SQL-expressible; driver records rows-only.
+    "q29_kmeans_full": _Q29_SQL,
     "q30_simhash": _Q30_SQL,
+    "q31_ivf_ann": _Q31_SQL,
     "q32_above_avg_parts": _Q32_SQL,
     "q33_late_ship_orders": _Q33_SQL,
     "q34_region_share": _Q34_SQL,
@@ -2353,7 +2481,7 @@ ORACLES: dict[str, str] = {
     "q36_asof_join": _Q36_SQL,
     "q37_range_join": _Q37_SQL,
     "q38_cosine_neardup": _Q38_SQL,
-    # q39_lsh_neardup: approximate by design — driver records rows-only.
+    "q39_lsh_neardup": _Q39_SQL,
     "q40_nation_market": _Q40_SQL,
     "q41_token_counts": _Q41_SQL,
     "q42_value_quantiles": _Q42_SQL,
