@@ -129,12 +129,25 @@ def main() -> None:
         "id"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, fn in BENCH_QUERIES.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    # Median of 3 samples per query: this box shows +-20% run-to-run
+    # variance (BASELINE.md), so a single sample makes rounds
+    # incomparable.  Samples interleave full passes over the query set
+    # (run 1 of everything, then run 2, ...) so one transient system
+    # stall skews one pass, not all three samples of one query.
+    samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
+    runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(samples):
+        for name, fn in BENCH_QUERIES.items():
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.time() - t0, 3))
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    timings = {name: round(median(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -143,6 +156,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
+                "spread": {
+                    name: [min(ts), max(ts)] for name, ts in runs.items()
+                },
                 "sf": sf_dir,
             }
         )
