@@ -85,6 +85,27 @@ def test_with_global_rank_is_contiguous_total_order(spark):
     assert keys == sorted(keys)
 
 
+def test_with_global_rank_release_bounds_cache(spark):
+    # Chained sorts with the release hook must not accumulate cached
+    # blocks: each sort's persisted intermediate is unpersisted after
+    # its action, so the persistent-RDD count returns to baseline.
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
+    for i in range(3):
+        released: list = []
+        df = spark.range(200).select(
+            ((F.col("id") * 31 + i) % 97).alias("k"), F.col("id").alias("uid")
+        )
+        out = with_global_rank(
+            df, ["k", "uid"], rank_col="pos", num_partitions=4, release=released
+        )
+        assert out.count() == 200
+        assert len(released) == 1
+        for cached in released:
+            cached.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() == baseline
+
+
 def test_binary_sort_shorter_prefix_first(spark):
     # Comparison.h:15-30: on common prefix, shorter key sorts first.
     df = spark.createDataFrame(

@@ -34,12 +34,19 @@ def with_global_rank(
     order_cols: list[str | Column],
     rank_col: str = "pos",
     num_partitions: int | None = None,
+    release: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Totally order ``df`` by ``order_cols`` (must be a total order —
     include a unique tiebreaker) and attach a global 1-based rank.
 
     Scale: one range shuffle + one tiny broadcast join.  No global
     window, no driver collect of data rows.
+
+    The plan persists an intermediate (see comment below).  Pass a
+    list as ``release`` to receive that intermediate: after running
+    your action, call ``.unpersist()`` on each element so chained
+    sorts in one long-lived session don't accumulate cached blocks
+    while waiting for the GC-driven ContextCleaner.
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -59,6 +66,8 @@ def with_global_rank(
     ranked = ranged.withColumn(_RN, F.row_number().over(w)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if release is not None:
+        release.append(ranked)
 
     counts = ranked.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
     # numPartitions rows: a global window here is fine (it is the phase-0
