@@ -20,6 +20,9 @@ from themis_tritonsort_spark.plans.job import (
 from themis_tritonsort_spark.sources.gensort import (
     RECORD_LEN,
     generate_records,
+    gensort_checksum,
+    gensort_range_checksum,
+    gensort_records,
     read_gensort,
     sort_records,
     valsort_check,
@@ -61,6 +64,88 @@ def test_gensort_roundtrip_sort_validates(spark, workdir):
     assert chk["sorted"]
     # content preserved: order-insensitive checksum unchanged
     assert chk["checksum"] == chk_raw["checksum"]
+
+
+# Checksums pinned by running the PUBLIC gensort 1.5 binary (compiled
+# from the reference's src/gensort, run OUTSIDE this repo) with
+# `gensort -c [-s] [-b<start>] <n>`.  They are behavioral fixtures:
+# reproducing them requires byte-identical records.
+_REF_SUM_UNIFORM_1000 = 0x1EA6370B955
+_REF_SUM_UNIFORM_2000_AT_5000 = 0x3F070C88A47
+_REF_SUM_SKEWED_3000_AT_7777 = 0x5E70BF15252
+# Published in the reference repo itself (scripts/valsort/validate.py:39,
+# mirrored in BASELINE.md): the 10 GB uniform dataset's checksum.
+_PUBLISHED_SUM_10GB = 0x2FAF4162801872C
+
+
+def test_gensort_bit_exact_pinned_checksums(spark):
+    assert (
+        gensort_checksum(gensort_records(spark, 1000, num_partitions=4))
+        == _REF_SUM_UNIFORM_1000
+    )
+    assert (
+        gensort_checksum(
+            gensort_records(spark, 2000, start=5000, num_partitions=7)
+        )
+        == _REF_SUM_UNIFORM_2000_AT_5000
+    )
+    assert (
+        gensort_checksum(
+            gensort_records(spark, 3000, start=7777, skewed=True, num_partitions=5)
+        )
+        == _REF_SUM_SKEWED_3000_AT_7777
+    )
+
+
+def test_gensort_first_key_is_jimgray(spark):
+    # gensort record 0's key is the LCG constant's top bytes — the
+    # canonical "JimGrayRIP" easter egg; a strong spot check that the
+    # affine skip-ahead starts from the right state.
+    row = gensort_records(spark, 1).collect()[0]
+    assert bytes(row.key) == b"JimGrayRIP"
+
+
+def test_gensort_engine_roundtrip_reproduces_ref_checksum(spark, workdir):
+    # generate -> write -> read -> sort -> write -> valsort: the full
+    # engine path must land on the reference binary's exact checksum.
+    raw = os.path.join(workdir, "bitraw")
+    out = os.path.join(workdir, "bitsorted")
+    write_gensort(gensort_records(spark, 1000, num_partitions=4), raw)
+    write_gensort(sort_records(read_gensort(spark, raw)), out)
+    chk = valsort_check(spark, out)
+    assert chk["records"] == 1000
+    assert chk["sorted"]
+    assert chk["checksum"] == _REF_SUM_UNIFORM_1000
+
+
+def test_gensort_published_10gb_checksum(spark):
+    # The reference's own published artifact: valsort checksum of the
+    # 10 GB (100M-record) uniform GraySort input.  Computed exactly the
+    # way `gensort -c` does (stream + crc32 sum, no output), distributed
+    # over record ranges via the LCG's closed-form skip-ahead.  ~20 s
+    # on local[32].
+    assert (
+        gensort_range_checksum(spark, 100_000_000, num_partitions=96)
+        == _PUBLISHED_SUM_10GB
+    )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_HEAVY"),
+    reason="10 GB on-disk roundtrip; set SPARK_GRAFT_HEAVY=1 to run",
+)
+def test_gensort_published_10gb_disk_roundtrip(spark, workdir):
+    # Full-fidelity GraySort: materialize all 10 GB, sort through the
+    # engine, and valsort the sorted output against the published
+    # checksum.
+    raw = os.path.join(workdir, "g10raw")
+    out = os.path.join(workdir, "g10sorted")
+    write_gensort(gensort_records(spark, 100_000_000, num_partitions=96), raw)
+    write_gensort(sort_records(read_gensort(spark, raw)), out)
+    chk = valsort_check(spark, out)
+    assert chk["records"] == 100_000_000
+    assert chk["sorted"]
+    assert chk["checksum"] == _PUBLISHED_SUM_10GB
 
 
 def test_gensort_deterministic(spark):
