@@ -31,9 +31,28 @@ def test_extract_features_shape_and_determinism(spark, sf_dir):
     assert all(0.0 <= x <= 1.0 for v in a.values() for x in v)
 
 
-def test_decode_strict_raises():
-    with pytest.raises(NotImplementedError):
-        decode_media(b"abc", "image/png", strict=True)
+@pytest.mark.parametrize(
+    "media_type",
+    [
+        "image/png",
+        "image/jpeg",
+        "audio/wav",
+        "audio/mpeg",
+        "video/mp4",
+        "application/octet-stream",
+    ],
+)
+def test_decode_strict_raises_for_every_media_type(media_type):
+    # The codec seam must stay LOUD: strict mode refuses every media
+    # type while no real codec exists, and the message names the type
+    # so a silent fake can never masquerade as a real decode.
+    with pytest.raises(NotImplementedError, match=media_type.replace("/", "/")):
+        decode_media(b"abc", media_type, strict=True)
+    # ... while the documented fallback (the deterministic fake) keeps
+    # the pipeline green for the same payload and type.
+    feats = decode_media(b"abc", media_type, strict=False)
+    assert len(feats) == FEATURE_DIM
+    assert all(0.0 <= x <= 1.0 for x in feats)
 
 
 def test_frame_sample_offsets(spark, sf_dir):

@@ -149,3 +149,50 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     assert len(pf) == 2 and "day" in pf[1].splitlines()[0]
     expected = ev.where(F.col("day") == F.lit(days[0])).count()
     assert one.count() == expected
+
+
+def test_ivf_storage_probe_prunes_cells(spark, tmp_path):
+    # build_ivf_storage partitions the corpus by IVF cell; a pruned
+    # probe must read ONLY the probed cells (PartitionFilters at the
+    # scan) and return exactly what the unpruned ivf_topk returns.
+    from pyspark.sql import functions as F
+
+    from themis_tritonsort_spark.data import table
+    from themis_tritonsort_spark.operators.similarity import (
+        build_ivf_storage,
+        ivf_topk,
+        ivf_topk_pruned,
+    )
+    from themis_tritonsort_spark.queries import _seed_centers
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    centroids = _seed_centers(spark, SF_SMOKE)
+    path = str(tmp_path / "ivf_cells")
+    build_ivf_storage(emb, path, "vec_id", "embedding", centroids)
+
+    n_cells_on_disk = (
+        spark.read.parquet(path).select("cell").distinct().count()
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    pruned = ivf_topk_pruned(
+        spark, path, queries, id_col="vec_id", vec_col="embedding", k=5,
+        centroids=centroids, nprobe=2,
+    )
+    plan = _plan(pruned)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2
+    pf_line = pf[1].splitlines()[0]
+    # static IN-filter over at most n_queries*nprobe cells — strictly
+    # fewer than the cells on disk, so whole directories are skipped
+    assert "cell" in pf_line and " IN " in pf_line
+    in_list = pf_line.split(" IN (", 1)[1].split(")", 1)[0]
+    n_pruned_to = len(in_list.split(","))
+    assert n_pruned_to <= 6 < n_cells_on_disk
+
+    exact_same = ivf_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5,
+        centroids=centroids, nprobe=2,
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, exact_same.collect())
+    )

@@ -60,30 +60,17 @@ def brute_force_topk(
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
+def _probed_cells(
     queries: DataFrame,
-    id_col: str,
+    qid: str,
     vec_col: str,
-    k: int,
     centroids: list[list[float]],
-    nprobe: int = 2,
-    query_id_col: str | None = None,
+    nprobe: int,
 ) -> DataFrame:
-    """Approximate top-k: probe only the ``nprobe`` cells (by centroid
-    distance) per query.  Same output shape as brute_force_topk; recall
-    < 1 by design.  Corpus is assigned to cells once — at scale this is
-    the partition/bucketing key, so a probe touches ~nprobe/len(centroids)
-    of the data.
-    """
-    qid = query_id_col or id_col
-    cells = assign_clusters(corpus, vec_col, centroids, out_col="cell").select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        "cell",
-    )
-
-    # nprobe cells per query: distance to every centroid, keep nprobe best.
+    """(query_id, __qvec, cell): each query's ``nprobe`` nearest cells
+    by the same literal-fold distance and (distance, cell-id) tie order
+    as assign_clusters — so the probe set is bit-consistent with the
+    corpus's cell assignment."""
     from ..functions.vectors import as_double
     from .kmeans import _dist_sq  # reuse the literal-fold distance
 
@@ -101,11 +88,49 @@ def ivf_topk(
             ]
         ).alias("__cells"),
     )
-    probed = dists.select(
+    return dists.select(
         "query_id",
         "__qvec",
         F.explode(F.slice(F.array_sort("__cells"), 1, nprobe)).alias("__pc"),
     ).select("query_id", "__qvec", F.col("__pc.cell").alias("cell"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    query_id_col: str | None = None,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` cells (by centroid
+    distance) per query.  Same output shape as brute_force_topk; recall
+    < 1 by design.  Corpus is assigned to cells once — at scale this is
+    the partition/bucketing key (see build_ivf_storage /
+    ivf_topk_pruned), so a probe touches ~nprobe/len(centroids) of the
+    data.
+
+    ``cell_col`` names a pre-computed cell-assignment column on the
+    corpus (e.g. the partition column of an IVF storage table); when
+    absent, cells are assigned in-plan from the centroid literals.
+    """
+    qid = query_id_col or id_col
+    if cell_col is None:
+        assigned = assign_clusters(corpus, vec_col, centroids, out_col="cell")
+        cell_src = "cell"
+    else:
+        assigned = corpus
+        cell_src = cell_col
+    cells = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col(cell_src).alias("cell"),
+    )
+
+    probed = _probed_cells(queries, qid, vec_col, centroids, nprobe)
 
     joined = cells.join(F.broadcast(probed), "cell").where(
         F.col("neighbor_id") != F.col("query_id")
@@ -286,6 +311,68 @@ def hyperplane_lsh_neardup(
             "id_b",
             F.round(F.col("__cos") * 1e6).cast("long").alias("cos_ppm"),
         )
+    )
+
+
+def build_ivf_storage(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> None:
+    """Materialize the IVF index as cell-partitioned parquet: assign
+    every corpus vector to its nearest centroid and write with the cell
+    as a Hive partition column.  At 100 TB this makes the codebook the
+    STORAGE layout — a probe's cell filter becomes PartitionFilters at
+    the scan, so only ~nprobe/n_cells of the files are listed and read;
+    everything else is pruned before any I/O (the same
+    layout-IS-the-partitioning move as TritonSort's phase-one logical
+    disks, ``mapreduce/workers/writer/BaseWriter.cc:349``)."""
+    from ..sources.bucketed import write_partitioned
+
+    cells = assign_clusters(corpus, vec_col, centroids, out_col="cell")
+    write_partitioned(
+        cells.select(id_col, vec_col, "cell"), path, ["cell"]
+    )
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF probe against a build_ivf_storage table, reading ONLY the
+    probed cells' files.  The union of probed cell ids (at most
+    n_queries * nprobe ints — metadata-scale) is collected and pushed
+    as a partition IN-filter, which Spark turns into PartitionFilters
+    at the parquet scan; the per-query restriction to its own nprobe
+    cells then happens in the broadcast cell join, so results are
+    identical to ivf_topk on the full corpus.  The probe-cell job runs
+    the same literal-fold argmin as the storage-side assignment, so the
+    filter provably covers every joined cell."""
+    qid = query_id_col or id_col
+    probed = _probed_cells(queries, qid, vec_col, centroids, nprobe)
+    cell_union = sorted(
+        r["cell"] for r in probed.select("cell").distinct().collect()
+    )
+    corpus = spark.read.parquet(path).where(F.col("cell").isin(cell_union))
+    return ivf_topk(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        centroids=centroids,
+        nprobe=nprobe,
+        query_id_col=query_id_col,
+        cell_col="cell",
     )
 
 
