@@ -183,6 +183,46 @@ def test_wordcount_job_spec(spark):
     assert out == {"the": 3, "cat": 2, "and": 1, "hat": 1}
 
 
+def test_shared_scan_multi_job(spark):
+    # R12 MultiJobMapper semantics: several jobs over ONE scan of the
+    # same input.  Outputs must match running each job alone, the
+    # source must be cached while the batch lives, and release() must
+    # drop it.
+    from themis_tritonsort_spark.plans.job import run_shared_scan
+
+    df = spark.createDataFrame(
+        [("w1", "the cat and the hat"), ("w2", "the cat")],
+        "key string, value string",
+    )
+    jobs = [
+        ThemisJob.from_spec(
+            {"map_function": "WordCountMapFunction",
+             "reduce_function": "WordCountReduceFunction"}
+        ),
+        ThemisJob.from_spec(
+            {"map_function": "TupleLengthCounterMapFunction",
+             "reduce_function": "SumValuesReduceFunction"}
+        ),
+    ]
+    run = run_shared_scan(spark, jobs, df=df)
+    assert run.source.storageLevel.useMemory
+    got = [sorted(map(tuple, out.collect())) for out in run.outputs]
+    want = [
+        sorted(map(tuple, run_job(spark, j, df=df).collect())) for j in jobs
+    ]
+    assert got == want
+    run.release(blocking=True)
+    assert not run.source.storageLevel.useMemory
+
+    # mismatched sources are refused
+    with pytest.raises(ValueError, match="share one input"):
+        run_shared_scan(
+            spark,
+            [ThemisJob(input_table="documents"),
+             ThemisJob(input_table="events")],
+        )
+
+
 def test_graysort_job_spec_produces_sorted_partitions(spark):
     recs = generate_records(spark, 2000, seed=1)
     job = ThemisJob.from_spec(

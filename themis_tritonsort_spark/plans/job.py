@@ -29,6 +29,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import tokens
 
@@ -532,3 +533,59 @@ def run_in_sequence(
         out = run_job(spark, job, df=out if i or df is not None else None, sf_dir=sf_dir)
         out = out.localCheckpoint(eager=False) if i < len(jobs) - 1 else out
     return out
+
+
+def run_shared_scan(
+    spark: SparkSession,
+    jobs: list[ThemisJob],
+    df: DataFrame | None = None,
+    sf_dir: str | None = None,
+    storage_level: StorageLevel | None = None,
+) -> "SharedScanRun":
+    """Shared-scan multiplexing (R12): run several jobs' functions over
+    ONE scan of the same input — the reference's
+    ``MultiJobMapper``/``MultiJobDemux`` (``workers/mapper/
+    MultiJobMapper.cc:1-75``, ``workers/multijobdemux/MultiJobDemux.h``),
+    which pushes each input buffer through every job's map function so
+    a 100 TB input is read once, not once per job.
+
+    Spark-first: all jobs must share one source (ThemisJob.input_table /
+    input_path must agree, or pass ``df``); the source is persisted, the
+    first job's action populates the cache, and every other job reads
+    the cached blocks instead of rescanning storage.  The caller runs
+    actions on the returned ``jobs`` outputs and then calls
+    ``release()`` — the explicit cache lifetime the per-op persist()
+    idiom could not offer.
+    """
+    if not jobs:
+        raise ValueError("run_shared_scan needs at least one job")
+    if df is None:
+        sources = {(j.input_table, j.input_path) for j in jobs}
+        if len(sources) != 1:
+            raise ValueError(
+                f"shared-scan jobs must share one input, got {sorted(sources)}"
+            )
+        probe = jobs[0]
+        if probe.input_table is not None:
+            from ..data import table
+
+            df = table(spark, sf_dir, probe.input_table)
+        elif probe.input_path is not None:
+            df = spark.read.parquet(probe.input_path)
+        else:
+            raise ValueError("shared-scan jobs need input_table or input_path")
+    shared = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    outputs = [run_job(spark, job, df=shared, sf_dir=sf_dir) for job in jobs]
+    return SharedScanRun(source=shared, outputs=outputs)
+
+
+@dataclass
+class SharedScanRun:
+    """Handle for a shared-scan batch: per-job outputs plus the cached
+    source whose lifetime the caller now owns."""
+
+    source: DataFrame
+    outputs: list[DataFrame]
+
+    def release(self, blocking: bool = False) -> None:
+        self.source.unpersist(blocking=blocking)
