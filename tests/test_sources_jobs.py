@@ -276,3 +276,29 @@ def test_inverted_index_job(spark):
     job = ThemisJob.from_spec({"reduce_function": "InvertedIndexReduceFunction"})
     out = {r["key"]: r["value"] for r in run_job(spark, job, df=df).collect()}
     assert out == {"w": ["d1", "d2"], "v": ["d3"]}
+
+
+def test_gensort_stream_split_invariance():
+    # The distributed generator's whole correctness rests on this: any
+    # partitioning of [start, start+n) produces exactly the bytes of
+    # one continuous stream (skip-ahead == iterated next_rand).
+    from hypothesis import given, settings, strategies as st
+
+    from themis_tritonsort_spark.sources.gensort import _gensort_stream
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        start=st.integers(0, 10_000_000),
+        lens=st.lists(st.integers(0, 40), min_size=1, max_size=6),
+        skewed=st.booleans(),
+    )
+    def check(start, lens, skewed):
+        whole = b"".join(_gensort_stream(start, sum(lens), skewed=skewed))
+        pieces = []
+        off = start
+        for ln in lens:
+            pieces.append(b"".join(_gensort_stream(off, ln, skewed=skewed)))
+            off += ln
+        assert b"".join(pieces) == whole
+
+    check()
