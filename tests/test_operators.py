@@ -302,6 +302,30 @@ def test_triangle_counts_known_graph(spark):
     assert out == {1: 3, 2: 1}
 
 
+def test_triangle_total_degree_oriented_matches_exact(spark):
+    from themis_tritonsort_spark.operators.components import (
+        triangle_counts,
+        triangle_total_degree_oriented,
+    )
+
+    # K4 + pendant (4 triangles), with duplicates/reversals thrown in.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1), (2, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert triangle_total_degree_oriented(df).collect()[0]["n_triangles"] == 4
+
+    # a skewed star + rim: hub 0 connects to 1..12, rim edges close
+    # consecutive spokes -> 12 triangles, all through the hub; the
+    # degree-oriented total must match the id-oriented per-vertex sum.
+    star = [(0, i) for i in range(1, 13)]
+    rim = [(i, i % 12 + 1) for i in range(1, 13)]
+    sdf = spark.createDataFrame(star + rim, ["src", "dst"])
+    exact = sum(
+        r["n_triangles"] for r in triangle_counts(sdf).collect()
+    )
+    got = triangle_total_degree_oriented(sdf).collect()[0]["n_triangles"]
+    assert got == exact == 12
+
+
 def test_funnel_steps_strict_ordering(spark):
     from datetime import datetime
 

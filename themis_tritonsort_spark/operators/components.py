@@ -125,12 +125,11 @@ def triangle_counts(
     Plan: the node-iterator join pair — wedges (a<b<c from edges (a,b),
     (b,c)) closed against a third edge scan (a,c).  Two shuffle joins;
     the wedge relation is the sum-of-degrees-squared blowup, which is
-    the inherent cost of exact triangle listing.  At scale, orient
-    edges by (degree, id) instead of raw id before the wedge join —
-    the count is orientation-invariant and low-degree orientation
-    bounds per-key wedge fan-out by O(sqrt(|E|)) (the classic
-    skew-proofing); raw-id orientation is used here because the oracle
-    attributes per-vertex counts by smallest id.
+    the inherent cost of exact triangle listing.  Raw-id orientation is
+    used here because the oracle attributes per-vertex counts by
+    smallest id; for the global count at scale use
+    ``triangle_total_degree_oriented`` below, whose degree orientation
+    bounds per-key wedge fan-out by O(sqrt(|E|)) under any skew.
     """
     e = (
         edges.select(
@@ -150,3 +149,60 @@ def triangle_counts(
     return closed.groupBy(F.col("a").alias("vid")).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def triangle_total_degree_oriented(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count via degree orientation — the 100 TB
+    variant of triangle_counts.  Returns a single row (n_triangles).
+
+    Every edge is oriented from its lower-(degree, id) endpoint to the
+    higher one; wedges are built only from each vertex's OUT-edges, so
+    per-key fan-out is bounded by the max out-degree, which degree
+    orientation caps at O(sqrt(|E|)) regardless of how skewed the raw
+    degree distribution is (the compact-forward algorithm).  A single
+    celebrity vertex with 10^8 followers contributes 10^16 wedges to
+    the id-oriented join but only ~|E| to this one.  The total is
+    orientation-invariant, so this is exact — it just cannot attribute
+    triangles to a *specific* vertex like triangle_counts does.
+
+    Plan: one degree aggregate (vertex-sized, broadcast back), one
+    wedge self-join on the oriented source, one closing semi-join
+    against the oriented edge set, one global count.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    degrees = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = degrees.select(F.col("v").alias("a"), F.col("deg").alias("__da"))
+    db = degrees.select(F.col("v").alias("b"), F.col("deg").alias("__db"))
+    withdeg = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    # orient low (deg, id) -> high (deg, id); (a, b) already has a < b,
+    # so ties on degree keep the id order
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    o1 = oriented.select("u", F.col("w").alias("w1"))
+    o2 = oriented.select("u", F.col("w").alias("w2"))
+    # each unordered out-pair once: the wedge (u; w1, w2)
+    pairs = o1.join(o2, "u").where(F.col("w1") < F.col("w2"))
+    # a wedge (u; w1 < w2) closes iff the canonical edge (w1, w2) exists
+    closing = e.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
+    closed = pairs.join(closing, ["w1", "w2"], "left_semi")
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
