@@ -32,3 +32,23 @@ def test_cli_runs_job_spec_chain(spark, tmp_path):
     rc = main(["--spec", str(p), "--sf-dir", SF_SMOKE, "--output", str(out)])
     assert rc == 0
     assert spark.read.parquet(str(out)).count() > 0
+
+
+def test_cli_gensort_valsort_roundtrip(spark, capsys, tmp_path):
+    recs = tmp_path / "recs"
+    rc = main(["--gensort", "1000", "--output", str(recs)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # bare hex checksum, identical to the reference binary's stderr line
+    assert "1ea6370b955" in out
+
+    # raw (unsorted) input: valsort reports order failure via exit code
+    rc = main(["--valsort", str(recs)])
+    assert rc == 1
+    assert "checksum=1ea6370b955" in capsys.readouterr().out
+
+
+def test_cli_gensort_checksum_only(capsys):
+    rc = main(["--gensort", "2000", "--start", "5000"])
+    assert rc == 0
+    assert "3f070c88a47" in capsys.readouterr().out

@@ -17,6 +17,13 @@ Usage:
   python -m themis_tritonsort_spark.run --query q03_wordcount \
       --sf-dir /root/testdata/sf0.01 [--output /tmp/out.parquet]
 
+  # gensort/valsort tool parity (bit-exact; prints the same hex
+  # checksum the reference binaries do):
+  python -m themis_tritonsort_spark.run --gensort 100000 \
+      [--start 0] [--skewed] [--output /tmp/records]   # omit --output
+                                                       # for checksum-only
+  python -m themis_tritonsort_spark.run --valsort /tmp/records
+
 Without --output the result is counted and the first rows are shown
 (an action either way — the plan always executes).
 """
@@ -33,9 +40,18 @@ def main(argv: list[str] | None = None) -> int:
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--spec", help="path to job-spec JSON (dict or list of dicts)")
     src.add_argument("--query", help="declared query name from the catalog")
+    src.add_argument("--gensort", type=int, metavar="N",
+                    help="generate N bit-exact gensort records")
+    src.add_argument("--valsort", metavar="DIR",
+                    help="validate a gensort record directory")
+    ap.add_argument("--start", type=int, default=0,
+                    help="gensort starting record number (like -b)")
+    ap.add_argument("--skewed", action="store_true",
+                    help="gensort Daytona skewed keys (like -s)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
                     help="testdata dir for input_table / query sources")
-    ap.add_argument("--output", help="write result to this parquet path")
+    ap.add_argument("--output", help="write result to this parquet path "
+                    "(record directory for --gensort)")
     ap.add_argument("--show", type=int, default=10,
                     help="rows to display when --output is absent")
     args = ap.parse_args(argv)
@@ -44,6 +60,36 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="themis-run")
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.gensort is not None:
+        from .sources.gensort import (
+            gensort_range_checksum,
+            gensort_records,
+            write_gensort,
+        )
+
+        if args.output:
+            write_gensort(
+                gensort_records(
+                    spark, args.gensort, start=args.start, skewed=args.skewed
+                ),
+                args.output,
+            )
+            print(f"wrote {args.gensort} records to {args.output}")
+        cs = gensort_range_checksum(
+            spark, args.gensort, start=args.start, skewed=args.skewed
+        )
+        print(format(cs, "x"))  # gensort -c prints bare hex to stderr
+        return 0
+    if args.valsort:
+        from .sources.gensort import valsort_check
+
+        chk = valsort_check(spark, args.valsort)
+        print(
+            f"records={chk['records']} sorted={chk['sorted']} "
+            f"checksum={format(chk['checksum'], 'x')}"
+        )
+        return 0 if chk["sorted"] else 1
 
     if args.query:
         from .queries import QUERIES
