@@ -90,6 +90,55 @@ def with_global_rank(
     return out
 
 
+def with_global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+    release: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Attach the INCLUSIVE running sum of ``value_col`` over the total
+    order given by ``order_cols`` (include a unique tiebreaker) —
+    the distributed prefix sum, same shape as with_global_rank: range
+    shuffle + partition-local running sum + broadcast per-partition
+    offsets.  No global window, no driver data collect; the offset
+    table is numPartitions rows.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+
+    ranged = df.repartitionByRange(num_partitions, *order_cols)
+    ranged = ranged.withColumn(_PID, F.spark_partition_id())
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    summed = ranged.withColumn(_RN, F.sum(value_col).over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if release is not None:
+        release.append(summed)
+
+    totals = summed.groupBy(_PID).agg(F.sum(value_col).alias(_CNT))
+    offsets = totals.withColumn(
+        _OFF,
+        F.coalesce(
+            F.sum(_CNT).over(
+                Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(_PID, _OFF)
+
+    return (
+        summed.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, (F.col(_OFF) + F.col(_RN)).cast("long"))
+        .drop(_PID, _RN, _OFF)
+    )
+
+
 def merge_sorted(dfs: list[DataFrame], order_cols: list[str], rank_col: str = "pos") -> DataFrame:
     """Merge pre-sorted inputs into one totally ordered stream
     (reference merge job: SinglePartitionMergingPartitionFunction X5 +

@@ -195,6 +195,46 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    chunks: DataFrame,
+    id_col: str,
+    idx_col: str,
+    tok_col: str,
+    budget: int,
+) -> DataFrame:
+    """Sequence packing — the training step after chunking: lay all
+    chunks end to end in the deterministic (id, chunk_idx) order and
+    cut every ``budget`` tokens into one training sequence.  Each chunk
+    is attributed to the sequence where its FIRST token lands:
+    (id, chunk_idx, n_tokens, seq_id, seq_offset) with
+    ``seq_id = start div budget``, ``seq_offset = start mod budget``,
+    ``start`` = exclusive prefix sum of token counts.
+
+    Scale: the prefix sum is the two-level range-shuffle form
+    (partition-local running sums + broadcast partition offsets,
+    operators/sort.py: with_global_prefix_sum) — no global window, so
+    packing 100 TB of chunks is one range shuffle.  All outputs are
+    exact integers.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from .sort import with_global_prefix_sum
+
+    summed = with_global_prefix_sum(
+        chunks, [id_col, idx_col], tok_col, out_col="__cum"
+    )
+    summed = summed.withColumn(
+        "__start", (F.col("__cum") - F.col(tok_col)).cast("long")
+    )
+    return summed.select(
+        id_col,
+        idx_col,
+        F.col(tok_col).cast("long").alias("n_tokens"),
+        F.expr(f"__start div {int(budget)}").cast("long").alias("seq_id"),
+        (F.col("__start") % F.lit(int(budget))).cast("long").alias("seq_offset"),
+    )
+
+
 def cooccurrence_pmi(
     df: DataFrame,
     id_col: str,

@@ -2340,6 +2340,78 @@ SELECT l_partkey AS partkey, l_suppkey AS suppkey, cost_cents FROM (
 """
 
 
+# Q73 Sequence packing: lay the q51 chunks end to end in (doc_id,
+# chunk_idx) order and cut every 256 tokens into one training
+# sequence.  The prefix sum is the two-level range-shuffle form (no
+# global window) — operators/sort.py: with_global_prefix_sum; the
+# oracle is the single-window SQL equivalent.
+def q73_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import chunk_documents, pack_sequences
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+    return pack_sequences(
+        chunks, "doc_id", "chunk_idx", "n_chunk_tokens", budget=256
+    )
+
+
+_Q73_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK.format(col='text')} AS t FROM documents
+),
+nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+starts AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(1, greatest(n - 8, 1), 56)) AS s
+  FROM nz
+),
+chunks AS (
+  SELECT doc_id, (s - 1) // 56 AS chunk_idx, len(t[s:s+63]) AS nt
+  FROM starts
+),
+c AS (
+  SELECT doc_id, chunk_idx, nt,
+         sum(nt) OVER (ORDER BY doc_id, chunk_idx
+                       ROWS UNBOUNDED PRECEDING) - nt AS st
+  FROM chunks
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CAST(st // 256 AS BIGINT) AS seq_id,
+       CAST(st % 256 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
+# Q74 Global triangle count via the degree-oriented (skew-proof) plan;
+# the oracle counts the same triangles with the q68 node-iterator —
+# the totals must agree because orientation only changes WHERE each
+# triangle is counted, never whether.
+def q74_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import triangle_total_degree_oriented
+
+    return triangle_total_degree_oriented(_lineitem_edges(spark, sf_dir))
+
+
+_Q74_SQL = """
+WITH raw AS (
+  SELECT src, l_partkey AS dst FROM (
+    SELECT l_partkey,
+           lag(l_partkey) OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS src
+    FROM lineitem
+  ) WHERE src IS NOT NULL AND src <> l_partkey
+),
+edges AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN (SELECT a AS b, b AS c FROM edges) e2 USING (b)
+JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -2414,6 +2486,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_cooccurrence_pmi": q70_cooccurrence_pmi,
     "q71_retention": q71_retention,
     "q72_cheapest_supplier": q72_cheapest_supplier,
+    "q73_pack_sequences": q73_pack_sequences,
+    "q74_triangle_total": q74_triangle_total,
 }
 
 # Driver-window rotation (round 3).  The round driver gates the FIRST
@@ -2515,4 +2589,6 @@ ORACLES: dict[str, str] = {
     "q70_cooccurrence_pmi": _Q70_SQL,
     "q71_retention": _Q71_SQL,
     "q72_cheapest_supplier": _Q72_SQL,
+    "q73_pack_sequences": _Q73_SQL,
+    "q74_triangle_total": _Q74_SQL,
 }
