@@ -106,6 +106,27 @@ def test_with_global_rank_release_bounds_cache(spark):
     assert jsc.getPersistentRDDs().size() == baseline
 
 
+def test_with_global_prefix_sum_matches_single_window(spark):
+    from themis_tritonsort_spark.operators.sort import with_global_prefix_sum
+
+    df = spark.range(500).select(
+        (F.col("id") * 7919 % 500).alias("k"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 13 + 1).alias("v"),
+    )
+    got = {
+        (r["k"], r["uid"]): r["prefix_sum"]
+        for r in with_global_prefix_sum(
+            df, ["k", "uid"], "v", num_partitions=7
+        ).collect()
+    }
+    rows = sorted(df.collect(), key=lambda r: (r["k"], r["uid"]))
+    run = 0
+    for r in rows:
+        run += r["v"]
+        assert got[(r["k"], r["uid"])] == run
+
+
 def test_binary_sort_shorter_prefix_first(spark):
     # Comparison.h:15-30: on common prefix, shorter key sorts first.
     df = spark.createDataFrame(

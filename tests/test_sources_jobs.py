@@ -302,3 +302,18 @@ def test_gensort_stream_split_invariance():
         assert b"".join(pieces) == whole
 
     check()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_HEAVY"),
+    reason="200M-record generate pass (~35 s); set SPARK_GRAFT_HEAVY=1",
+)
+def test_gensort_published_20gb_checksum(spark):
+    # Second published data point (validate.py:40): 20 GB uniform.
+    # Verified green on 2026-08-13 (34 s on local[32]); env-gated to
+    # keep the default suite under budget — the 10 GB variant runs
+    # unconditionally.
+    assert (
+        gensort_range_checksum(spark, 200_000_000, num_partitions=128)
+        == 0x5F5F60B23024285
+    )
