@@ -2508,6 +2508,7 @@ _WINDOW_PRIORITY = [
     "q64_unigram_surprisal", "q65_dedup_spans", "q66_blocklist_filter",
     "q67_gap_fill", "q68_triangle_counts", "q69_funnel",
     "q70_cooccurrence_pmi", "q71_retention", "q72_cheapest_supplier",
+    "q73_pack_sequences", "q74_triangle_total",
     "q29_kmeans_full", "q31_ivf_ann", "q39_lsh_neardup",
 ]
 QUERIES = {
