@@ -54,6 +54,34 @@ def test_empty_inputs_yield_empty_outputs(spark):
     )
 
 
+def test_empty_inputs_new_round3_ops(spark):
+    from themis_tritonsort_spark.operators.components import (
+        triangle_total_degree_oriented,
+    )
+    from themis_tritonsort_spark.operators.sort import with_global_prefix_sum
+    from themis_tritonsort_spark.operators.textstats import pack_sequences
+
+    no_chunks = spark.createDataFrame(
+        [], "doc_id long, chunk_idx long, n_chunk_tokens long"
+    )
+    assert (
+        pack_sequences(
+            no_chunks, "doc_id", "chunk_idx", "n_chunk_tokens", budget=64
+        ).count()
+        == 0
+    )
+    assert (
+        with_global_prefix_sum(
+            no_chunks, ["doc_id", "chunk_idx"], "n_chunk_tokens"
+        ).count()
+        == 0
+    )
+    no_edges = spark.createDataFrame([], "src long, dst long")
+    # a global count over nothing is a single zero row, not zero rows
+    rows = triangle_total_degree_oriented(no_edges).collect()
+    assert len(rows) == 1 and rows[0]["n_triangles"] == 0
+
+
 def test_asof_empty_right_keeps_all_left(spark):
     left = spark.createDataFrame([(1, 5, 7)], "k long, ts long, lid long")
     right = spark.createDataFrame([], "k long, rts long, payload long")
