@@ -2493,12 +2493,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Driver-window rotation (round 3).  The round driver gates the FIRST
 # 50 entries of queries() against their oracles; CORRECTNESS_r02
 # covered exactly q01..q49, leaving q50..q72 bench-timed but
-# oracle-ungated.  Rotate the previously-ungated tail plus the three
-# newly-oracled queries (q29/q31/q39) into the window, and fill the
-# rest with the front of the catalog.  The 23 entries rotated OUT
-# (q24..q28, q30, q32..q38, q40..q49) were all triple-green in
-# CORRECTNESS_r02 with code unchanged since, and stay oracle-checked
-# locally by tests/test_queries_oracle.py over the full catalog.
+# oracle-ungated.  Rotate the previously-ungated tail, the three
+# newly-oracled queries (q29/q31/q39), and the new q73/q74 into the
+# window, and fill the rest with the front of the catalog.  The 25
+# entries rotated OUT (q22..q28, q30, q32..q38, q40..q49) were all
+# triple-green in CORRECTNESS_r02 with code unchanged since, and stay
+# oracle-checked locally by tests/test_queries_oracle.py over the full
+# catalog.
 _WINDOW_PRIORITY = [
     "q50_mixture_sample", "q51_chunk_documents", "q52_small_qty_revenue",
     "q53_order_count_distribution", "q54_yearly_cohorts",
