@@ -617,6 +617,68 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def surprisal_mixture(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4,
+    release: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Perplexity-bucketed mixture accounting: split the corpus into
+    ``n_buckets`` quality tiers by per-doc unigram surprisal and report
+    each tier's document/token mass — the accounting step behind
+    perplexity-filtered or difficulty-mixed training data.  Output
+    (bucket 1..n, n_docs, sum_tokens, min_mean_micronat,
+    max_mean_micronat), all exact integers.
+
+    Scale: bucket BOUNDARIES are (n_buckets - 1) exact
+    percentile_disc scalars — one aggregate over the per-doc surprisal
+    relation, collected to the driver like k-means centers.  Bucket
+    ASSIGNMENT is then a map-side comparison chain (no global window,
+    no ntile over the corpus — an ntile would be a single-partition
+    sort at 100 TB).  The surprisal relation is persisted so the
+    boundary pass (eager, in here) and the classification pass (the
+    returned lazy plan) share one computation; pass a list as
+    ``release`` to unpersist it after your action (with_global_rank's
+    cache-lifetime idiom).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from pyspark.storagelevel import StorageLevel
+
+    s = unigram_surprisal(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if release is not None:
+        release.append(s)
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    row = s.agg(
+        *[
+            F.expr(
+                f"percentile_disc({frac}) WITHIN GROUP "
+                f"(ORDER BY mean_micronat)"
+            ).alias(f"__b{i}")
+            for i, frac in enumerate(fracs)
+        ]
+    ).collect()[0]
+    bounds = [row[f"__b{i}"] for i in range(len(fracs))]
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + F.when(
+            F.col("mean_micronat") > F.lit(b), 1
+        ).otherwise(0)
+    return (
+        s.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.min("mean_micronat").cast("long").alias("min_mean_micronat"),
+            F.max("mean_micronat").cast("long").alias("max_mean_micronat"),
+        )
+    )
+
+
 def build_vocab(df: DataFrame, text_col: str, vocab_size: int) -> DataFrame:
     """Corpus vocabulary: the ``vocab_size`` most frequent tokens,
     ids 1..vocab_size dense by (count DESC, word ASC) — fully

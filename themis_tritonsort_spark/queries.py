@@ -2412,6 +2412,37 @@ JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.c
 """
 
 
+# Q75 Perplexity-bucketed mixture accounting: quartile the corpus by
+# per-doc unigram surprisal (exact percentile_disc boundaries,
+# map-side classification — no corpus-wide ntile) and report each
+# tier's doc/token mass.  See operators/textstats.py:
+# surprisal_mixture.
+def q75_surprisal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import surprisal_mixture
+
+    docs = table(spark, sf_dir, "documents")
+    return surprisal_mixture(docs, "doc_id", "text", n_buckets=4)
+
+
+_Q75_SQL = f"""
+WITH surp AS ({_Q64_SQL}),
+b AS (
+  SELECT quantile_disc(mean_micronat, 0.25) AS b1,
+         quantile_disc(mean_micronat, 0.5)  AS b2,
+         quantile_disc(mean_micronat, 0.75) AS b3
+  FROM surp
+)
+SELECT CAST(1 + (mean_micronat > b1)::INT + (mean_micronat > b2)::INT
+              + (mean_micronat > b3)::INT AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(min(mean_micronat) AS BIGINT) AS min_mean_micronat,
+       CAST(max(mean_micronat) AS BIGINT) AS max_mean_micronat
+FROM surp, b
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -2488,6 +2519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_cheapest_supplier": q72_cheapest_supplier,
     "q73_pack_sequences": q73_pack_sequences,
     "q74_triangle_total": q74_triangle_total,
+    "q75_surprisal_mix": q75_surprisal_mix,
 }
 
 # Driver-window rotation (round 3).  The round driver gates the FIRST
@@ -2509,7 +2541,7 @@ _WINDOW_PRIORITY = [
     "q64_unigram_surprisal", "q65_dedup_spans", "q66_blocklist_filter",
     "q67_gap_fill", "q68_triangle_counts", "q69_funnel",
     "q70_cooccurrence_pmi", "q71_retention", "q72_cheapest_supplier",
-    "q73_pack_sequences", "q74_triangle_total",
+    "q73_pack_sequences", "q74_triangle_total", "q75_surprisal_mix",
     "q29_kmeans_full", "q31_ivf_ann", "q39_lsh_neardup",
 ]
 QUERIES = {
@@ -2593,4 +2625,5 @@ ORACLES: dict[str, str] = {
     "q72_cheapest_supplier": _Q72_SQL,
     "q73_pack_sequences": _Q73_SQL,
     "q74_triangle_total": _Q74_SQL,
+    "q75_surprisal_mix": _Q75_SQL,
 }
