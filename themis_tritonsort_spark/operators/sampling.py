@@ -44,6 +44,41 @@ def _row_hash(id_col: str):
     )
 
 
+def shuffle_shards(
+    df: DataFrame, id_col: str, n_shards: int
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the export step that
+    randomizes training-example order and splits the corpus into
+    ``n_shards`` output shards: (id, shard, pos) with
+    ``shard = md5_hash(id) % n_shards`` and ``pos`` the 1-based rank
+    within the shard by (hash, id).  Reading shards 0..n-1 in pos
+    order replays one fixed pseudo-random permutation of the corpus —
+    reproducible across engines and reruns (the md5 discipline of this
+    module, not an RNG).
+
+    Scale: one hash shuffle keyed on shard + per-shard sort — the
+    window partitions by shard, so parallelism equals ``n_shards``;
+    pick shard counts like the 1000s of output files a 100 TB export
+    writes anyway, never single digits.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql import Window
+
+    # full 60-bit md5-prefix hash (NOT the [0,1e6) bucket of _row_hash:
+    # shard ordering needs the whole hash for a uniform permutation)
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("__h"))
+        .withColumn("shard", (F.col("__h") % n_shards).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
 def stratified_topk_sample(
     df: DataFrame, group_col: str, id_col: str, k: int
 ) -> DataFrame:

@@ -2443,6 +2443,29 @@ GROUP BY 1
 """
 
 
+# Q76 Deterministic shuffle + sharding for training export: one fixed
+# md5-order permutation of the corpus cut into 8 shards.  See
+# operators/sampling.py: shuffle_shards.
+def q76_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import shuffle_shards
+
+    docs = table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, "doc_id", n_shards=8)
+
+
+_Q76_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM documents
+)
+SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -2520,6 +2543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_pack_sequences": q73_pack_sequences,
     "q74_triangle_total": q74_triangle_total,
     "q75_surprisal_mix": q75_surprisal_mix,
+    "q76_shuffle_shards": q76_shuffle_shards,
 }
 
 # Driver-window rotation (round 3).  The round driver gates the FIRST
@@ -2542,6 +2566,7 @@ _WINDOW_PRIORITY = [
     "q67_gap_fill", "q68_triangle_counts", "q69_funnel",
     "q70_cooccurrence_pmi", "q71_retention", "q72_cheapest_supplier",
     "q73_pack_sequences", "q74_triangle_total", "q75_surprisal_mix",
+    "q76_shuffle_shards",
     "q29_kmeans_full", "q31_ivf_ann", "q39_lsh_neardup",
 ]
 QUERIES = {
@@ -2626,4 +2651,5 @@ ORACLES: dict[str, str] = {
     "q73_pack_sequences": _Q73_SQL,
     "q74_triangle_total": _Q74_SQL,
     "q75_surprisal_mix": _Q75_SQL,
+    "q76_shuffle_shards": _Q76_SQL,
 }
