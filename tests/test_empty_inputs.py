@@ -88,3 +88,12 @@ def test_asof_empty_right_keeps_all_left(spark):
     rows = asof_join(left, right, key="k", left_ts="ts", right_ts="rts",
                      right_cols=["payload"]).collect()
     assert len(rows) == 1 and rows[0]["payload"] is None
+
+
+def test_empty_inputs_mixture_and_shards(spark):
+    from themis_tritonsort_spark.operators.sampling import shuffle_shards
+    from themis_tritonsort_spark.operators.textstats import surprisal_mixture
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert shuffle_shards(no_docs, "doc_id", n_shards=4).count() == 0
+    assert surprisal_mixture(no_docs, "doc_id", "text").count() == 0

@@ -592,7 +592,9 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     wc = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
-    total = wc.agg(F.sum("cnt")).collect()[0][0]
+    # sum over an empty corpus is NULL; 1 keeps the (never-evaluated)
+    # ln() argument well-formed so empty input yields empty output
+    total = wc.agg(F.sum("cnt")).collect()[0][0] or 1
     surprisal = wc.select(
         "word",
         F.round(
