@@ -196,3 +196,24 @@ def test_ivf_storage_probe_prunes_cells(spark, tmp_path):
     assert sorted(map(tuple, pruned.collect())) == sorted(
         map(tuple, exact_same.collect())
     )
+
+
+def test_q73_prefix_sum_avoids_single_partition_window(spark):
+    # The packing cumsum must be the two-level form: a range exchange
+    # plus per-partition windows — never one global window that would
+    # serialize the corpus through a single partition.
+    plan = _plan(q.q73_pack_sequences(spark, SF_SMOKE), mode="simple")
+    assert "rangepartitioning" in plan.lower()
+    # the only SinglePartition exchange allowed is the
+    # numPartitions-row offsets aggregate (same shape as q01's rank)
+    assert plan.count("SinglePartition") <= 1
+    assert "InMemoryTableScan" in plan
+
+
+def test_q75_bucketing_avoids_corpus_ntile(spark):
+    # Boundary scalars are collected; classification must be a
+    # comparison chain over the persisted surprisal relation — the
+    # only windows allowed are none at all (group-bys only).
+    plan = _plan(q.q75_surprisal_mix(spark, SF_SMOKE), mode="simple")
+    assert "ntile" not in plan.lower()
+    assert "SinglePartition" not in plan
