@@ -2466,6 +2466,107 @@ FROM h
 """
 
 
+# Q77 The full curation pipeline, filter to training export: language
+# + quality floor + exact-dedup canonical + repetition filter +
+# benchmark decontamination, then chunk and pack the survivors into
+# fixed-budget training sequences.  This is the end-to-end shape a
+# training-data user actually ships; every stage is one of the
+# catalog's individually-oracled operators, composed.
+def q77_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import (
+        chunk_documents,
+        contamination,
+        pack_sequences,
+        repetition_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    quality = text_quality(docs, "doc_id", "text").select(
+        "doc_id", "quality_pct"
+    )
+    langs = lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    dupes = exact_duplicates(docs, "doc_id", "text").where(
+        F.col("doc_id") != F.col("canonical_id")
+    ).select("doc_id")
+    rep = repetition_stats(docs, "doc_id", "text").select(
+        "doc_id", "dup_ngram_ppm", "top_ngram_ppm"
+    )
+    ev = docs.where(F.col("doc_id") % 100 == 0)
+    tr = docs.where(F.col("doc_id") % 100 != 0)
+    contam = contamination(tr, ev, "doc_id", "text", n=4).select("doc_id")
+
+    kept = (
+        tr.join(quality, "doc_id")
+        .join(langs, "doc_id")
+        .join(rep, "doc_id")
+        .join(dupes, "doc_id", "left_anti")
+        .join(contam, "doc_id", "left_anti")
+        .where(
+            (F.col("pred_lang") == "en")
+            & (F.col("quality_pct") >= 40)
+            & (F.col("dup_ngram_ppm") <= 100000)
+            & (F.col("top_ngram_ppm") <= 60000)
+        )
+        .select("doc_id", "text")
+    )
+    chunks = chunk_documents(kept, "doc_id", "text", chunk_tokens=64, overlap=8)
+    return pack_sequences(
+        chunks, "doc_id", "chunk_idx", "n_chunk_tokens", budget=256
+    )
+
+
+_Q77_SQL = f"""
+WITH q AS ({_Q21_SQL}),
+l AS ({_Q22_SQL}),
+h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+dupes AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY ch) AS canon,
+           count(*) OVER (PARTITION BY ch) AS gs
+    FROM h
+  ) WHERE gs > 1 AND doc_id <> canon
+),
+rep AS ({_Q58_SQL}),
+contam AS ({_Q59_SQL}),
+kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN q ON d.doc_id = q.doc_id
+  JOIN l ON d.doc_id = l.doc_id
+  JOIN rep ON d.doc_id = rep.doc_id
+  WHERE d.doc_id % 100 <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM dupes)
+    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+    AND l.pred_lang = 'en' AND q.quality_pct >= 40
+    AND rep.dup_ngram_ppm <= 100000 AND rep.top_ngram_ppm <= 60000
+),
+ktoks AS (
+  SELECT doc_id, {_TOK.format(col='text')} AS t FROM kept
+),
+knz AS (SELECT doc_id, t, len(t) AS n FROM ktoks WHERE len(t) > 0),
+kstarts AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(1, greatest(n - 8, 1), 56)) AS s
+  FROM knz
+),
+kchunks AS (
+  SELECT doc_id, (s - 1) // 56 AS chunk_idx, len(t[s:s+63]) AS nt
+  FROM kstarts
+),
+kc AS (
+  SELECT doc_id, chunk_idx, nt,
+         sum(nt) OVER (ORDER BY doc_id, chunk_idx
+                       ROWS UNBOUNDED PRECEDING) - nt AS st
+  FROM kchunks
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CAST(st // 256 AS BIGINT) AS seq_id,
+       CAST(st % 256 AS BIGINT) AS seq_offset
+FROM kc
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -2544,6 +2645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_triangle_total": q74_triangle_total,
     "q75_surprisal_mix": q75_surprisal_mix,
     "q76_shuffle_shards": q76_shuffle_shards,
+    "q77_full_curation": q77_full_curation,
 }
 
 # Driver-window rotation (round 3).  The round driver gates the FIRST
@@ -2566,7 +2668,7 @@ _WINDOW_PRIORITY = [
     "q67_gap_fill", "q68_triangle_counts", "q69_funnel",
     "q70_cooccurrence_pmi", "q71_retention", "q72_cheapest_supplier",
     "q73_pack_sequences", "q74_triangle_total", "q75_surprisal_mix",
-    "q76_shuffle_shards",
+    "q76_shuffle_shards", "q77_full_curation",
     "q29_kmeans_full", "q31_ivf_ann", "q39_lsh_neardup",
 ]
 QUERIES = {
@@ -2652,4 +2754,5 @@ ORACLES: dict[str, str] = {
     "q74_triangle_total": _Q74_SQL,
     "q75_surprisal_mix": _Q75_SQL,
     "q76_shuffle_shards": _Q76_SQL,
+    "q77_full_curation": _Q77_SQL,
 }
