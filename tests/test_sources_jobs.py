@@ -317,3 +317,10 @@ def test_gensort_published_20gb_checksum(spark):
         gensort_range_checksum(spark, 200_000_000, num_partitions=128)
         == 0x5F5F60B23024285
     )
+
+
+def test_gensort_records_edge_partitioning(spark):
+    # fewer records than partitions, and n=0, must not break the
+    # split planner
+    assert gensort_records(spark, 3, num_partitions=8).count() == 3
+    assert gensort_records(spark, 0).count() == 0
