@@ -2648,28 +2648,36 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_full_curation": q77_full_curation,
 }
 
-# Driver-window rotation (round 3).  The round driver gates the FIRST
-# 50 entries of queries() against their oracles; CORRECTNESS_r02
-# covered exactly q01..q49, leaving q50..q72 bench-timed but
-# oracle-ungated.  Rotate the previously-ungated tail, the three
-# newly-oracled queries (q29/q31/q39), and the new q73/q74 into the
-# window, and fill the rest with the front of the catalog.  The 25
-# entries rotated OUT (q22..q28, q30, q32..q38, q40..q49) were all
-# triple-green in CORRECTNESS_r02 with code unchanged since, and stay
-# oracle-checked locally by tests/test_queries_oracle.py over the full
-# catalog.
+# Driver-window rotation (round 4).  The round driver gates the FIRST
+# 50 entries of queries() against their oracles.  CORRECTNESS_r03
+# covered q01..q18, q29/q31/q39, and q50..q77; the 28 entries with
+# only round-2 driver rows (q19..q28, q30, q32..q38, q40..q49) rotate
+# back in so the r03 ∪ r04 union gives every catalog entry a
+# current-or-previous-round driver proof with nothing older.  q73..q77
+# stay in per the round-3 verdict; the remaining slots hold the front
+# of the catalog (new round-4 entries claim slots from that fill).
+# Everything rotated OUT was triple-green in r03 with code unchanged,
+# and the whole catalog stays oracle-checked locally every run by
+# tests/test_queries_oracle.py.
 _WINDOW_PRIORITY = [
-    "q50_mixture_sample", "q51_chunk_documents", "q52_small_qty_revenue",
-    "q53_order_count_distribution", "q54_yearly_cohorts",
-    "q55_returnflag_pivot", "q56_rolling_hour", "q57_cube_revenue",
-    "q58_repetition_stats", "q59_decontaminate", "q60_encode_tokens",
-    "q61_train_split", "q62_pii_scrub", "q63_tfidf_topk",
-    "q64_unigram_surprisal", "q65_dedup_spans", "q66_blocklist_filter",
-    "q67_gap_fill", "q68_triangle_counts", "q69_funnel",
-    "q70_cooccurrence_pmi", "q71_retention", "q72_cheapest_supplier",
+    "q19_minhash_lsh", "q20_ann_topk", "q21_text_quality",
+    "q22_lang_id", "q23_fingerprint", "q24_window_funcs",
+    "q25_customers_without_orders", "q26_distinct_agg",
+    "q27_parts_shipped_by_brand", "q28_json_extract", "q30_simhash",
+    "q32_above_avg_parts", "q33_late_ship_orders", "q34_region_share",
+    "q35_rollup_revenue", "q36_asof_join", "q37_range_join",
+    "q38_cosine_neardup", "q40_nation_market", "q41_token_counts",
+    "q42_value_quantiles", "q43_corpus_pipeline", "q44_salted_count",
+    "q45_time_rollup", "q46_dedup_clusters", "q47_gap_sessions",
+    "q48_shipping_priority", "q49_stratified_sample",
     "q73_pack_sequences", "q74_triangle_total", "q75_surprisal_mix",
     "q76_shuffle_shards", "q77_full_curation",
-    "q29_kmeans_full", "q31_ivf_ann", "q39_lsh_neardup",
+    "q01_sort_events", "q03_wordcount", "q04_ngrams",
+    "q05_inverted_index", "q06_sessionize", "q07_pagerank",
+    "q08_link_extract", "q09_kmeans_assign", "q10_global_agg",
+    "q11_duplicate_keys", "q13_grep", "q14_pricing_summary",
+    "q15_revenue_by_nation", "q16_top_customers", "q17_exact_dedup",
+    "q18_jaccard_pairs",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
