@@ -26,18 +26,27 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def text_quality(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple = ()
+) -> DataFrame:
     """Per-document quality features:
-    (id, n_tokens, n_chars, n_stop, mean_token_len_x100, quality_pct).
+    (id, [keep...], n_tokens, n_chars, n_stop, mean_token_len_x100,
+    quality_pct).
 
     quality_pct is a 0..100 integer score: penalizes empty/short docs and
     rewards stopword presence (a fluency proxy) and moderate token
     length — the standard cheap-quality-filter recipe.
+
+    The score is pure per-row math, so pipelines that also need other
+    columns (e.g. the text itself for a downstream stage) pass them in
+    ``keep`` and chain instead of joining back on the id — composition
+    stays a single narrow projection over one scan.
     """
     # Materialize the token array and per-row counts in staged
     # projections so the tokenizer runs once per row (see text.ngrams).
     staged = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
         tokens(F.col(text_col)).alias("__toks"),
     )
@@ -45,6 +54,7 @@ def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     t = F.col("__toks")
     staged = staged.select(
         id_col,
+        *keep,
         "n_chars",
         F.size(t).cast("long").alias("n_tokens"),
         F.size(F.array_intersect(t, stop_arr)).cast("long").alias("n_stop"),
@@ -68,6 +78,7 @@ def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     return staged.select(
         F.col(id_col),
+        *keep,
         "n_tokens",
         "n_chars",
         "n_stop",
@@ -76,17 +87,25 @@ def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def lang_id(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple = ()
+) -> DataFrame:
     """Heuristic language ID: count marker-word hits per language over
     the distinct token set; argmax with deterministic tie-break on
-    language code order.  Returns (id, pred_lang, best_hits)."""
+    language code order.  Returns (id, [keep...], pred_lang, best_hits).
+
+    Pure per-row math — ``keep`` passes extra columns through so
+    pipelines chain the classifier inline instead of joining back on
+    the id (see text_quality)."""
     staged = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("__toks"),
     )
     t = F.col("__toks")
     scored = staged.select(
         F.col(id_col),
+        *keep,
         *[
             F.size(
                 F.array_intersect(t, F.array(*[F.lit(w) for w in words]))
@@ -103,6 +122,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         best_hits = F.when(better, F.col(f"__{lang}")).otherwise(best_hits)
     return scored.select(
         F.col(id_col),
+        *keep,
         best_lang.alias("pred_lang"),
         best_hits.cast("long").alias("best_hits"),
     )
@@ -408,6 +428,7 @@ def repetition_stats(
     text_col: str,
     dup_n: int = 3,
     top_n: int = 2,
+    keep: tuple = (),
 ) -> DataFrame:
     """Per-document repetition features (the Gopher-style repetition
     filter, adapted to unstructured token streams):
@@ -432,15 +453,18 @@ def repetition_stats(
 
     staged = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         tokens(F.col(text_col)).alias("__toks"),
     ).select(
         F.col(id_col),
+        *keep,
         F.size("__toks").cast("long").alias("n_tokens"),
         _ngrams(F.col("__toks"), dup_n).alias("__dg"),
         _ngrams(F.col("__toks"), top_n).alias("__tg"),
     )
     map_side = staged.select(
         F.col(id_col),
+        *keep,
         "n_tokens",
         # long BEFORE the 1e6 multiply — int would overflow past ~2k
         # duplicate grams per doc.
@@ -468,6 +492,7 @@ def repetition_stats(
         map_side.join(top, id_col, "left")
         .select(
             id_col,
+            *keep,
             "n_tokens",
             "dup_ngram_ppm",
             F.when(

@@ -2473,6 +2473,17 @@ FROM h
 # training-data user actually ships; every stage is one of the
 # catalog's individually-oracled operators, composed.
 def q77_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan composition: ONE FileScan of ``documents`` is
+    persisted and feeds all five curation signals.  The per-row signals
+    (quality, language, and repetition's map-side fraction) CHAIN as
+    narrow projections via the operators' ``keep`` pass-through instead
+    of joining back on the id, so the only shuffles left are the ones
+    the semantics force: repetition's top-gram aggregate, the
+    exact-dup canonical groupBy, the decontamination aggregate (eval
+    shingles broadcast), and the pack prefix-sum.  At 100 TB this is
+    the difference between one corpus read and five."""
+    from pyspark.storagelevel import StorageLevel
+
     from .operators.textstats import (
         chunk_documents,
         contamination,
@@ -2480,26 +2491,29 @@ def q77_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_stats,
     )
 
-    docs = table(spark, sf_dir, "documents")
-    quality = text_quality(docs, "doc_id", "text").select(
-        "doc_id", "quality_pct"
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    langs = lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    tr = docs.where(F.col("doc_id") % 100 != 0)
+    ev = docs.where(F.col("doc_id") % 100 == 0)
+
+    scored = text_quality(tr, "doc_id", "text", keep=("text",)).select(
+        "doc_id", "text", "quality_pct"
+    )
+    scored = lang_id(scored, "doc_id", "text", keep=("text", "quality_pct"))
+    scored = repetition_stats(
+        scored, "doc_id", "text", keep=("text", "quality_pct", "pred_lang")
+    )
+
     dupes = exact_duplicates(docs, "doc_id", "text").where(
         F.col("doc_id") != F.col("canonical_id")
     ).select("doc_id")
-    rep = repetition_stats(docs, "doc_id", "text").select(
-        "doc_id", "dup_ngram_ppm", "top_ngram_ppm"
-    )
-    ev = docs.where(F.col("doc_id") % 100 == 0)
-    tr = docs.where(F.col("doc_id") % 100 != 0)
     contam = contamination(tr, ev, "doc_id", "text", n=4).select("doc_id")
 
     kept = (
-        tr.join(quality, "doc_id")
-        .join(langs, "doc_id")
-        .join(rep, "doc_id")
-        .join(dupes, "doc_id", "left_anti")
+        scored.join(dupes, "doc_id", "left_anti")
         .join(contam, "doc_id", "left_anti")
         .where(
             (F.col("pred_lang") == "en")
