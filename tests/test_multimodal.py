@@ -43,9 +43,11 @@ def test_extract_features_shape_and_determinism(spark, sf_dir):
     ],
 )
 def test_decode_strict_raises_for_every_media_type(media_type):
-    # The codec seam must stay LOUD: strict mode refuses every media
-    # type while no real codec exists, and the message names the type
-    # so a silent fake can never masquerade as a real decode.
+    # The codec seam must stay LOUD: b"abc" is decodable as NO format,
+    # so strict mode refuses it for every media type, and the message
+    # names the type so a silent fake can never masquerade as a real
+    # decode.  (Real payloads go strict-green — see the real-decoder
+    # tests below.)
     with pytest.raises(NotImplementedError, match=media_type.replace("/", "/")):
         decode_media(b"abc", media_type, strict=True)
     # ... while the documented fallback (the deterministic fake) keeps
@@ -78,3 +80,226 @@ def test_resize_media_uniform_payloads(spark, sf_dir):
         assert len(bytes(r["media"])) == 128
         assert r["meta"]["n_bytes"] == 128
         assert r["meta"]["source"] == "documents"
+
+
+# ---------------------------------------------------------------------------
+# Real-decoder tests: the decode path is no longer a stand-in for
+# PPM/BMP/PNG/WAV — these pin pixel-exact decoding for each format.
+# ---------------------------------------------------------------------------
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+from themis_tritonsort_spark.operators.multimodal import (
+    _decode_bmp,
+    _decode_png,
+    _decode_ppm,
+    _decode_wav,
+    decode_image,
+    encode_ppm,
+    image_block_sums,
+    media_block_sums,
+    ppm_from_documents,
+    resize_image,
+    resize_media,
+)
+
+
+def _rand_img(h=6, w=8, seed=7):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _encode_bmp(arr):
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y][:, ::-1].tobytes()  # BGR
+        rows += row + b"\0" * (stride - len(row))
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+        + rows
+    )
+
+
+def _encode_png(arr, filters=(0,)):
+    """Reference PNG encoder exercising any scanline filter type."""
+    h, w = arr.shape[:2]
+    bpp = 3
+    raw = b""
+    prev = bytes(w * bpp)
+    for y in range(h):
+        row = arr[y].tobytes()
+        f = filters[y % len(filters)]
+        if f == 0:
+            enc = row
+        elif f == 1:  # Sub
+            enc = bytes(
+                (row[x] - (row[x - bpp] if x >= bpp else 0)) & 0xFF
+                for x in range(len(row))
+            )
+        elif f == 2:  # Up
+            enc = bytes((row[x] - prev[x]) & 0xFF for x in range(len(row)))
+        elif f == 3:  # Average
+            enc = bytes(
+                (row[x] - (((row[x - bpp] if x >= bpp else 0) + prev[x]) >> 1))
+                & 0xFF
+                for x in range(len(row))
+            )
+        else:  # 4: Paeth
+            def paeth(a, b, c):
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+            enc = bytes(
+                (
+                    row[x]
+                    - paeth(
+                        row[x - bpp] if x >= bpp else 0,
+                        prev[x],
+                        prev[x - bpp] if x >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(len(row))
+            )
+        raw += bytes([f]) + enc
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_wav(samples_i16, nch=1, rate=8000):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples_i16, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_ppm_roundtrip_pixel_exact():
+    arr = _rand_img()
+    assert np.array_equal(_decode_ppm(encode_ppm(arr)), arr)
+    # comments and flexible whitespace in the header
+    with_comment = b"P6\n# thumb\n8 6\n255\n" + arr.tobytes()
+    assert np.array_equal(_decode_ppm(with_comment), arr)
+
+
+def test_bmp_decode_pixel_exact():
+    arr = _rand_img(5, 7, seed=3)  # odd width exercises row padding
+    assert np.array_equal(_decode_bmp(_encode_bmp(arr)), arr)
+
+
+@pytest.mark.parametrize("filters", [(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)])
+def test_png_decode_all_filters_pixel_exact(filters):
+    arr = _rand_img(6, 5, seed=11)
+    assert np.array_equal(_decode_png(_encode_png(arr, filters)), arr)
+
+
+def test_png_gray_and_rgba():
+    arr = _rand_img(4, 4, seed=5)
+    # gray (color type 0): one channel replicated to RGB on decode
+    gray = arr[:, :, :1]
+    raw = b"".join(b"\0" + gray[y].tobytes() for y in range(4))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = _decode_png(png)
+    assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+
+
+def test_wav_decode_mono_and_stereo():
+    mono = _encode_wav([0, 16384, -16384, 32767])
+    x = _decode_wav(mono)
+    assert np.allclose(x, [0, 0.5, -0.5, 32767 / 32768])
+    stereo = _encode_wav([100, 200, 300, 400], nch=2)
+    y = _decode_wav(stereo)
+    assert np.allclose(y, [150 / 32768, 350 / 32768])
+
+
+def test_decode_media_strict_green_on_real_payloads():
+    arr = _rand_img()
+    for payload, mt in [
+        (encode_ppm(arr), "image/x-portable-pixmap"),
+        (_encode_png(arr, (4,)), "image/png"),
+        (_encode_bmp(arr), "image/bmp"),
+        (_encode_wav([0, 1000, -1000]), "audio/wav"),
+    ]:
+        feats = decode_media(payload, mt, strict=True)  # must NOT raise
+        assert len(feats) == FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in feats)
+    # identical pixels through different containers -> identical features
+    assert decode_media(encode_ppm(arr), "image/x-portable-pixmap", strict=True) == \
+        decode_media(_encode_png(arr), "image/png", strict=True)
+
+
+def test_image_block_sums_exact_total():
+    arr = _rand_img(6, 8)
+    blocks = image_block_sums(encode_ppm(arr))
+    assert len(blocks) == 16
+    assert sum(blocks) == int(arr.astype(int).sum())
+
+
+def test_decode_image_sniffs_format_not_media_type():
+    arr = _rand_img()
+    assert np.array_equal(decode_image(_encode_png(arr)), arr)
+    assert decode_image(b"not an image") is None
+
+
+def test_resize_media_real_image_path(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(10)
+    media = ppm_from_documents(docs)
+    out = resize_media(media, target_w=4, target_h=4).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["media_type"] == "image/x-portable-pixmap"
+        arr = _decode_ppm(bytes(r["media"]))
+        assert arr is not None and arr.shape == (4, 4, 3)
+        assert r["meta"]["n_bytes"] == len(bytes(r["media"]))
+
+
+def test_resize_image_nearest_neighbor_semantics():
+    arr = _rand_img(8, 8)
+    out = resize_image(arr, 4, 4)
+    # nearest-neighbor with (i*n)//target mapping picks rows/cols 0,2,4,6
+    assert np.array_equal(out, arr[::2, ::2])
+
+
+def test_media_block_sums_matches_local_decoder(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(8)
+    media = ppm_from_documents(docs)
+    rows = media_block_sums(media).collect()
+    local = {
+        r["id"]: image_block_sums(bytes(r["media"]))
+        for r in media.collect()
+    }
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["id"], [0] * 16)[r["block_idx"]] = r["gray_sum"]
+    assert got == local

@@ -2581,6 +2581,50 @@ FROM kc
 """
 
 
+# Q78 REAL image decode, oracle-checked end-to-end.  Each document
+# becomes an 8x6 binary PPM whose pixel bytes are md5-derived (and so
+# reproducible in any engine); Spark ENCODES the payloads, DECODES them
+# with the pure-python image decoder (operators/multimodal.py:
+# decode_image), and emits the exact-integer 4x4 block-sum grid.  The
+# DuckDB oracle re-derives the same pixels arithmetically from md5 hex
+# — if any byte of the encode->decode path drifts, the hash gate
+# catches it.  This closes the "decode is a stand-in" seam: the codec
+# path under test is the real one extract_features uses.
+def q78_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import media_block_sums, ppm_from_documents
+
+    docs = table(spark, sf_dir, "documents")
+    media = ppm_from_documents(docs, width=8, height=6)
+    return media_block_sums(media).select(
+        F.col("id").alias("doc_id"), "block_idx", "gray_sum"
+    )
+
+
+_Q78_SQL = """
+WITH bytes AS (
+  SELECT d.doc_id, g.f,
+         ('0x' || substr(md5(d.text || '-' || CAST(g.f // 16 AS VARCHAR)),
+                         2 * (g.f % 16) + 1, 2))::BIGINT AS v
+  FROM documents d, generate_series(0, 143) g(f)
+),
+pix AS (
+  SELECT doc_id, f // 3 AS p, SUM(v) AS gray
+  FROM bytes GROUP BY 1, 2
+),
+blocks AS (
+  SELECT doc_id,
+         CASE WHEN p // 8 < 1 THEN 0 WHEN p // 8 < 3 THEN 1
+              WHEN p // 8 < 4 THEN 2 ELSE 3 END AS by,
+         (p % 8) // 2 AS bx,
+         gray
+  FROM pix
+)
+SELECT doc_id, CAST(4 * by + bx AS BIGINT) AS block_idx,
+       CAST(SUM(gray) AS BIGINT) AS gray_sum
+FROM blocks GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -2660,6 +2704,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_surprisal_mix": q75_surprisal_mix,
     "q76_shuffle_shards": q76_shuffle_shards,
     "q77_full_curation": q77_full_curation,
+    "q78_media_decode": q78_media_decode,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -2685,7 +2730,7 @@ _WINDOW_PRIORITY = [
     "q45_time_rollup", "q46_dedup_clusters", "q47_gap_sessions",
     "q48_shipping_priority", "q49_stratified_sample",
     "q73_pack_sequences", "q74_triangle_total", "q75_surprisal_mix",
-    "q76_shuffle_shards", "q77_full_curation",
+    "q76_shuffle_shards", "q77_full_curation", "q78_media_decode",
     "q01_sort_events", "q03_wordcount", "q04_ngrams",
     "q05_inverted_index", "q06_sessionize", "q07_pagerank",
     "q08_link_extract", "q09_kmeans_assign", "q10_global_agg",
@@ -2777,4 +2822,5 @@ ORACLES: dict[str, str] = {
     "q75_surprisal_mix": _Q75_SQL,
     "q76_shuffle_shards": _Q76_SQL,
     "q77_full_curation": _Q77_SQL,
+    "q78_media_decode": _Q78_SQL,
 }
