@@ -288,7 +288,14 @@ def cooccurrence_pmi(
     counts (n_a, n_b) are computed over the same capped sets so the
     PMI stays self-consistent.
     """
-    n_docs = df.count()
+    # N as a lazy 1-row aggregate broadcast onto the result — not an
+    # eager driver-side count(), so the whole query is one Spark job
+    # (the count branch scans only the id column).
+    n_docs_df = (
+        df.select(F.col(id_col))
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+    )
     words = df.select(
         F.col(id_col),
         F.array_distinct(F.array_sort(tokens(F.col(text_col)))).alias("__ws"),
@@ -361,6 +368,7 @@ def cooccurrence_pmi(
             "w2",
         )
         .where(F.col("n_ab") >= min_pairs)
+        .crossJoin(F.broadcast(n_docs_df))
     )
     return joined.select(
         "w1",
@@ -369,7 +377,7 @@ def cooccurrence_pmi(
         F.round(
             F.lit(1_000_000.0)
             * F.log(
-                (F.col("n_ab") * F.lit(int(n_docs))).cast("double")
+                (F.col("n_ab") * F.col("__n_docs")).cast("double")
                 / (F.col("__na") * F.col("__nb")).cast("double")
             )
         )
