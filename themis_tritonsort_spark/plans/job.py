@@ -489,6 +489,87 @@ class ThemisJob:
         )
 
 
+def _resolve_source(
+    spark: SparkSession,
+    job: ThemisJob,
+    df: DataFrame | None,
+    sf_dir: str | None,
+) -> DataFrame:
+    if df is not None:
+        return df
+    if job.input_table is not None:
+        from ..data import table
+
+        return table(spark, sf_dir, job.input_table)
+    if job.input_path is not None:
+        return spark.read.parquet(job.input_path)
+    raise ValueError("job needs input_table, input_path, or df")
+
+
+def _sampled_bytes(df: DataFrame, n_rows: int) -> tuple[int, int]:
+    """(total serialized bytes, rows) over the first ``n_rows`` rows —
+    JSON length as a cheap, deterministic row-width estimator."""
+    from pyspark.sql import functions as F
+
+    agg = (
+        df.limit(n_rows)
+        .select(
+            F.sum(
+                F.length(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+            ).alias("b"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .first()
+    )
+    return int(agg["b"] or 0), int(agg["c"] or 0)
+
+
+def sample_partition_count(
+    spark: SparkSession,
+    job: ThemisJob,
+    df: DataFrame | None = None,
+    sf_dir: str | None = None,
+    *,
+    sample_rows: int = 2000,
+    target_partition_bytes: int = 128 << 20,
+    min_partitions: int = 1,
+    max_partitions: int = 16384,
+) -> int:
+    """Phase-0-style map-output-aware shuffle sizing.
+
+    The reference's phase zero runs the REAL map function over input
+    samples, records bytes-in vs bytes-out per sample
+    (``mapreduce/common/PhaseZeroSampleMetadata.cc:12-76``), and sizes
+    intermediate partitions from the measured inflation so that each
+    downstream partition lands near a target byte size
+    (``main.cc:1516-1536``: intermediate_data_size = input *
+    outputRatio).  Spark's AQE coalesces small post-shuffle partitions
+    at runtime, but it cannot RAISE the partition count above
+    ``spark.sql.shuffle.partitions`` when a map inflates its input —
+    this is the one phase-0 behavior with no built-in analog.
+
+    Runs ``job``'s map fragment over a ``sample_rows`` prefix of the
+    input, measures the byte ratio, scales by the estimated total
+    input size, and returns ceil(total_out / target) clamped to
+    [min_partitions, max_partitions].  Cost: two tiny sample jobs plus
+    one count of the source.
+    """
+    import math
+
+    src = _resolve_source(spark, job, df, sf_dir)
+    in_bytes, in_rows = _sampled_bytes(src, sample_rows)
+    if in_rows == 0 or in_bytes == 0:
+        return min_partitions
+    mapped = MAP_FUNCTIONS[job.map_function](src.limit(sample_rows), job.params)
+    out_bytes, _ = _sampled_bytes(mapped, sample_rows * 64)
+    total_rows = src.count()
+    total_out = total_rows * (in_bytes / in_rows) * (out_bytes / in_bytes)
+    return max(
+        min_partitions,
+        min(max_partitions, math.ceil(total_out / target_partition_bytes)),
+    )
+
+
 def run_job(
     spark: SparkSession,
     job: ThemisJob,
@@ -502,16 +583,32 @@ def run_job(
     where physical layout IS the result; aggregating reduces let
     Catalyst choose the shuffle, which already hash-partitions on the
     group key — forcing a pre-shuffle would double-shuffle.
-    """
-    if df is None:
-        if job.input_table is not None:
-            from ..data import table
 
-            df = table(spark, sf_dir, job.input_table)
-        elif job.input_path is not None:
-            df = spark.read.parquet(job.input_path)
-        else:
-            raise ValueError("job needs input_table, input_path, or df")
+    ``params["AUTO_PARTITIONS"]`` (truthy) sizes NUM_PARTITIONS from
+    the measured map-output ratio (see sample_partition_count) unless
+    the spec pinned an explicit NUM_PARTITIONS;
+    ``params["TARGET_PARTITION_BYTES"]`` overrides the 128 MiB target.
+    """
+    df = _resolve_source(spark, job, df, sf_dir)
+
+    if job.params.get("AUTO_PARTITIONS") and "NUM_PARTITIONS" not in job.params:
+        n = sample_partition_count(
+            spark,
+            job,
+            df=df,
+            sf_dir=sf_dir,
+            target_partition_bytes=int(
+                job.params.get("TARGET_PARTITION_BYTES", 128 << 20)
+            ),
+        )
+        job = ThemisJob(
+            map_function=job.map_function,
+            reduce_function=job.reduce_function,
+            partition_function=job.partition_function,
+            params={**job.params, "NUM_PARTITIONS": n},
+            input_table=job.input_table,
+            input_path=job.input_path,
+        )
 
     out = MAP_FUNCTIONS[job.map_function](df, job.params)
     if job.reduce_function == "IdentityReduceFunction":
