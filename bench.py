@@ -102,6 +102,12 @@ BENCH_QUERIES = {
     "q70_cooccurrence_pmi": q.q70_cooccurrence_pmi,
     "q71_retention": q.q71_retention,
     "q72_cheapest_supplier": q.q72_cheapest_supplier,
+    "q73_pack_sequences": q.q73_pack_sequences,
+    "q74_triangle_total": q.q74_triangle_total,
+    "q75_surprisal_mix": q.q75_surprisal_mix,
+    "q76_shuffle_shards": q.q76_shuffle_shards,
+    "q77_full_curation": q.q77_full_curation,
+    "q78_media_decode": q.q78_media_decode,
 }
 
 
@@ -137,6 +143,10 @@ def main() -> None:
     samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
     runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _ in range(samples):
+        # Queries that persist intermediates (q63, q77) would otherwise
+        # hit their own cache from the previous pass and time the cache
+        # read, not the query.
+        spark.catalog.clearCache()
         for name, fn in BENCH_QUERIES.items():
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
