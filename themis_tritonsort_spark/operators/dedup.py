@@ -73,6 +73,7 @@ def jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.5,
     prefix_filter: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard duplicate pairs.
 
@@ -88,6 +89,16 @@ def jaccard_pairs(
     This kills the quadratic buckets that ubiquitous shingles create in
     the naive shared-shingle self-join — the difference between
     O(sum df^2) and near-linear candidate generation at corpus scale.
+
+    ``max_df`` (the hot-shingle guard) drops shingles whose document
+    frequency exceeds it from the shingle UNIVERSE before anything
+    else: sets shrink, and J is computed over the restricted universe
+    — the standard production approximation (ubiquitous shingles are
+    boilerplate and carry no dedup signal, but each one costs df^2
+    candidate pairs in the unfiltered join).  The hot-shingle list is
+    tiny by construction (few shingles exceed any sane max_df), so the
+    filter is a broadcast anti-join — no extra corpus shuffle.
+    Default None keeps the operator exact.
     """
     # Tokenize/shingle each doc exactly ONCE: materialize the per-doc
     # shingle-set table and derive the exploded view, frequency table,
@@ -95,6 +106,25 @@ def jaccard_pairs(
     # re-runs the tokenize+ngram scan once per branch.
     docsets = _doc_shingle_sets(df, id_col, text_col, n).persist()
     sh = docsets.select("doc", F.explode("set").alias("shingle"))
+
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # rebuild the per-doc sets over the restricted universe so the
+        # exact-intersection stage agrees with the candidate stage
+        docsets = (
+            sh.groupBy("doc")
+            .agg(F.array_sort(F.collect_set("shingle")).alias("set"))
+            .withColumn("sz", F.size("set"))
+            .where(F.col("sz") > 0)
+            .persist()
+        )
+        sh = docsets.select("doc", F.explode("set").alias("shingle"))
 
     if prefix_filter:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
@@ -231,8 +261,28 @@ def lsh_band_buckets(
     )
 
 
-def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
-    """Distinct candidate pairs (doc_a < doc_b) sharing any band bucket."""
+def lsh_candidate_pairs(
+    buckets: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing any band bucket.
+
+    ``max_bucket`` is the hot-bucket skew guard: a band bucket holding
+    k docs emits k(k-1)/2 pairs, so one boilerplate cluster (an empty
+    string, a licence header) can turn the self-join quadratic at
+    corpus scale.  Buckets larger than ``max_bucket`` are dropped
+    BEFORE the join — production near-dup pipelines treat such buckets
+    as degenerate (they are trivially all-duplicates; handle them with
+    exact dedup, which is linear, not with pairwise LSH).  The bucket
+    count reuses the join's own (band, band_sig) partitioning, so the
+    guard costs no extra shuffle.
+    """
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_sig")
+        buckets = (
+            buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
