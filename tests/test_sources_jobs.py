@@ -319,6 +319,49 @@ def test_gensort_published_20gb_checksum(spark):
     )
 
 
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_HEAVY"),
+    reason="400M-record generate pass (~45 s); set SPARK_GRAFT_HEAVY=1",
+)
+def test_gensort_published_40gb_checksum(spark):
+    # validate.py:41: 40 GB uniform.  Verified green on 2026-08-14
+    # (45 s on local[32]).
+    assert (
+        gensort_range_checksum(spark, 400_000_000, num_partitions=128)
+        == 0xBEBD46A2CB44934
+    )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_HEAVY"),
+    reason="1G-record generate pass (~130 s); set SPARK_GRAFT_HEAVY=1",
+)
+def test_gensort_published_100gb_checksum(spark):
+    # validate.py:43: 100 GB uniform — the round-3 verdict's ladder
+    # ask.  Verified green on 2026-08-14 (130 s on local[32], streamed
+    # — no disk involved; the LCG skip-ahead seeks each partition).
+    assert (
+        gensort_range_checksum(spark, 1_000_000_000, num_partitions=256)
+        == 0x1DCD7F0BB4142463
+    )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_HEAVY"),
+    reason="1G-record skewed generate pass (~155 s); set SPARK_GRAFT_HEAVY=1",
+)
+def test_gensort_published_100gb_skewed_checksum(spark):
+    # validate.py:51: 100 GB SKEWED (Daytona) — pins the skewed
+    # generator at published scale, not just the small binary-pinned
+    # fixtures.  Verified green on 2026-08-14 (155 s on local[32]).
+    assert (
+        gensort_range_checksum(
+            spark, 1_000_000_000, skewed=True, num_partitions=256
+        )
+        == 0x1DCD8124292C1127
+    )
+
+
 def test_gensort_records_edge_partitioning(spark):
     # fewer records than partitions, and n=0, must not break the
     # split planner
