@@ -217,3 +217,40 @@ def test_q75_bucketing_avoids_corpus_ntile(spark):
     plan = _plan(q.q75_surprisal_mix(spark, SF_SMOKE), mode="simple")
     assert "ntile" not in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_q77_single_scan_feeds_all_signals(spark):
+    # the round-4 rewrite: ONE FileScan of documents (persisted) must
+    # feed quality/lang/dupes/repetition/decontamination.  Collapse the
+    # repeated cached-subtree printouts the way the plan audit does,
+    # then count real scans.
+    import re
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    from tools.plan_audit import _dedup_cached
+
+    spark.catalog.clearCache()
+    df = q.q77_full_curation(spark, SF_SMOKE)
+    s = _dedup_cached(_plan(df, "simple"))
+    assert s.count("FileScan") == 1
+    exchanges = len(
+        re.findall(r"(?<!Reused)Exchange (hash|range|Single|RoundRobin)", s)
+    )
+    assert exchanges <= 10  # was 16 as a five-scan composition
+    spark.catalog.clearCache()
+
+
+def test_q70_pmi_no_eager_count(spark):
+    # the N term must be a lazy broadcast aggregate, not a driver-side
+    # df.count() — building the operator must launch ZERO jobs (the
+    # parquet schema read that table() pays is warmed first)
+    from themis_tritonsort_spark.data import table
+    from themis_tritonsort_spark.operators.textstats import cooccurrence_pmi
+
+    docs = table(spark, SF_SMOKE, "documents")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    cooccurrence_pmi(docs, "doc_id", "text", min_pairs=2, max_tokens_per_doc=16)
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before
