@@ -183,6 +183,78 @@ def cosine_neardup_pairs(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centers: list[list[float]],
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with k-means, then mark
+    any item whose cosine to a LOWER-id item in the SAME cluster
+    reaches ``threshold`` as a duplicate.  Output
+    (id, cluster, is_dup) — one row per input, all integers.
+
+    Scale: the clustering IS the blocking structure — the pairwise
+    stage is an equi-join on the cluster id, so candidate pairs are
+    bounded per cluster (sum of cluster-size^2), never
+    corpus-quadratic; at 100 TB, k grows with the corpus to hold
+    cluster cardinality constant, and the centers broadcast (literal
+    fold for small k, Arrow matmul for IVF-sized codebooks — see
+    assign_clusters).  The single-pass lower-id rule keeps the
+    operator deterministic and one extra shuffle over assignment; the
+    paper's greedy-sequential variant needs per-cluster iteration for
+    marginal additional removal.
+
+    Nearest-center assignment reuses operators/kmeans.py
+    assign_clusters (strict-< argmin in center order,
+    KMeansMapFunction.cc:188-214)."""
+    assigned = assign_clusters(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col, centers
+    )
+    sided = assigned.select(
+        F.col(id_col).alias("__id"),
+        F.col("cluster").alias("__cl"),
+        as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    a = sided.select(
+        F.col("__id").alias("__ida"),
+        F.col("__cl").alias("__cla"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = sided.select(
+        F.col("__id").alias("__idb"),
+        F.col("__cl").alias("__clb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    dups = (
+        a.join(
+            b,
+            (F.col("__cla") == F.col("__clb"))
+            & (F.col("__ida") < F.col("__idb")),
+        )
+        .where(cos >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        assigned.select(
+            F.col(id_col), F.col("cluster").cast("long").alias("cluster")
+        )
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(F.col("__dup"), F.lit(0)).cast("long").alias("is_dup"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic Gaussian random hyperplanes (sign-LSH for cosine)."""
     rng = np.random.RandomState(seed)

@@ -2625,6 +2625,54 @@ FROM blocks GROUP BY 1, 2
 """
 
 
+# Q79 SemDeDup: semantic dedup by k-means blocking + within-cluster
+# cosine (operators/similarity.py: semdedup).  The oracle re-derives
+# the assignment with the q09 argmin CTE and the duplicate rule with
+# an EXISTS-style lower-id join — every decision (distance argmin,
+# cosine threshold) is the same double arithmetic both engines fold
+# identically (proven by q09/q38's hash-green rows).
+def q79_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semdedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    centers = _seed_centers(spark, sf_dir)
+    return semdedup(emb, "vec_id", "embedding", centers, NEARDUP_COS)
+
+
+_Q79_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(v) + 1),
+                                 i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
+  FROM e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, cid AS cluster
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d)
+  WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a
+  JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v))
+             * sqrt(list_dot_product(eb.v, eb.v))) >= {NEARDUP_COS}
+)
+SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN dups.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -2705,6 +2753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_shuffle_shards": q76_shuffle_shards,
     "q77_full_curation": q77_full_curation,
     "q78_media_decode": q78_media_decode,
+    "q79_semdedup": q79_semdedup,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -2731,12 +2780,12 @@ _WINDOW_PRIORITY = [
     "q48_shipping_priority", "q49_stratified_sample",
     "q73_pack_sequences", "q74_triangle_total", "q75_surprisal_mix",
     "q76_shuffle_shards", "q77_full_curation", "q78_media_decode",
+    "q79_semdedup",
     "q01_sort_events", "q03_wordcount", "q04_ngrams",
     "q05_inverted_index", "q06_sessionize", "q07_pagerank",
     "q08_link_extract", "q09_kmeans_assign", "q10_global_agg",
     "q11_duplicate_keys", "q13_grep", "q14_pricing_summary",
     "q15_revenue_by_nation", "q16_top_customers", "q17_exact_dedup",
-    "q18_jaccard_pairs",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
@@ -2823,4 +2872,5 @@ ORACLES: dict[str, str] = {
     "q76_shuffle_shards": _Q76_SQL,
     "q77_full_curation": _Q77_SQL,
     "q78_media_decode": _Q78_SQL,
+    "q79_semdedup": _Q79_SQL,
 }
