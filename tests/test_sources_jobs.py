@@ -321,6 +321,30 @@ def test_gensort_published_20gb_checksum(spark):
 
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_HEAVY"),
+    reason="20 GB on-disk sort (~7 min, needs ~60 GB free); set SPARK_GRAFT_HEAVY=1",
+)
+def test_gensort_published_20gb_disk_roundtrip(spark, workdir):
+    # Full-fidelity GraySort at the largest scale the sandbox disk
+    # affords END-TO-END: generate -> range-shuffle sort -> executor
+    # write -> distributed valsort of the on-disk output, landing on
+    # the PUBLISHED 20 GB checksum.  Peak disk is ~3x the data (map
+    # shuffle output + external-sort spill + final files): 30 GB was
+    # verified to ENOSPC an 80 GB-free disk, 20 GB fits.  Verified
+    # green 2026-08-14: 382 s gen+sort+write + 7 s valsort, sorted
+    # True, checksum exact.
+    out = os.path.join(workdir, "g20sorted")
+    write_gensort(
+        sort_records(gensort_records(spark, 200_000_000, num_partitions=128)),
+        out,
+    )
+    chk = valsort_check(spark, out)
+    assert chk["records"] == 200_000_000
+    assert chk["sorted"]
+    assert chk["checksum"] == 0x5F5F60B23024285
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_HEAVY"),
     reason="400M-record generate pass (~45 s); set SPARK_GRAFT_HEAVY=1",
 )
 def test_gensort_published_40gb_checksum(spark):
