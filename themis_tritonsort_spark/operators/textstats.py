@@ -600,6 +600,85 @@ def tf_idf_topk(
     )
 
 
+def bigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood with add-one
+    smoothing — the CCNet-style language-model quality filter,
+    generalizing unigram_surprisal to conditional probabilities:
+    (id, n_bigrams, nll_micronat, mean_micronat) over
+    ``P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)`` with corpus bigram
+    count c(w1 w2), left-context total c(w1 ·), and observed unigram
+    vocabulary size V.  Docs with fewer than two tokens have no
+    bigrams and produce no row.
+
+    Each DISTINCT bigram's surprisal ``round(-1e6 * ln(...))`` is an
+    integer BEFORE the per-doc sum, so the document aggregate is an
+    order-independent exact integer and every ln() sees the same three
+    integers in any engine.
+
+    Scale: unlike the unigram table, corpus bigram types do NOT fit
+    one executor at 100 TB — so the scoring join back onto the
+    (doc, bigram) tf relation keys on the bigram, the key the counts
+    aggregate just shuffled on (co-partitioned sort-merge join, no
+    broadcast).  Left-context totals are unigram-vocabulary-sized and
+    broadcast; V rides in as a broadcast one-row aggregate (no eager
+    driver count).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.text import ngrams as _ngrams
+
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    tf = (
+        base.select(
+            F.col(id_col), F.explode(_ngrams(F.col("__toks"), 2)).alias("bg")
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cab = tf.groupBy("bg").agg(F.sum("tf").alias("cab"))
+    ca = (
+        cab.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("cab").alias("ca"))
+    )
+    vocab = (
+        base.select(F.explode("__toks").alias("w"))
+        .agg(F.count_distinct("w").alias("V"))
+    )
+    s = (
+        cab.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(ca), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.round(
+                F.lit(-1_000_000.0)
+                * F.log(
+                    (F.col("cab") + 1).cast("double")
+                    / (F.col("ca") + F.col("V")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("s_micronat"),
+        )
+    )
+    return (
+        tf.join(s, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("s_micronat"))
+            .cast("long")
+            .alias("nll_micronat"),
+        )
+        .withColumn(
+            "mean_micronat",
+            F.expr("nll_micronat div n_bigrams").cast("long"),
+        )
+    )
+
+
 def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document unigram negative log-likelihood — the classic
     perplexity-style quality signal: (id, n_tokens, nll_micronat,

@@ -2673,6 +2673,52 @@ FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id
 """
 
 
+# Q80 Bigram-LM perplexity scoring (CCNet-style quality filter):
+# add-one-smoothed P(w2|w1), per-bigram surprisal rounded to integer
+# micro-nats before the per-doc sum — operators/textstats.py:
+# bigram_surprisal.  The scoring join keys on the bigram (corpus
+# bigram types never broadcast at scale); left-context totals and the
+# vocabulary size ride in as broadcasts.
+def q80_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import bigram_surprisal
+
+    docs = table(spark, sf_dir, "documents")
+    return bigram_surprisal(docs, "doc_id", "text")
+
+
+_Q80_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK.format(col='text')} AS t FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+tf AS (SELECT doc_id, bg, count(*) AS tf FROM big GROUP BY 1, 2),
+cab AS (SELECT bg, sum(tf) AS cab FROM tf GROUP BY bg),
+ca AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(cab) AS ca FROM cab GROUP BY 1
+),
+v AS (
+  SELECT count(DISTINCT w) AS vsz
+  FROM (SELECT unnest(t) AS w FROM toks)
+),
+s AS (
+  SELECT bg,
+         CAST(ROUND(-1000000.0 * ln((CAST(cab AS DOUBLE) + 1)
+                                    / (CAST(ca AS DOUBLE) + vsz))) AS BIGINT) AS s
+  FROM cab JOIN ca ON split_part(cab.bg, ' ', 1) = ca.w1, v
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       CAST(sum(tf * s) AS BIGINT) AS nll_micronat,
+       CAST(sum(tf * s) // sum(tf) AS BIGINT) AS mean_micronat
+FROM tf JOIN s USING (bg)
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -2754,6 +2800,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_full_curation": q77_full_curation,
     "q78_media_decode": q78_media_decode,
     "q79_semdedup": q79_semdedup,
+    "q80_bigram_perplexity": q80_bigram_perplexity,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -2780,12 +2827,12 @@ _WINDOW_PRIORITY = [
     "q48_shipping_priority", "q49_stratified_sample",
     "q73_pack_sequences", "q74_triangle_total", "q75_surprisal_mix",
     "q76_shuffle_shards", "q77_full_curation", "q78_media_decode",
-    "q79_semdedup",
+    "q79_semdedup", "q80_bigram_perplexity",
     "q01_sort_events", "q03_wordcount", "q04_ngrams",
     "q05_inverted_index", "q06_sessionize", "q07_pagerank",
     "q08_link_extract", "q09_kmeans_assign", "q10_global_agg",
     "q11_duplicate_keys", "q13_grep", "q14_pricing_summary",
-    "q15_revenue_by_nation", "q16_top_customers", "q17_exact_dedup",
+    "q15_revenue_by_nation", "q16_top_customers",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
@@ -2873,4 +2920,5 @@ ORACLES: dict[str, str] = {
     "q77_full_curation": _Q77_SQL,
     "q78_media_decode": _Q78_SQL,
     "q79_semdedup": _Q79_SQL,
+    "q80_bigram_perplexity": _Q80_SQL,
 }
