@@ -108,6 +108,8 @@ BENCH_QUERIES = {
     "q76_shuffle_shards": q.q76_shuffle_shards,
     "q77_full_curation": q.q77_full_curation,
     "q78_media_decode": q.q78_media_decode,
+    "q79_semdedup": q.q79_semdedup,
+    "q80_bigram_perplexity": q.q80_bigram_perplexity,
 }
 
 
