@@ -146,3 +146,35 @@ def test_max_df_prunes_candidate_stage_not_just_output(spark):
     quadratic = n_docs * (n_docs - 1) // 2
     assert naive_cands == quadratic  # the footer makes it all-pairs
     assert capped_cands < n_docs  # near-linear after the guard
+
+
+def test_hot_bucket_cap_on_embedding_lsh(spark):
+    # 20 identical embeddings collide in EVERY band bucket; the cap
+    # must drop those buckets while a genuine near-dup pair in the
+    # unique remainder still collides
+    import numpy as np
+
+    from themis_tritonsort_spark.operators.similarity import (
+        hyperplane_lsh_neardup,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(N_HOT)]  # hot cluster
+    for i in range(N_HOT, 100):
+        rows.append((i, list(map(float, rng.normal(size=4)))))
+    v = list(map(float, rng.normal(size=4)))
+    rows.append((1000, v))
+    rows.append((1001, [x * 1.001 for x in v]))  # planted true near-dup
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(threshold=0.99, dim=4, n_planes=8, bands=4)
+    uncapped = hyperplane_lsh_neardup(df, "vec_id", "embedding", **kw)
+    capped = hyperplane_lsh_neardup(
+        df, "vec_id", "embedding", max_bucket=10, **kw
+    )
+    got_uncapped = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    got_capped = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    hot_quadratic = N_HOT * (N_HOT - 1) // 2
+    assert len(got_uncapped) >= hot_quadratic
+    assert all(not (a < N_HOT and b < N_HOT) for a, b in got_capped)
+    assert (1000, 1001) in got_capped

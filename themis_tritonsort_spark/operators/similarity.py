@@ -271,6 +271,7 @@ def hyperplane_lsh_neardup(
     bands: int = 4,
     seed: int = 13,
     verify: str = "numpy",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate near-duplicate pairs via sign-random-projection LSH.
 
@@ -312,6 +313,15 @@ def hyperplane_lsh_neardup(
     path: summation order differs between einsum's pairwise reduction
     and the fold, so ppm roundings near a .5 boundary could otherwise
     disagree).
+
+    ``max_bucket`` is the hot-bucket skew guard (same failure mode and
+    same fix as the MinHash path, operators/dedup.py
+    lsh_candidate_pairs): a band bucket holding k vectors — a cluster
+    of identical embeddings, or the all-positive-signature bucket a
+    biased corpus produces — emits k(k-1)/2 candidates.  Buckets over
+    the cap are dropped before the self-join via a count window on the
+    join's own (band, bucket) partitioning (no extra shuffle); the
+    degenerate cluster belongs to exact dedup, which is linear.
     """
     if verify not in ("numpy", "fold"):
         raise ValueError(f"verify must be 'numpy' or 'fold', got {verify!r}")
@@ -344,6 +354,13 @@ def hyperplane_lsh_neardup(
     band_rows = sided.select(
         "__id", F.posexplode(band_buckets("__v")).alias("band", "bucket")
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bucket")
+        band_rows = (
+            band_rows.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     cand = (
         band_rows.alias("a")
         .join(
