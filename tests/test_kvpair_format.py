@@ -111,3 +111,23 @@ def test_gensort_records_through_kvpair_format(spark, workdir):
     assert gensort_checksum(back) == expected
     keys = [bytes(r["key"]) for r in back.collect()]
     assert keys == sorted(keys)
+
+
+def test_kvpair_stream_property_random_pairs_and_chunks():
+    # property: ANY pair list survives ANY chunking of the byte stream
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        pairs=st.lists(
+            st.tuples(st.binary(max_size=40), st.binary(max_size=120)),
+            max_size=12,
+        ),
+        chunk=st.integers(min_value=1, max_value=64),
+    )
+    def check(pairs, chunk):
+        raw = _reference_bytes(pairs)
+        assert list(iter_kvpairs(io.BytesIO(raw), chunk)) == pairs
+
+    check()

@@ -303,3 +303,34 @@ def test_media_block_sums_matches_local_decoder(spark, sf_dir):
     for r in rows:
         got.setdefault(r["id"], [0] * 16)[r["block_idx"]] = r["gray_sum"]
     assert got == local
+
+
+def _encode_png_ct(arr2d_channels, color_type):
+    """Minimal PNG encoder for arbitrary color type (filter 0 rows)."""
+    h, w, ch = arr2d_channels.shape
+    raw = b"".join(b"\0" + arr2d_channels[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_rgba_drops_alpha():
+    rgba = _rand_img(4, 5, seed=9)
+    alpha = np.full((4, 5, 1), 128, np.uint8)
+    png = _encode_png_ct(np.concatenate([rgba, alpha], axis=2), color_type=6)
+    assert np.array_equal(_decode_png(png), rgba)
+
+
+def test_png_gray_alpha_keeps_gray():
+    gray = _rand_img(3, 4, seed=13)[:, :, :1]
+    alpha = np.full((3, 4, 1), 200, np.uint8)
+    png = _encode_png_ct(np.concatenate([gray, alpha], axis=2), color_type=4)
+    assert np.array_equal(_decode_png(png), np.repeat(gray, 3, axis=2))
