@@ -97,3 +97,51 @@ def test_empty_inputs_mixture_and_shards(spark):
     no_docs = spark.createDataFrame([], "doc_id long, text string")
     assert shuffle_shards(no_docs, "doc_id", n_shards=4).count() == 0
     assert surprisal_mixture(no_docs, "doc_id", "text").count() == 0
+
+
+def test_round4_operators_total_over_empty_inputs(spark):
+    from themis_tritonsort_spark.operators.multimodal import (
+        extract_features,
+        media_block_sums,
+        ppm_from_documents,
+        resize_media,
+    )
+    from themis_tritonsort_spark.operators.similarity import semdedup
+    from themis_tritonsort_spark.operators.textstats import bigram_surprisal
+    from themis_tritonsort_spark.plans.job import (
+        ThemisJob,
+        sample_partition_count,
+    )
+    from themis_tritonsort_spark.sources.kvpair import read_kvpair, write_kvpair
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    no_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    no_media = spark.createDataFrame(
+        [],
+        "id long, media binary, media_type string, "
+        "meta struct<n_bytes: long, source: string>",
+    )
+    no_kv = spark.createDataFrame([], "key binary, value binary")
+
+    assert bigram_surprisal(no_docs, "doc_id", "text").count() == 0
+    assert (
+        semdedup(no_vecs, "vec_id", "embedding", [[1.0, 0.0]], 0.9).count() == 0
+    )
+    assert ppm_from_documents(no_docs).count() == 0
+    assert extract_features(no_media).count() == 0
+    assert media_block_sums(no_media).count() == 0
+    assert resize_media(no_media).count() == 0
+    # phase-0 sizing on an empty source returns the floor, not a crash
+    assert sample_partition_count(spark, ThemisJob(), df=no_kv) == 1
+
+    import os
+    import shutil
+
+    scratch = os.path.join(
+        os.path.dirname(__file__), "..", "scratch", "kv_empty"
+    )
+    try:
+        write_kvpair(no_kv, scratch)  # all partition files empty -> removed
+        assert read_kvpair(spark, scratch).count() == 0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -239,3 +239,31 @@ def test_interval_join_streams_rejects_colliding_columns(spark):
     b = spark.createDataFrame([(1, "2024-01-01", 3)], "k long, ts2 string, v long").withColumn("ts2", F.to_timestamp("ts2"))
     with pytest.raises(ValueError):
         interval_join_streams(a, b, key="k", left_ts="ts", right_ts="ts2")
+
+
+def test_curation_signal_chain_streams(spark, stream_dir):
+    """The q77 per-row signal chain (quality -> lang via the `keep`
+    pass-through) is stateless narrow projection, so it runs unchanged
+    on a streaming DataFrame — the single-scan curation front half
+    needs no batch/stream forking."""
+    from themis_tritonsort_spark.operators.textstats import lang_id, text_quality
+
+    src = os.path.join(stream_dir, "curation_src")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and it is fine"),
+            (2, "zz"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    scored = text_quality(stream, "doc_id", "text", keep=("text",)).select(
+        "doc_id", "text", "quality_pct"
+    )
+    scored = lang_id(scored, "doc_id", "text", keep=("quality_pct",))
+    _run_to_memory(scored, "stream_curation")
+    rows = {
+        r["doc_id"]: (r["quality_pct"], r["pred_lang"])
+        for r in spark.sql("SELECT * FROM stream_curation").collect()
+    }
+    assert rows[1][1] == "en" and rows[1][0] > rows[2][0]
