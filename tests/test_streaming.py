@@ -267,3 +267,38 @@ def test_curation_signal_chain_streams(spark, stream_dir):
         for r in spark.sql("SELECT * FROM stream_curation").collect()
     }
     assert rows[1][1] == "en" and rows[1][0] > rows[2][0]
+
+
+def test_neardup_candidates_stream(spark, stream_dir):
+    """Streaming LSH dedup-on-ingest: near-identical docs collide in a
+    band bucket and emit a candidate pair; the hot-bucket cap bounds a
+    planted identical cluster."""
+    from themis_tritonsort_spark.streaming.dedup import (
+        neardup_candidates_stream,
+    )
+
+    rows = [(i, f"unique words u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(30)]
+    rows.append((1000, "a genuinely duplicated document body right here ok"))
+    rows.append((1001, "a genuinely duplicated document body right here ok"))
+    # hot cluster: 20 identical docs
+    rows += [(2000 + i, "boilerplate licence header text verbatim") for i in range(20)]
+    src = os.path.join(stream_dir, "neardup_src")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = neardup_candidates_stream(
+        stream, "doc_id", "text", n=2, num_hashes=8, bands=4, max_bucket=5
+    )
+    _run_to_memory(out, "stream_neardup")
+    pairs = {
+        (min(r["id"], r["prior_id"]), max(r["id"], r["prior_id"]))
+        for r in spark.sql("SELECT * FROM stream_neardup").collect()
+    }
+    assert (1000, 1001) in pairs
+    hot = {p for p in pairs if p[0] >= 2000}
+    # cap: at most C(max_bucket, 2) pairs per band from the hot cluster
+    assert 0 < len(hot) <= 5 * 4 // 2
+    # unique docs don't collide with the hot cluster
+    assert all(not (a < 1000 and b >= 2000) for a, b in pairs)
