@@ -1101,17 +1101,26 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
 # floor + exact-dedup keep-canonical, composed from the q17/q21/q22
 # operators — the selection a training-data pipeline actually ships.
 def q43_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    quality = text_quality(docs, "doc_id", "text").select("doc_id", "n_tokens", "quality_pct")
-    langs = lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    # Single-scan form (same shape as q77): one persisted (doc_id, text)
+    # base feeds the chained per-row signals AND the dedup groupBy.
+    from pyspark.storagelevel import StorageLevel
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    scored = text_quality(docs, "doc_id", "text", keep=("text",)).select(
+        "doc_id", "text", "n_tokens", "quality_pct"
+    )
+    scored = lang_id(scored, "doc_id", "text", keep=("n_tokens", "quality_pct"))
     # exact_duplicates lists only docs in dup groups; keep a doc unless
     # it is a non-canonical member of such a group
     dupes = exact_duplicates(docs, "doc_id", "text").where(
         F.col("doc_id") != F.col("canonical_id")
     ).select("doc_id")
     return (
-        quality.join(langs, "doc_id")
-        .join(dupes, "doc_id", "left_anti")
+        scored.join(dupes, "doc_id", "left_anti")
         .where((F.col("pred_lang") == "en") & (F.col("quality_pct") >= 40))
         .select("doc_id", "n_tokens", "quality_pct", "pred_lang")
     )
