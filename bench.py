@@ -110,6 +110,9 @@ BENCH_QUERIES = {
     "q78_media_decode": q.q78_media_decode,
     "q79_semdedup": q.q79_semdedup,
     "q80_bigram_perplexity": q.q80_bigram_perplexity,
+    "q81_sq8_ann": q.q81_sq8_ann,
+    "q82_bloom_decontam": q.q82_bloom_decontam,
+    "q83_token_budget": q.q83_token_budget,
 }
 
 

@@ -339,3 +339,125 @@ def simhash64(
             F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
     return bit_sums.select("doc", sig.alias("simhash"))
+
+
+# ------------------------------------------------------------------ bloom
+# Incremental decontamination: when a new crawl batch lands, the docs
+# already present in the prior corpus snapshot must be dropped WITHOUT
+# re-shuffling the (100 TB) snapshot.  A Bloom filter over the
+# snapshot's content hashes is the standard answer: m bits + k probes,
+# broadcast to every executor, membership tested map-side on the batch.
+# All hashes are the md5-prefix family of this module, so a SQL oracle
+# reproduces the exact bit positions — including false positives.
+
+BLOOM_K = 3
+
+
+def bloom_positions(text: Column, m_bits: int, k: int = BLOOM_K) -> Column:
+    """array<long> of the ``k`` Bloom bit positions for one document's
+    content: position_j = md5(text || ':' || j) as 60-bit int, mod m."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(text, F.lit(f":{j}"))), 1, 15), 16, 10
+            ).cast("long")
+            % m_bits
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_position_set(
+    df: DataFrame, text_col: str, m_bits: int, k: int = BLOOM_K
+) -> DataFrame:
+    """The snapshot side: distinct set bit positions, as a relation
+    (``pos`` long).  At most ``k * n_docs`` rows before distinct and
+    ``m_bits`` after — bounded by the filter size, not the corpus."""
+    return (
+        df.select(
+            F.explode(bloom_positions(F.col(text_col), m_bits, k)).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_words(positions: DataFrame, m_bits: int) -> list[int]:
+    """Pack a position set into the literal bitmap: ``m_bits / 64``
+    64-bit words.  The distinct+pack aggregation runs on executors;
+    only the packed words (16 KiB at m=2^20) reach the driver — a
+    scalar-sized collect, same budget class as k-means centers."""
+    n_words = (m_bits + 63) // 64
+    packed = (
+        positions.groupBy(F.shiftright(F.col("pos"), 6).alias("word_idx"))
+        .agg(
+            F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")).alias("word")
+        )
+        .collect()
+    )
+    words = [0] * n_words
+    for row in packed:
+        words[row["word_idx"]] = row["word"]
+    return words
+
+
+def bloom_hits_bitmap(
+    df: DataFrame,
+    text_col: str,
+    words: list[int],
+    m_bits: int,
+    k: int = BLOOM_K,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Map-side membership test against the broadcast bitmap: out_col
+    is 1 iff ALL ``k`` probe bits are set (maybe-in-snapshot; false
+    positives possible at the designed rate, false negatives never).
+    Zero shuffles — the bitmap rides into the plan as a literal
+    array<long> and the test is pure codegen bit math per row."""
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    staged = df.withColumn(
+        "__bloom_pos", bloom_positions(F.col(text_col), m_bits, k)
+    ).withColumn(
+        "__bloom_word",
+        F.transform(
+            F.col("__bloom_pos"),
+            lambda p: F.element_at(arr, F.shiftright(p, 6).cast("int") + F.lit(1)),
+        ),
+    )
+    # Bit test needs a column-valued shift amount; the PySpark
+    # shiftright wrapper only takes literal shifts, so use the SQL form.
+    tested = staged.withColumn(
+        out_col,
+        F.expr(
+            "CAST(forall(zip_with(__bloom_word, __bloom_pos,"
+            " (w, p) -> shiftright(w, CAST(p % 64 AS INT)) & 1L),"
+            " b -> b = 1L) AS LONG)"
+        ),
+    )
+    return tested.drop("__bloom_pos", "__bloom_word")
+
+
+def bloom_hits_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    positions: DataFrame,
+    m_bits: int,
+    k: int = BLOOM_K,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership via a broadcast join against the position relation —
+    bit-identical to bloom_hits_bitmap (a bit is set iff its position
+    is in the set), with no driver collect at all.  Use this form when
+    the filter is built and consumed inside one job; the bitmap form
+    when the filter is built once and shipped to many later jobs.
+    Returns (id_col, out_col) with out_col 1 iff all k probes hit."""
+    probes = df.select(
+        F.col(id_col),
+        F.explode(bloom_positions(F.col(text_col), m_bits, k)).alias("pos"),
+    )
+    joined = probes.join(
+        F.broadcast(positions.withColumn("__set", F.lit(1))), "pos", "left"
+    )
+    return joined.groupBy(id_col).agg(
+        (F.count("__set") == k).cast("long").alias(out_col)
+    )

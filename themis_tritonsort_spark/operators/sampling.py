@@ -165,3 +165,55 @@ def hash_rate_sample(
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     return df.where(bucket < F.lit(int(rate * _HASH_MOD)))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Downsample each group (source/domain/language) to a token
+    budget: walk the group's docs in the deterministic pseudo-random
+    (md5-hash, id) order and keep docs while the tokens consumed SO FAR
+    are under ``budget_tokens`` — the mixture-balancing step that turns
+    per-source weights into hard token counts (the last kept doc may
+    overflow the budget; nothing after it is admitted).
+
+    Returns kept rows only: (group, id, n_tokens, cum_tokens) with
+    cum_tokens the inclusive running total within the group.
+
+    Scale: the running total is the distributed prefix-sum form
+    (operators/sort.py: with_global_prefix_sum) over the total order
+    (group, hash, id) — one range shuffle, NO per-group window, so a
+    single giant group (one domain = half the corpus) still spreads
+    over many partitions.  Per-group start offsets fall out of a tiny
+    groupBy-min (the exclusive prefix at a group's first row is the
+    group's minimum of cum - n) joined back by group key.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    from .sort import with_global_prefix_sum
+
+    staged = df.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit("[^ ]+"), 0)
+        ).cast("long").alias("n_tokens"),
+        _row_hash(id_col).alias("__h"),
+    )
+    summed = with_global_prefix_sum(
+        staged, ["group", "__h", id_col], "n_tokens", out_col="__cum"
+    )
+    starts = summed.groupBy("group").agg(
+        F.min(F.col("__cum") - F.col("n_tokens")).alias("__group_start")
+    )
+    scoped = summed.join(F.broadcast(starts), "group").withColumn(
+        "cum_tokens", (F.col("__cum") - F.col("__group_start")).cast("long")
+    )
+    return (
+        scoped.where(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+        .select("group", id_col, "n_tokens", "cum_tokens")
+    )

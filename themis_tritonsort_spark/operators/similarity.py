@@ -60,6 +60,60 @@ def brute_force_topk(
     )
 
 
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Cosine top-k over int8 scalar-quantized vectors — the
+    embedding-compression search path (functions.vectors.sq8_quantize).
+
+    Same join/rank shape as brute_force_topk, but both sides are
+    quantized map-side BEFORE the join: the per-row payload crossing
+    the broadcast is 8 bytes/dim -> 1 byte-ish/dim, and the scoring
+    inner loop is an exact integer dot product (idot) with one final
+    double normalization.  At 100 TB this is what makes the scan side
+    memory-bandwidth-bound instead of FLOP-bound; recall loss vs the
+    exact path is the quantization error only.
+
+    Zero vectors (no direction) are excluded from both sides.  Returns
+    (query_id, neighbor_id, rank), ties by ascending neighbor id —
+    integer dot products tie more often than exact cosines, and the
+    tiebreak keeps the result deterministic across engines.
+    """
+    from ..functions.vectors import idot, sq8_quantize
+
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), sq8_quantize(F.col(vec_col)).alias("__qq")
+    ).withColumn("__qn", idot(F.col("__qq"), F.col("__qq")))
+    q = q.where(F.col("__qn") > 0)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        sq8_quantize(F.col(vec_col)).alias("__cq"),
+    ).withColumn("__cn", idot(F.col("__cq"), F.col("__cq")))
+    c = c.where(F.col("__cn") > 0)
+    joined = c.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.withColumn(
+        "__cos",
+        idot(F.col("__cq"), F.col("__qq")).cast("double")
+        / (F.sqrt(F.col("__cn").cast("double")) * F.sqrt(F.col("__qn").cast("double"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def _probed_cells(
     queries: DataFrame,
     qid: str,

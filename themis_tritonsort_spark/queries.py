@@ -2728,6 +2728,144 @@ GROUP BY doc_id
 """
 
 
+# Q81 int8 scalar-quantized ANN: same task as q20 but over compressed
+# vectors (functions/vectors.py: sq8_quantize — floor(127*v/max|v|+.5)),
+# scored by exact integer dot products.  The oracle re-derives the
+# quantization and the integer dots in DuckDB list math; ranks (not the
+# doubles) are the output, ties by ascending neighbor id.
+def q81_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import sq8_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return sq8_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+
+
+_Q81_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+z AS (
+  SELECT vec_id,
+         CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(floor(127.0 * x / m + 0.5) AS BIGINT))
+         END AS q
+  FROM (SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS m FROM e)
+),
+n AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(range(1, len(q) + 1),
+                                      i -> q[i] * q[i])) AS BIGINT) AS nn
+  FROM z
+),
+qs AS (SELECT vec_id AS query_id, q AS qq, nn AS qn FROM n
+       WHERE vec_id < 5 AND nn > 0),
+s AS (
+  SELECT qs.query_id, n.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+                                      i -> n.q[i] * qs.qq[i])) AS DOUBLE)
+           / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(qs.qn AS DOUBLE))) AS cos
+  FROM n CROSS JOIN qs
+  WHERE n.vec_id <> qs.query_id AND n.nn > 0
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM s
+)
+WHERE rnk <= 10
+"""
+
+
+# Q82 Bloom-filter incremental decontamination: the prior-snapshot half
+# of the corpus (src0..src9) builds an m-bit Bloom filter over content
+# hashes; the new-batch half is flagged map-side against the broadcast
+# bitmap (operators/dedup.py: bloom_*).  Every bit position is
+# md5-derived, so the oracle reproduces the filter exactly — INCLUDING
+# any false positives, which are part of the operator's contract.
+_BLOOM_M = 1 << 16
+_SNAPSHOT_SOURCES = tuple(f"src{i}" for i in range(10))
+
+
+def q82_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import (
+        bloom_hits_bitmap,
+        bloom_position_set,
+        bloom_words,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    snap = docs.where(F.col("source").isin(*_SNAPSHOT_SOURCES))
+    batch = docs.where(~F.col("source").isin(*_SNAPSHOT_SOURCES))
+    words = bloom_words(
+        bloom_position_set(snap, "text", _BLOOM_M), _BLOOM_M
+    )
+    return bloom_hits_bitmap(batch, "text", words, _BLOOM_M).select(
+        "doc_id", "bloom_hit"
+    )
+
+
+_SNAP_IN = ", ".join(f"'{s}'" for s in _SNAPSHOT_SOURCES)
+_Q82_SQL = f"""
+WITH pos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(text || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+           % {_BLOOM_M} AS pos
+  FROM documents, generate_series(0, 2) g(j)
+  WHERE source IN ({_SNAP_IN})
+),
+bp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+           % {_BLOOM_M} AS pos
+  FROM documents, generate_series(0, 2) g(j)
+  WHERE source NOT IN ({_SNAP_IN})
+)
+SELECT bp.doc_id,
+       CAST(CASE WHEN count(pos.pos) = 3 THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit
+FROM bp LEFT JOIN pos USING (pos)
+GROUP BY bp.doc_id
+"""
+
+
+# Q83 token-budget mixture sampling: each source is cut to a hard token
+# budget by walking its docs in deterministic (md5-hash, id) order —
+# operators/sampling.py: token_budget_sample (distributed prefix sum,
+# no per-group window).  The oracle's per-group window computes the
+# same inclusive running sum over the same total order.
+_TOKEN_BUDGET = 600
+
+
+def q83_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import token_budget_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, "doc_id", "text", "source", _TOKEN_BUDGET
+    )
+
+
+_Q83_SQL = f"""
+WITH t AS (
+  SELECT source AS "group", doc_id,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS h
+  FROM documents
+),
+c AS (
+  SELECT "group", doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY "group" ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM t
+)
+SELECT "group", doc_id, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -2810,6 +2948,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_media_decode": q78_media_decode,
     "q79_semdedup": q79_semdedup,
     "q80_bigram_perplexity": q80_bigram_perplexity,
+    "q81_sq8_ann": q81_sq8_ann,
+    "q82_bloom_decontam": q82_bloom_decontam,
+    "q83_token_budget": q83_token_budget,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -2836,12 +2977,12 @@ _WINDOW_PRIORITY = [
     "q48_shipping_priority", "q49_stratified_sample",
     "q73_pack_sequences", "q74_triangle_total", "q75_surprisal_mix",
     "q76_shuffle_shards", "q77_full_curation", "q78_media_decode",
-    "q79_semdedup", "q80_bigram_perplexity",
+    "q79_semdedup", "q80_bigram_perplexity", "q81_sq8_ann",
+    "q82_bloom_decontam", "q83_token_budget",
     "q01_sort_events", "q03_wordcount", "q04_ngrams",
     "q05_inverted_index", "q06_sessionize", "q07_pagerank",
     "q08_link_extract", "q09_kmeans_assign", "q10_global_agg",
-    "q11_duplicate_keys", "q13_grep", "q14_pricing_summary",
-    "q15_revenue_by_nation", "q16_top_customers",
+    "q11_duplicate_keys", "q13_grep",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
@@ -2930,4 +3071,7 @@ ORACLES: dict[str, str] = {
     "q78_media_decode": _Q78_SQL,
     "q79_semdedup": _Q79_SQL,
     "q80_bigram_perplexity": _Q80_SQL,
+    "q81_sq8_ann": _Q81_SQL,
+    "q82_bloom_decontam": _Q82_SQL,
+    "q83_token_budget": _Q83_SQL,
 }
