@@ -264,9 +264,14 @@ def semdedup(
     Nearest-center assignment reuses operators/kmeans.py
     assign_clusters (strict-< argmin in center order,
     KMeansMapFunction.cc:188-214)."""
+    from pyspark import StorageLevel
+
+    # The assignment feeds BOTH the pair join (twice, as each side) and
+    # the final output row set: persist it so the k*dim literal-fold
+    # distance expression runs once per row, not three times.
     assigned = assign_clusters(
         df.select(F.col(id_col), F.col(vec_col)), vec_col, centers
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sided = assigned.select(
         F.col(id_col).alias("__id"),
         F.col("cluster").alias("__cl"),
@@ -284,6 +289,8 @@ def semdedup(
         F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"),
     )
+    # cos kept in the a.b/(|a||b|) spelling (NOT pre-normalized
+    # vectors) so the division order matches the oracle bit-for-bit.
     cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     dups = (
         a.join(
