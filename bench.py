@@ -113,6 +113,8 @@ BENCH_QUERIES = {
     "q81_sq8_ann": q.q81_sq8_ann,
     "q82_bloom_decontam": q.q82_bloom_decontam,
     "q83_token_budget": q.q83_token_budget,
+    "q84_pq_ann": q.q84_pq_ann,
+    "q85_pq_rerank": q.q85_pq_rerank,
 }
 
 

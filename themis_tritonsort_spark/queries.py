@@ -2866,6 +2866,132 @@ FROM c WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
 """
 
 
+# Q84 product-quantization ANN (the FAISS ADC recipe): deterministic
+# seeded codebook (sub-vectors of vec_id < 16), map-side encode
+# (argmin per subspace, assign_clusters tie rule), LUT scoring with
+# zero corpus-side vector math — operators/similarity.py: pq_*.
+# The oracle rebuilds the codebook, re-derives every code with a
+# row_number argmin, and sums the per-subspace partial terms in the
+# SAME fixed s=0..7 order as the Spark expression (a bare SQL SUM()
+# would add doubles in nondeterministic order).
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8
+
+
+def q84_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_codebook, pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K)
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_topk(emb, queries, "vec_id", "embedding", cb, k=10)
+
+
+def _pq_oracle_sql() -> str:
+    m, sub = _PQ_M, _PQ_SUB
+    npiv = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN nsq_s END) AS t{s}" for s in range(m)
+    )
+    nsum = " + ".join(f"t{s}" for s in range(m))
+    upiv = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN num_s END) AS u{s}" for s in range(m)
+    )
+    usum = " + ".join(f"u{s}" for s in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT s.s, e.vec_id AS c, e.v[(s.s*{sub}+1):(s.s*{sub}+{sub})] AS w
+  FROM e, generate_series(0, {m - 1}) s(s) WHERE e.vec_id < {_PQ_K}
+),
+enc AS (
+  SELECT vec_id, s, c, w FROM (
+    SELECT e.vec_id, cb.s, cb.c, cb.w,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.s
+             ORDER BY list_sum(list_transform(range(1, {sub + 1}),
+                       i -> (e.v[cb.s*{sub} + i] - cb.w[i])
+                            * (e.v[cb.s*{sub} + i] - cb.w[i]))),
+                      cb.c) AS rn
+    FROM e CROSS JOIN cb)
+  WHERE rn = 1
+),
+nv AS (
+  SELECT vec_id, ({nsum}) AS nsq FROM (
+    SELECT vec_id, {npiv}
+    FROM (SELECT vec_id, s,
+                 list_sum(list_transform(w, x -> x * x)) AS nsq_s FROM enc)
+    GROUP BY vec_id)
+),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+score AS (
+  SELECT n.query_id, n.vec_id AS neighbor_id,
+         ({usum}) / sqrt(nv.nsq) AS sc
+  FROM (
+    SELECT query_id, vec_id, {upiv} FROM (
+      SELECT q.query_id, enc.vec_id, enc.s,
+             list_sum(list_transform(range(1, {sub + 1}),
+                      i -> q.qv[enc.s*{sub} + i] * enc.w[i])) AS num_s
+      FROM enc CROSS JOIN qs q)
+    GROUP BY query_id, vec_id) n
+  JOIN nv ON nv.vec_id = n.vec_id
+  WHERE nv.nsq > 0 AND n.vec_id <> n.query_id
+),
+rnk AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sc DESC, neighbor_id ASC) AS rnk
+  FROM score
+)"""
+
+
+_PQ_CTE = _pq_oracle_sql()
+_Q84_SQL = (
+    _PQ_CTE
+    + """
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+FROM rnk WHERE rnk <= 10
+"""
+)
+
+# Q85 two-tier PQ + exact re-rank (operators/similarity.py:
+# pq_rerank_topk): the PQ CTE's top-``shortlist`` candidates per query
+# are re-scored with the exact q20 cosine spelling and re-ranked.
+_PQ_SHORTLIST = 50
+_Q85_SQL = (
+    _PQ_CTE
+    + f""",
+short AS (SELECT query_id, neighbor_id FROM rnk WHERE rnk <= {_PQ_SHORTLIST}),
+rer AS (
+  SELECT short.query_id, short.neighbor_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM short
+  JOIN e ON e.vec_id = short.neighbor_id
+  JOIN qs q ON q.query_id = short.query_id
+)
+SELECT query_id, neighbor_id, CAST(r2 AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS r2
+  FROM rer
+)
+WHERE r2 <= 10
+"""
+)
+
+
+def q85_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_codebook, pq_rerank_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K)
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_rerank_topk(
+        emb, queries, "vec_id", "embedding", cb, k=10, shortlist=_PQ_SHORTLIST
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -2951,6 +3077,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_sq8_ann": q81_sq8_ann,
     "q82_bloom_decontam": q82_bloom_decontam,
     "q83_token_budget": q83_token_budget,
+    "q84_pq_ann": q84_pq_ann,
+    "q85_pq_rerank": q85_pq_rerank,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -2978,11 +3106,12 @@ _WINDOW_PRIORITY = [
     "q73_pack_sequences", "q74_triangle_total", "q75_surprisal_mix",
     "q76_shuffle_shards", "q77_full_curation", "q78_media_decode",
     "q79_semdedup", "q80_bigram_perplexity", "q81_sq8_ann",
-    "q82_bloom_decontam", "q83_token_budget",
+    "q82_bloom_decontam", "q83_token_budget", "q84_pq_ann",
+    "q85_pq_rerank",
     "q01_sort_events", "q03_wordcount", "q04_ngrams",
     "q05_inverted_index", "q06_sessionize", "q07_pagerank",
     "q08_link_extract", "q09_kmeans_assign", "q10_global_agg",
-    "q11_duplicate_keys", "q13_grep",
+    "q11_duplicate_keys",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
@@ -3074,4 +3203,6 @@ ORACLES: dict[str, str] = {
     "q81_sq8_ann": _Q81_SQL,
     "q82_bloom_decontam": _Q82_SQL,
     "q83_token_budget": _Q83_SQL,
+    "q84_pq_ann": _Q84_SQL,
+    "q85_pq_rerank": _Q85_SQL,
 }
