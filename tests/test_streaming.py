@@ -302,3 +302,48 @@ def test_neardup_candidates_stream(spark, stream_dir):
     assert 0 < len(hot) <= 5 * 4 // 2
     # unique docs don't collide with the hot cluster
     assert all(not (a < 1000 and b >= 2000) for a, b in pairs)
+
+
+def test_bloom_decontam_stream(spark, stream_dir):
+    from themis_tritonsort_spark.operators.dedup import (
+        bloom_position_set,
+        bloom_words,
+    )
+    from themis_tritonsort_spark.streaming.dedup import bloom_decontam_stream
+
+    m = 1 << 12
+    snap = spark.createDataFrame(
+        [(i, f"snapshot doc {i}") for i in range(100)], ["doc_id", "text"]
+    )
+    words = bloom_words(bloom_position_set(snap, "text", m), m)
+
+    src = os.path.join(stream_dir, "src")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 00:00:00", "snapshot doc 42"),  # known content
+            (2, "2024-01-01 00:01:00", "genuinely new doc"),
+        ],
+    )
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    out = bloom_decontam_stream(stream, "event_type", words, m)
+    _run_to_memory(out, "bloom_stream")
+    got = {
+        r["event_type"]: r["bloom_hit"]
+        for r in spark.sql("SELECT * FROM bloom_stream").collect()
+    }
+    assert got["snapshot doc 42"] == 1  # no false negatives, ever
+    # batch operator agrees with the stream on the same rows
+    from themis_tritonsort_spark.operators.dedup import bloom_hits_bitmap
+
+    batch = spark.createDataFrame(
+        [(1, "snapshot doc 42"), (2, "genuinely new doc")], ["i", "event_type"]
+    )
+    bt = {
+        r["event_type"]: r["bloom_hit"]
+        for r in bloom_hits_bitmap(batch, "event_type", words, m).collect()
+    }
+    assert got == bt

@@ -165,3 +165,27 @@ def enrich_stream(
     would OOM on a multi-GB dimension.
     """
     return events.join(dim, key, how)
+
+
+def bloom_decontam_stream(
+    events: DataFrame,
+    content_col: str,
+    words: list[int],
+    m_bits: int,
+    k: int = 3,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Flag (not drop) stream records whose content may already exist
+    in a prior corpus snapshot — the ingest-time face of
+    operators.dedup.bloom_hits_bitmap: the snapshot's m-bit Bloom
+    bitmap is baked into the plan once and every micro-batch is tested
+    purely map-side.  NO streaming state at all (the filter is frozen
+    history, not stream-derived), so this composes freely before any
+    stateful stage (e.g. dedup_exact_stream for within-stream dups).
+
+    Same false-positive contract as the batch operator; rebuild the
+    bitmap and restart the query when the snapshot advances.
+    """
+    from ..operators.dedup import bloom_hits_bitmap
+
+    return bloom_hits_bitmap(events, content_col, words, m_bits, k, out_col)
