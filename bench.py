@@ -115,6 +115,7 @@ BENCH_QUERIES = {
     "q83_token_budget": q.q83_token_budget,
     "q84_pq_ann": q.q84_pq_ann,
     "q85_pq_rerank": q.q85_pq_rerank,
+    "q86_kcore": q.q86_kcore,
 }
 
 

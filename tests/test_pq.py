@@ -102,3 +102,33 @@ def test_pq_rerank_subset_of_shortlist(spark):
         ).collect()
     }
     assert rer <= short
+
+
+def test_kcore_planted_graph(spark):
+    from themis_tritonsort_spark.operators.components import kcore_vertices
+
+    # K4 on {1,2,3,4} plus a pendant chain 4-5-6: the 3-core is exactly
+    # the K4 (peeling 6 then 5 then nothing; 4 keeps degree 3).
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        ["src", "dst"],
+    )
+    core = {
+        r["vid"]: r["deg"] for r in kcore_vertices(edges, k=3).collect()
+    }
+    assert core == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=1 keeps every non-isolated vertex with its full degree
+    all1 = {r["vid"]: r["deg"] for r in kcore_vertices(edges, k=1).collect()}
+    assert all1 == {1: 3, 2: 3, 3: 3, 4: 4, 5: 2, 6: 1}
+    # collapse: no 5-core in this graph
+    assert kcore_vertices(edges, k=5).count() == 0
+
+
+def test_kcore_rejects_bad_k(spark):
+    import pytest
+
+    from themis_tritonsort_spark.operators.components import kcore_vertices
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        kcore_vertices(edges, k=0)

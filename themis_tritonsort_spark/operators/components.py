@@ -206,3 +206,61 @@ def triangle_total_degree_oriented(
     closing = e.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
     closed = pairs.join(closing, ["w1", "w2"], "left_semi")
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def kcore_vertices(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Vertices of the undirected graph's k-core — the maximal subgraph
+    where every vertex keeps degree >= k — with their in-core degree:
+    (vid long, deg long).  The standard peel loop: drop all vertices
+    whose current degree is below k, delete their edges, repeat until a
+    round drops nothing (the greatest fixpoint; order of removal cannot
+    change it).  The web-graph curation cut: k-core membership is a
+    cheap page-quality/connectivity signal at crawl scale.
+
+    Scale shape: per round, one degree groupBy (co-partitioned with the
+    persisted both-orientations edge set, like connected_components)
+    and two ANTI joins against the just-peeled vertex set — the peeled
+    set is the SMALL side by construction (it shrinks to empty at the
+    fixpoint), so AQE broadcasts it and late rounds cost almost
+    nothing.  Lineage is cut per round (localCheckpoint); convergence
+    is a driver-side scalar count.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = edges.sparkSession
+    npart = spark.sparkContext.defaultParallelism
+    half = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col("s") != F.col("d")
+    )
+    cur = (
+        half.unionByName(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .repartition(npart, "s")
+        .localCheckpoint(eager=False)
+    )
+
+    for _ in range(max_iterations):
+        deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("__deg"))
+        drop = deg.where(F.col("__deg") < k).select("s").localCheckpoint(
+            eager=False
+        )
+        if drop.count() == 0:
+            return cur.groupBy("s").agg(
+                F.count(F.lit(1)).cast("long").alias("deg")
+            ).select(F.col("s").cast("long").alias("vid"), "deg")
+        cur = (
+            cur.join(drop, "s", "left_anti")
+            .join(drop.withColumnRenamed("s", "d"), "d", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    raise RuntimeError(
+        f"kcore_vertices did not converge in {max_iterations} rounds; "
+        "raise max_iterations (each round removes at least one vertex, "
+        "so rounds are bounded by the vertex count)"
+    )

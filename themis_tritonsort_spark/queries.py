@@ -2992,6 +2992,62 @@ def q85_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q86 k-core decomposition over the lineitem part-graph
+# (operators/components.py: kcore_vertices): peel vertices under
+# degree k until the greatest fixpoint.  The oracle unrolls the peel
+# loop a fixed number of rounds — MORE than the measured fixpoint
+# depth at both gate scales (5 @ sf0.001, 3 @ sf0.01 for k=30), after
+# which further rounds are no-ops; if data ever needed more rounds the
+# compare fails loudly rather than silently diverging.
+_KCORE_K, _KCORE_ROUNDS = 30, 10
+
+
+def q86_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import kcore_vertices
+
+    return kcore_vertices(_lineitem_edges(spark, sf_dir), k=_KCORE_K)
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    parts = [
+        """
+WITH raw AS (
+  SELECT DISTINCT src, l_partkey AS dst FROM (
+    SELECT l_partkey,
+           lag(l_partkey) OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS src
+    FROM lineitem
+  ) WHERE src IS NOT NULL AND src <> l_partkey
+),
+e0 AS MATERIALIZED (
+  SELECT src AS s, dst AS d FROM raw
+  UNION
+  SELECT dst AS s, src AS d FROM raw
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+d{i} AS (SELECT s, count(*) AS dg FROM e{i} GROUP BY s),
+k{i} AS (SELECT s FROM d{i} WHERE dg >= {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.s, e.d FROM e{i} e
+  JOIN k{i} a ON e.s = a.s
+  JOIN k{i} b ON e.d = b.s
+)"""
+        )
+    parts.append(
+        f"""
+SELECT s AS vid, CAST(count(*) AS BIGINT) AS deg
+FROM e{rounds} GROUP BY s
+"""
+    )
+    return "".join(parts)
+
+
+_Q86_SQL = _kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -3079,6 +3135,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_token_budget": q83_token_budget,
     "q84_pq_ann": q84_pq_ann,
     "q85_pq_rerank": q85_pq_rerank,
+    "q86_kcore": q86_kcore,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -3107,7 +3164,7 @@ _WINDOW_PRIORITY = [
     "q76_shuffle_shards", "q77_full_curation", "q78_media_decode",
     "q79_semdedup", "q80_bigram_perplexity", "q81_sq8_ann",
     "q82_bloom_decontam", "q83_token_budget", "q84_pq_ann",
-    "q85_pq_rerank",
+    "q85_pq_rerank", "q86_kcore",
     "q01_sort_events", "q03_wordcount", "q04_ngrams",
     "q05_inverted_index", "q06_sessionize", "q07_pagerank",
     "q08_link_extract", "q09_kmeans_assign", "q10_global_agg",
@@ -3205,4 +3262,5 @@ ORACLES: dict[str, str] = {
     "q83_token_budget": _Q83_SQL,
     "q84_pq_ann": _Q84_SQL,
     "q85_pq_rerank": _Q85_SQL,
+    "q86_kcore": _Q86_SQL,
 }
