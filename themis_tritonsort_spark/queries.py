@@ -19,6 +19,14 @@ Sections:
   q52-q59   correlated agg (Q17), outer-join distribution (Q13),
             set-op cohorts, pivot, range-frame window, cube,
             repetition filter, benchmark decontamination
+  q60-q72   vocab/encoding, splits, PII, TF-IDF, surprisal, span
+            dedup, blocklist, gap fill, triangles, funnel, PMI,
+            retention, groupwise argmin
+  q73-q80   packing, degree-oriented triangles, surprisal mixture,
+            shuffle-shards, full curation pipeline, media decode,
+            SemDeDup, bigram-LM perplexity
+  q81-q86   int8-quantized ANN, Bloom decontamination, token-budget
+            mixing, PQ ANN + exact re-rank tier, k-core
 """
 
 from __future__ import annotations
