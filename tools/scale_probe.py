@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Operator scaling probe: time the headline curation operators at
+1x/8x/64x replicas of the sf0.1 tables and report the empirical
+scaling exponent alpha (t ~ n^alpha) for each.
+
+The per-round bench (bench.py) proves absolute speed at sf0.1; this
+tool is the evidence for the DESIGN claims — that the dedup/ANN/
+sampling plans are near-linear in corpus size (alpha ~ 1, no hidden
+quadratic candidate blow-up), which is what "would still work at
+100 TB" means operationally.  Replicas are deterministic: ids are
+rekeyed per copy, text gets a per-copy prefix token (so near-dup
+candidates grow linearly, not quadratically across copies — the
+workload stays proportional to input), embeddings get a small
+per-copy deterministic offset.
+
+Usage: python tools/scale_probe.py [sf_dir] [copies ...]
+       (default /root/testdata/sf0.1 at 1 8 64; writes markdown to
+        stdout — redirect to SCALE_PROBE.md)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from themis_tritonsort_spark.data import table  # noqa: E402
+from themis_tritonsort_spark.session import get_spark  # noqa: E402
+
+COPY_STRIDE = 1_000_000_000
+
+
+def replicate_docs(docs, copies: int):
+    if copies == 1:
+        return docs
+    c = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("__copy")
+    return docs.select("*", c).select(
+        (F.col("doc_id") + F.col("__copy").cast("long") * COPY_STRIDE).alias(
+            "doc_id"
+        ),
+        F.concat(F.lit("c"), F.col("__copy"), F.lit(" "), F.col("text")).alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def replicate_emb(emb, copies: int):
+    if copies == 1:
+        return emb
+    c = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("__copy")
+    return emb.select("*", c).select(
+        (F.col("vec_id") + F.col("__copy").cast("long") * COPY_STRIDE).alias(
+            "vec_id"
+        ),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x + F.col("__copy").cast("double") * 1e-3,
+        ).alias("embedding"),
+        "label",
+    )
+
+
+def probes(spark, sf_dir: str, copies: int):
+    from themis_tritonsort_spark.operators.dedup import (
+        exact_duplicates,
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from themis_tritonsort_spark.operators.sampling import token_budget_sample
+    from themis_tritonsort_spark.operators.similarity import (
+        pq_codebook,
+        pq_topk,
+        sq8_topk,
+    )
+    from themis_tritonsort_spark.operators.textstats import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = replicate_docs(table(spark, sf_dir, "documents"), copies)
+    emb = replicate_emb(table(spark, sf_dir, "embeddings"), copies)
+    queries = emb.where(F.col("vec_id") < 5)
+
+    def lsh(d):
+        sig = minhash_signature(d, "doc_id", "text", num_hashes=16)
+        return lsh_candidate_pairs(
+            lsh_band_buckets(sig, bands=4, num_hashes=16), max_bucket=64
+        )
+
+    def chunk_pack(d):
+        ch = chunk_documents(d, "doc_id", "text", 64, 8)
+        return pack_sequences(ch, "doc_id", "chunk_idx", "n_chunk_tokens", 256)
+
+    cb = pq_codebook(emb, "vec_id", "embedding", 8, 16)
+    return {
+        "exact_dedup": lambda: exact_duplicates(docs, "doc_id", "text"),
+        "minhash_lsh": lambda: lsh(docs),
+        "token_budget": lambda: token_budget_sample(
+            docs, "doc_id", "text", "source", 600 * copies
+        ),
+        "chunk_pack": lambda: chunk_pack(docs),
+        "sq8_ann": lambda: sq8_topk(emb, queries, "vec_id", "embedding", 10),
+        "pq_ann": lambda: pq_topk(emb, queries, "vec_id", "embedding", cb, 10),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    copies = [int(c) for c in sys.argv[2:]] or [1, 8, 64]
+    spark = get_spark(app_name="scale-probe")
+    results: dict[str, dict[int, float]] = {}
+    # Untimed warmup: populate codegen/plan caches so the smallest
+    # timed scale is not charged the one-off compile cost.
+    for name, thunk in probes(spark, sf_dir, copies[0]).items():
+        thunk().write.format("noop").mode("overwrite").save()
+        print(f"<!-- warmup {name} done -->", file=sys.stderr, flush=True)
+    for n in copies:
+        for name, thunk in probes(spark, sf_dir, n).items():
+            t0 = time.time()
+            thunk().write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            results.setdefault(name, {})[n] = dt
+            print(
+                f"<!-- {name} x{n}: {dt:.2f}s -->", file=sys.stderr, flush=True
+            )
+        spark.catalog.clearCache()
+
+    lo, hi = copies[0], copies[-1]
+    print("# SCALE_PROBE — operator wall-clock vs corpus replicas")
+    print()
+    print(f"Generated by `python tools/scale_probe.py {sf_dir} "
+          f"{' '.join(str(c) for c in copies)}`.")
+    print()
+    print("alpha = log(t_hi / t_lo) / log(n_hi / n_lo); ~1 is linear,")
+    print("<1 means fixed overhead still dominates at this size, >1.3")
+    print("would flag a super-linear candidate blow-up.")
+    print()
+    header = " | ".join(f"{n}x (s)" for n in copies)
+    print(f"| operator | {header} | alpha |")
+    print("|---|" + "---|" * (len(copies) + 1))
+    for name, times in results.items():
+        alpha = math.log(times[hi] / times[lo]) / math.log(hi / lo)
+        row = " | ".join(f"{times[n]:.2f}" for n in copies)
+        print(f"| {name} | {row} | {alpha:.2f} |")
+
+
+if __name__ == "__main__":
+    main()
