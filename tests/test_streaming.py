@@ -347,3 +347,42 @@ def test_bloom_decontam_stream(spark, stream_dir):
         for r in bloom_hits_bitmap(batch, "event_type", words, m).collect()
     }
     assert got == bt
+
+
+def test_token_budget_stream(spark, stream_dir):
+    from themis_tritonsort_spark.streaming.budget import token_budget_stream
+
+    src = os.path.join(stream_dir, "src")
+    # event_type doubles as the text; user_id as the doc id; one group
+    # per first word.  10 tokens per doc, budget 25 -> 3 docs admitted
+    # (10+10+10=30 overflows on the third, fourth never admitted).
+    rows = [
+        (i, "2024-01-01 00:00:00", "g " + " ".join(["w"] * 9)) for i in range(4)
+    ]
+    _write_events(spark, src, rows)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    out = token_budget_stream(
+        stream.withColumn("grp", F.lit("g0")),
+        "user_id",
+        "event_type",
+        "grp",
+        budget_tokens=25,
+    )
+    _run_to_memory(out, "budget_stream")
+    got = sorted(
+        (r["id"], r["cum_tokens"])
+        for r in spark.sql("SELECT * FROM budget_stream").collect()
+    )
+    assert got == [(0, 10), (1, 20), (2, 30)]
+
+
+def test_token_budget_stream_rejects_bad_budget(spark):
+    import pytest
+
+    from themis_tritonsort_spark.streaming.budget import token_budget_stream
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError):
+        token_budget_stream(df, "value", "value", "value", 0)
