@@ -116,6 +116,7 @@ BENCH_QUERIES = {
     "q84_pq_ann": q.q84_pq_ann,
     "q85_pq_rerank": q.q85_pq_rerank,
     "q86_kcore": q.q86_kcore,
+    "q87_length_batches": q.q87_length_batches,
 }
 
 

@@ -186,3 +186,28 @@ def test_token_budget_rejects_bad_budget(spark):
 
     with pytest.raises(ValueError):
         token_budget_sample(df, "doc_id", "text", "source", 0)
+
+
+def test_batch_by_length_minimizes_padding(spark):
+    from themis_tritonsort_spark.operators.textstats import batch_by_length
+
+    rows = [(i, (i % 4) * 10 + 5) for i in range(16)]  # lengths 5,15,25,35
+    df = spark.createDataFrame(rows, ["sid", "n_tok"])
+    out = batch_by_length(df, ["sid"], "n_tok", batch_size=4).collect()
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault(r["batch_id"], []).append(r["n_tok"])
+    # sorted-by-length batching puts equal lengths together: zero pad
+    assert sorted(by_batch) == [0, 1, 2, 3]
+    for batch, lens in by_batch.items():
+        assert len(set(lens)) == 1 and len(lens) == 4
+
+
+def test_batch_by_length_rejects_bad_size(spark):
+    import pytest
+
+    from themis_tritonsort_spark.operators.textstats import batch_by_length
+
+    df = spark.createDataFrame([(1, 2)], ["sid", "n_tok"])
+    with pytest.raises(ValueError):
+        batch_by_length(df, ["sid"], "n_tok", 0)

@@ -854,3 +854,34 @@ def encode_tokens(
             " ",
         ).alias("ids_str"),
     )
+
+
+def batch_by_length(
+    df: DataFrame,
+    order_cols: list[str],
+    tok_col: str,
+    batch_size: int,
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-minimization step
+    for UNPACKED training: order sequences by (token count, tiebreaker
+    ids) and cut every ``batch_size`` rows into one batch, so each
+    batch holds near-equal lengths and pad-to-max waste is minimal
+    (vs random batching, where one long outlier pads the whole batch).
+    Adds ``batch_col = (rank - 1) div batch_size`` to every row.
+
+    Scale: the global length order is with_global_rank's two-level
+    range shuffle (operators/sort.py) — no single-partition window, so
+    batching 100 TB of sequences is one range shuffle keyed by length.
+    """
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    from .sort import with_global_rank
+
+    ranked = with_global_rank(
+        df, [tok_col, *order_cols], rank_col="__rn"
+    )
+    return ranked.withColumn(
+        batch_col,
+        F.expr(f"(__rn - 1) div {int(batch_size)}").cast("long"),
+    ).drop("__rn")

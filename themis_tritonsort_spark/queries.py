@@ -3056,6 +3056,50 @@ FROM e{rounds} GROUP BY s
 _Q86_SQL = _kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS)
 
 
+# Q87 length-bucketed batching (operators/textstats.py:
+# batch_by_length over the q51 chunks): per-batch padding statistics —
+# what random batching would waste vs near-equal-length batches.  The
+# oracle's single window is the same total order the distributed rank
+# produces.
+_BATCH_SIZE = 32
+
+
+def q87_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import batch_by_length, chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+    batched = batch_by_length(
+        chunks, ["doc_id", "chunk_idx"], "n_chunk_tokens", _BATCH_SIZE
+    )
+    return batched.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.max("n_chunk_tokens").cast("long").alias("max_len"),
+        (
+            F.max("n_chunk_tokens") * F.count(F.lit(1))
+            - F.sum("n_chunk_tokens")
+        ).cast("long").alias("pad_tokens"),
+    )
+
+
+_Q87_SQL = f"""
+WITH chunks AS (
+  SELECT doc_id, chunk_idx, n_chunk_tokens FROM ({_Q51_SQL})
+),
+ranked AS (
+  SELECT doc_id, chunk_idx, n_chunk_tokens,
+         row_number() OVER (ORDER BY n_chunk_tokens, doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT CAST((rn - 1) // {_BATCH_SIZE} AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(max(n_chunk_tokens) AS BIGINT) AS max_len,
+       CAST(max(n_chunk_tokens) * count(*) - sum(n_chunk_tokens) AS BIGINT)
+         AS pad_tokens
+FROM ranked GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -3144,6 +3188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_pq_ann": q84_pq_ann,
     "q85_pq_rerank": q85_pq_rerank,
     "q86_kcore": q86_kcore,
+    "q87_length_batches": q87_length_batches,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -3172,10 +3217,10 @@ _WINDOW_PRIORITY = [
     "q76_shuffle_shards", "q77_full_curation", "q78_media_decode",
     "q79_semdedup", "q80_bigram_perplexity", "q81_sq8_ann",
     "q82_bloom_decontam", "q83_token_budget", "q84_pq_ann",
-    "q85_pq_rerank", "q86_kcore",
+    "q85_pq_rerank", "q86_kcore", "q87_length_batches",
     "q01_sort_events", "q03_wordcount", "q04_ngrams",
     "q05_inverted_index", "q06_sessionize", "q07_pagerank",
-    "q08_link_extract", "q09_kmeans_assign", "q10_global_agg",
+    "q08_link_extract", "q10_global_agg",
     "q11_duplicate_keys",
 ]
 QUERIES = {
@@ -3271,4 +3316,5 @@ ORACLES: dict[str, str] = {
     "q84_pq_ann": _Q84_SQL,
     "q85_pq_rerank": _Q85_SQL,
     "q86_kcore": _Q86_SQL,
+    "q87_length_batches": _Q87_SQL,
 }
