@@ -117,6 +117,7 @@ BENCH_QUERIES = {
     "q85_pq_rerank": q.q85_pq_rerank,
     "q86_kcore": q.q86_kcore,
     "q87_length_batches": q.q87_length_batches,
+    "q88_cdc_snapshot": q.q88_cdc_snapshot,
 }
 
 

@@ -211,3 +211,32 @@ def test_batch_by_length_rejects_bad_size(spark):
     df = spark.createDataFrame([(1, 2)], ["sid", "n_tok"])
     with pytest.raises(ValueError):
         batch_by_length(df, ["sid"], "n_tok", 0)
+
+
+def test_cdc_latest_snapshot_tombstones(spark):
+    from themis_tritonsort_spark.operators.temporal import cdc_latest_snapshot
+
+    rows = [
+        # user 1: insert then update -> latest value 20 survives
+        (1, 100, 10, "upsert", 10.0),
+        (1, 200, 11, "upsert", 20.0),
+        # user 2: update then delete -> no snapshot row
+        (2, 100, 12, "upsert", 30.0),
+        (2, 300, 13, "delete", 0.0),
+        # user 3: delete then REINSERT -> latest wins, row survives
+        (3, 100, 14, "delete", 0.0),
+        (3, 400, 15, "upsert", 40.0),
+        # user 4: same ts tie -> higher event_id wins (total order)
+        (4, 500, 16, "upsert", 50.0),
+        (4, 500, 17, "delete", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts_us", "event_id", "op", "value"]
+    )
+    snap = {
+        r["user_id"]: r["value"]
+        for r in cdc_latest_snapshot(
+            df, ["user_id"], ["ts_us", "event_id"], F.col("op") == "delete"
+        ).collect()
+    }
+    assert snap == {1: 20.0, 3: 40.0}

@@ -188,3 +188,34 @@ def gap_fill(
         F.col("value_cents"),
         (F.col("__i") > 0).cast("long").alias("filled"),
     )
+
+
+def cdc_latest_snapshot(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    tombstone: "F.Column",
+) -> DataFrame:
+    """Materialize the current snapshot of a change stream — the
+    Delta/Hudi MERGE semantic as a plain plan: for every key keep only
+    the LATEST change by ``order_cols`` (include a unique tiebreaker
+    for total order), then drop keys whose latest change is a
+    tombstone (``tombstone`` is a boolean Column evaluated on the
+    winning row — a deleted entity has no snapshot row).
+
+    Scale: one hash shuffle on the key columns; the per-key winner is
+    a row_number window, which AQE executes with partial top-1 per
+    map partition, so a hot key never ships its full history.  This is
+    the batch replay of an upsert table — the incremental form is
+    Structured Streaming dropDuplicates/flatMapGroupsWithState over
+    the same key.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    latest = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return latest.where(~tombstone)

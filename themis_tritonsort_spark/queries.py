@@ -25,8 +25,9 @@ Sections:
   q73-q80   packing, degree-oriented triangles, surprisal mixture,
             shuffle-shards, full curation pipeline, media decode,
             SemDeDup, bigram-LM perplexity
-  q81-q86   int8-quantized ANN, Bloom decontamination, token-budget
-            mixing, PQ ANN + exact re-rank tier, k-core
+  q81-q88   int8-quantized ANN, Bloom decontamination, token-budget
+            mixing, PQ ANN + exact re-rank tier, k-core,
+            length-bucketed batching, CDC snapshot merge
 """
 
 from __future__ import annotations
@@ -3100,6 +3101,43 @@ FROM ranked GROUP BY 1
 """
 
 
+# Q88 CDC snapshot materialization (operators/temporal.py:
+# cdc_latest_snapshot): events replayed as an upsert stream keyed by
+# user — latest change by (ts, event_id) wins, 'error' as the
+# tombstone type deletes the key.  One shuffle on the key; the oracle
+# is the identical row_number argmax.
+def q88_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import cdc_latest_snapshot
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        cents("value").alias("value_cents"),
+    )
+    snap = cdc_latest_snapshot(
+        ev,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        F.col("event_type") == "error",
+    )
+    return snap.select("user_id", "ts_us", "event_id", "value_cents")
+
+
+_Q88_SQL = """
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts_us, event_id, value_cents
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -3189,6 +3227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_pq_rerank": q85_pq_rerank,
     "q86_kcore": q86_kcore,
     "q87_length_batches": q87_length_batches,
+    "q88_cdc_snapshot": q88_cdc_snapshot,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -3218,6 +3257,7 @@ _WINDOW_PRIORITY = [
     "q79_semdedup", "q80_bigram_perplexity", "q81_sq8_ann",
     "q82_bloom_decontam", "q83_token_budget", "q84_pq_ann",
     "q85_pq_rerank", "q86_kcore", "q87_length_batches",
+    "q88_cdc_snapshot",
     "q01_sort_events", "q03_wordcount", "q04_ngrams",
     "q05_inverted_index", "q06_sessionize", "q07_pagerank",
     "q08_link_extract", "q10_global_agg",
@@ -3317,4 +3357,5 @@ ORACLES: dict[str, str] = {
     "q85_pq_rerank": _Q85_SQL,
     "q86_kcore": _Q86_SQL,
     "q87_length_batches": _Q87_SQL,
+    "q88_cdc_snapshot": _Q88_SQL,
 }
