@@ -118,6 +118,12 @@ BENCH_QUERIES = {
     "q86_kcore": q.q86_kcore,
     "q87_length_batches": q.q87_length_batches,
     "q88_cdc_snapshot": q.q88_cdc_snapshot,
+    "q89_scd2_history": q.q89_scd2_history,
+    "q90_hll_distinct": q.q90_hll_distinct,
+    "q91_cms_heavy_hitters": q.q91_cms_heavy_hitters,
+    "q92_zscore_outliers": q.q92_zscore_outliers,
+    "q93_label_propagation": q.q93_label_propagation,
+    "q94_weighted_sample": q.q94_weighted_sample,
 }
 
 

@@ -167,6 +167,65 @@ def hash_rate_sample(
     return df.where(bucket < F.lit(int(rate * _HASH_MOD)))
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    max_weight: int = 64,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of exactly
+    ``k`` rows: each row draws priority = max of ``weight`` independent
+    md5-uniforms and the top-k priorities win.  The max of w iid
+    uniforms has the u^(1/w) distribution, so this IS the
+    Efraimidis-Spirakis A-Res scheme — but expressed entirely in
+    integer hashes (no pow/log floats), which keeps the selection
+    bit-reproducible by any engine, rerun, and partitioning.  Integer
+    weights only (bucket real-valued weights first); ``max_weight``
+    bounds the per-row hash count so one mis-weighted row can't become
+    a compute hot spot.
+
+    Returns (id, weight, priority) for the k winners.
+
+    Scale: priorities are pure map-side expressions; the top-k compiles
+    to TakeOrderedAndProject (partial top-k per partition, merge of
+    k-row heaps) — no global sort, no shuffle of the corpus.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if max_weight <= 0:
+        raise ValueError(f"max_weight must be positive, got {max_weight}")
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("long"), F.lit(1)),
+        F.lit(max_weight),
+    )
+    draw = F.transform(
+        F.sequence(F.lit(1), w),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"), i.cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            w.alias("weight"),
+            F.array_max(draw).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     id_col: str,

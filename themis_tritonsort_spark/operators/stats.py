@@ -1,0 +1,71 @@
+"""Grouped statistical scoring with engine-exact arithmetic
+(beyond-reference; reference analog: the per-key aggregate family —
+SumValues / AggregatingHashCounter — whose outputs feed thresholding).
+
+The repo-wide discipline for float-bearing analytics: keep the
+AGGREGATION integer (sums of scaled longs are exact and order-
+independent in every engine), then derive the float score in a single
+fixed expression tree of IEEE basic ops (+, -, *, /, sqrt — all
+correctly rounded), so Spark and an oracle engine compute the
+bit-identical double from the bit-identical integers.  Sums must stay
+within 2^53 so their double images are exact; callers scale/clamp
+values accordingly (cents-scaled metrics at catalog scale factors are
+comfortably inside).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_zscore(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-row z-score against the row's group: all input columns +
+    (z_micro long) = round(1e6 * (x - mean_g) / stddev_g), population
+    stddev.  ``value_col`` must be an integral column (scale floats to
+    cents/micros first — that is what makes the group sums exact).
+
+    Scale: one partial-aggregated groupBy builds the per-group
+    (n, sum, sum-of-squares) — three longs per group — and the tiny
+    stats relation BROADCASTS back onto the fact rows, which are never
+    shuffled.  Groups with stddev 0 (or a single row) get NULL z.
+    """
+    x = F.col(value_col).cast("long")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(x).alias("__s1"),
+        F.sum(x * x).alias("__s2"),
+    )
+    joined = df.join(F.broadcast(stats), group_col)
+    n = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    std = F.sqrt(var)
+    z = (x.cast("double") - mean) / std
+    # guard on var (not std): var > 0 is decidable without sqrt, so an
+    # oracle engine whose sqrt rejects negatives evaluates the same tree
+    z_micro = F.when(
+        (F.col("__n") > 1) & (var > 0),
+        F.round(z * F.lit(1_000_000.0)).cast("long"),
+    )
+    return joined.withColumn("z_micro", z_micro).drop("__n", "__s1", "__s2")
+
+
+def zscore_outliers(
+    df: DataFrame, group_col: str, value_col: str, z_threshold_micro: int
+) -> DataFrame:
+    """Rows whose |z_micro| meets the threshold (in micro-sigmas, e.g.
+    3_000_000 for the 3-sigma rule) — the anomaly cut over any grouped
+    integral metric.  The comparison is on the exact long, so the
+    boundary decision reproduces across engines.
+    """
+    if z_threshold_micro <= 0:
+        raise ValueError(
+            f"z_threshold_micro must be positive, got {z_threshold_micro}"
+        )
+    scored = group_zscore(df, group_col, value_col)
+    return scored.where(F.abs(F.col("z_micro")) >= z_threshold_micro)

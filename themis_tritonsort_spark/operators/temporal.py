@@ -219,3 +219,61 @@ def cdc_latest_snapshot(
         .drop("__rn")
     )
     return latest.where(~tombstone)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a change log:
+    collapse each key's ordered changes into runs of identical
+    ``attr_cols`` and emit one validity interval per run — key cols +
+    attr cols + (valid_from, valid_to, version) where ``valid_from`` is
+    the run's first ``order_col`` value, ``valid_to`` the next run's
+    start (NULL for the current version), and ``version`` the 1-based
+    run index per key.
+
+    Semantics: consecutive changes carrying the SAME attributes extend
+    the current interval (idempotent upserts don't open new versions);
+    NULL attributes compare as distinct-from-everything-but-NULL (the
+    eqNullSafe rule), so a NULL->NULL rerun also stays one version.
+
+    Scale: everything runs in ONE hash shuffle on the key — the change
+    flag (lag), the run index (running sum), the per-run collapse
+    (groupBy key+run), and the valid_to stitch (lead over runs) all
+    share the key partitioning, so Catalyst plans a single Exchange and
+    reuses it across the four steps.  Per-key history sorts within a
+    partition, never globally.
+    """
+    key = [F.col(c) for c in key_cols]
+    order = [F.col(order_col), F.col(tiebreak_col)]
+    w = Window.partitionBy(*key).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        prev = F.lag(F.col(c)).over(w)
+        changed = changed | ~F.col(c).eqNullSafe(prev)
+    first = F.row_number().over(w) == 1
+    flagged = df.withColumn(
+        "__new_run", (first | changed).cast("long")
+    ).withColumn(
+        "__run",
+        F.sum("__new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = flagged.groupBy(*key_cols, "__run").agg(
+        F.min(F.col(order_col)).alias("valid_from"),
+        # attrs are constant within a run by construction; min() is the
+        # order-independent way to read the constant back out
+        *[F.min(F.col(c)).alias(c) for c in attr_cols],
+    )
+    w_runs = Window.partitionBy(*key).orderBy("__run")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w_runs))
+        .withColumn("version", F.col("__run").cast("long"))
+        .drop("__new_run", "__run")
+        .select(*key_cols, *attr_cols, "valid_from", "valid_to", "version")
+    )

@@ -28,6 +28,9 @@ Sections:
   q81-q88   int8-quantized ANN, Bloom decontamination, token-budget
             mixing, PQ ANN + exact re-rank tier, k-core,
             length-bucketed batching, CDC snapshot merge
+  q89-q94   SCD2 dimension history, deterministic HLL distinct,
+            count-min heavy hitters, grouped z-score anomalies,
+            label-propagation communities, weighted sampling
 """
 
 from __future__ import annotations
@@ -3138,6 +3141,349 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+# Q89 SCD Type-2 dimension history (operators/temporal.py:
+# scd2_intervals): replay each user's event-type changes into validity
+# intervals — consecutive identical values extend the interval, a
+# change closes it (valid_to = next valid_from) and bumps the version.
+# The dimension-table half of q88's snapshot merge; one key shuffle
+# carries the change flag, run index, collapse, and valid_to stitch.
+def q89_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import scd2_intervals
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return scd2_intervals(
+        ev, ["user_id"], "ts_us", "event_id", ["event_type"]
+    )
+
+
+_Q89_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS o, event_id AS tb, event_type
+  FROM events
+),
+flagged AS (
+  SELECT user_id, o, tb, event_type,
+         CASE WHEN row_number() OVER w = 1
+                OR lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS flag
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY o, tb)
+),
+runs0 AS (
+  SELECT user_id, o, event_type,
+         sum(flag) OVER (PARTITION BY user_id ORDER BY o, tb
+                         ROWS UNBOUNDED PRECEDING) AS run
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, run, min(o) AS valid_from, min(event_type) AS event_type
+  FROM runs0 GROUP BY user_id, run
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+       CAST(run AS BIGINT) AS version
+FROM runs
+"""
+
+
+# Q90 deterministic HyperLogLog distinct (operators/sketches.py:
+# hll_registers/hll_estimate): per event type, estimate distinct users
+# from 2^9 md5-derived registers and report the exact count alongside.
+# Unlike approx_count_distinct (register layout is Spark-private), this
+# sketch is bit-reproducible by ANY engine, so the oracle re-derives
+# the registers and the single-division estimate exactly.  At 100 TB
+# the exact form shuffles every distinct user id; this shuffles <=512
+# longs per group.
+_HLL_P = 9
+
+
+def q90_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import hll_estimate, hll_registers
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = hll_registers(ev, ["event_type"], "user_id", p=_HLL_P)
+    est = hll_estimate(regs, ["event_type"], p=_HLL_P)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type", "n_exact", "n_registers", "hll_estimate_micro"
+    )
+
+
+def _hll_oracle_sql(p: int) -> str:
+    from .operators.sketches import (
+        _HASH_BITS,
+        hll_alpha,
+        hll_linear_counting_micro,
+    )
+
+    m = 1 << p
+    tail = _HASH_BITS - p
+    numer = hll_alpha(m) * float(m) * float(m) * float(1 << 40)
+    lc = ", ".join(str(x) for x in hll_linear_counting_micro(m))
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+regs AS (
+  SELECT event_type, hv % {m} AS bucket,
+         max(LEAST(CASE WHEN (hv >> {p}) > 0
+                        THEN {tail + 1} - length(bin(hv >> {p}))
+                        ELSE {tail + 1} END, 40)) AS reg
+  FROM h GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_registers,
+         sum(1::BIGINT << (40 - reg)) AS present
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type, n_registers,
+         CASE WHEN ({m} - n_registers) > 0
+               AND ({numer!r} /
+                    CAST(present + ({m} - n_registers) * (1::BIGINT << 40)
+                         AS DOUBLE)) <= {2.5 * m!r}
+              THEN ([{lc}]::BIGINT[])[{m} - n_registers]
+              ELSE CAST(round({numer!r} /
+                   CAST(present + ({m} - n_registers) * (1::BIGINT << 40)
+                        AS DOUBLE) * 1000000.0) AS BIGINT)
+         END AS hll_estimate_micro
+  FROM agg
+),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, x.n_exact, e.n_registers, e.hll_estimate_micro
+FROM est e JOIN ex x USING (event_type)
+"""
+
+
+_Q90_SQL = _hll_oracle_sql(_HLL_P)
+
+
+# Q91 count-min-sketch heavy hitters (operators/sketches.py:
+# cms_sketch/cms_lookup): sketch the full token stream into 4x256
+# md5-hashed counters, then point-estimate the 30 highest-exact-count
+# tokens against it — estimate >= exact always; the overestimate IS the
+# sketch's collision error, made visible.  The sketch relation is
+# O(depth*width) regardless of corpus size and broadcasts for lookup.
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK = 4, 256, 30
+
+
+def q91_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import cms_lookup, cms_sketch
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    sketch = cms_sketch(
+        counts, "token", "n_exact", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    cand = counts.orderBy(F.col("n_exact").desc(), "token").limit(_CMS_TOPK)
+    est = cms_lookup(sketch, cand.select("token"), "token", width=_CMS_WIDTH)
+    return cand.join(F.broadcast(est), "token").select(
+        "token", "n_exact", "cms_estimate"
+    )
+
+
+_Q91_SQL = f"""
+WITH tok AS (
+  SELECT unnest({_TOK.format(col='text')}) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY token
+),
+rows AS (SELECT unnest([0, 1, 2, 3]) AS r),
+sketch AS (
+  SELECT r,
+         ('0x' || substr(md5(token || ':' || r::VARCHAR), 1, 15))::BIGINT
+           % {_CMS_WIDTH} AS bucket,
+         sum(n_exact) AS total
+  FROM counts, rows GROUP BY 1, 2
+),
+cand AS (
+  SELECT token, n_exact FROM counts
+  ORDER BY n_exact DESC, token LIMIT {_CMS_TOPK}
+),
+est AS (
+  SELECT c.token, min(s.total) AS cms_estimate
+  FROM cand c
+  CROSS JOIN rows
+  JOIN sketch s ON s.r = rows.r
+   AND s.bucket = ('0x' || substr(md5(c.token || ':' || rows.r::VARCHAR),
+                                  1, 15))::BIGINT % {_CMS_WIDTH}
+  GROUP BY c.token
+)
+SELECT c.token, c.n_exact, CAST(e.cms_estimate AS BIGINT) AS cms_estimate
+FROM cand c JOIN est e USING (token)
+"""
+
+
+# Q92 grouped z-score anomalies (operators/stats.py: zscore_outliers):
+# events whose cents-value sits >= 3 sigma from their event type's
+# mean.  The aggregation is exact integer (n, sum, sum-of-squares
+# longs), the score one fixed IEEE expression tree — so the 3-sigma
+# boundary decision reproduces bit-exactly in the oracle.  Group stats
+# broadcast; the fact rows never shuffle.
+_Z_THRESH_MICRO = 3_000_000
+
+
+def q92_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.stats import zscore_outliers
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("value_cents")
+    )
+    out = zscore_outliers(ev, "event_type", "value_cents", _Z_THRESH_MICRO)
+    return out.select("event_id", "event_type", "value_cents", "z_micro")
+
+
+_Q92_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(v) AS s1, sum(v * v) AS s2
+  FROM ev GROUP BY event_type
+),
+scored AS (
+  SELECT ev.event_id, ev.event_type, ev.v AS value_cents,
+         CASE WHEN g.n > 1 AND
+                   (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+              THEN CAST(round(
+                (CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                * 1000000.0) AS BIGINT)
+         END AS z_micro
+  FROM ev JOIN g USING (event_type)
+)
+SELECT event_id, event_type, value_cents, z_micro
+FROM scored WHERE abs(z_micro) >= {_Z_THRESH_MICRO}
+"""
+
+
+# Q93 label-propagation communities (operators/components.py:
+# label_propagation): 3 synchronous rounds of most-frequent-neighbor-
+# label (ties to the smallest label) over the lineitem part graph —
+# the community-structure counterpart to q46's connected components
+# and q86's k-core.  Fixed horizon keeps the result a deterministic
+# function of the graph; the oracle unrolls the rounds with the
+# identical (count DESC, label) argmax.
+_LP_ROUNDS = 3
+
+
+def q93_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import label_propagation
+
+    return label_propagation(_lineitem_edges(spark, sf_dir), rounds=_LP_ROUNDS)
+
+
+def _lp_oracle_sql(rounds: int) -> str:
+    parts = [
+        """
+WITH raw AS (
+  SELECT DISTINCT src, l_partkey AS dst FROM (
+    SELECT l_partkey,
+           lag(l_partkey) OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS src
+    FROM lineitem
+  ) WHERE src IS NOT NULL AND src <> l_partkey
+),
+e0 AS MATERIALIZED (
+  SELECT src AS s, dst AS d FROM raw
+  UNION
+  SELECT dst AS s, src AS d FROM raw
+),
+lab0 AS (SELECT DISTINCT s AS vid, s AS label FROM e0)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+cnt{i} AS (
+  SELECT e.d AS vid, l.label, count(*) AS c
+  FROM e0 e JOIN lab{i} l ON e.s = l.vid GROUP BY 1, 2
+),
+lab{i + 1} AS MATERIALIZED (
+  SELECT vid, label FROM (
+    SELECT vid, label,
+           row_number() OVER (PARTITION BY vid ORDER BY c DESC, label) AS rn
+    FROM cnt{i}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(vid AS BIGINT) AS vid, CAST(label AS BIGINT) AS label
+FROM lab{rounds}
+"""
+    )
+    return "".join(parts)
+
+
+_Q93_SQL = _lp_oracle_sql(_LP_ROUNDS)
+
+
+# Q94 weighted sample without replacement (operators/sampling.py:
+# weighted_priority_sample): 100 documents drawn with probability
+# proportional to a length-derived integer weight — priority = max of
+# `weight` md5-uniforms (the Efraimidis-Spirakis u^(1/w) law in pure
+# integer hashes), top-k wins.  Map-side priorities +
+# TakeOrderedAndProject; nothing corpus-sized shuffles, and the draw
+# reproduces on any engine or rerun.
+_WS_K, _WS_DIV, _WS_CAP = 100, 64, 64
+
+
+def q94_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_priority_sample
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1) + (F.col("n_chars") / _WS_DIV).cast("long")).alias("wt"),
+    )
+    return weighted_priority_sample(
+        docs, "doc_id", "wt", k=_WS_K, max_weight=_WS_CAP
+    )
+
+
+_Q94_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         LEAST(GREATEST(CAST(1 + n_chars // {_WS_DIV} AS BIGINT), 1),
+               {_WS_CAP}) AS weight
+  FROM documents
+),
+pri AS (
+  SELECT doc_id, weight,
+         list_max(list_transform(generate_series(1, weight),
+           i -> ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                    || i::VARCHAR), 1, 15))::BIGINT))
+           AS priority
+  FROM w
+)
+SELECT doc_id, weight, priority FROM pri
+ORDER BY priority DESC, doc_id LIMIT {_WS_K}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -3228,6 +3574,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_kcore": q86_kcore,
     "q87_length_batches": q87_length_batches,
     "q88_cdc_snapshot": q88_cdc_snapshot,
+    "q89_scd2_history": q89_scd2_history,
+    "q90_hll_distinct": q90_hll_distinct,
+    "q91_cms_heavy_hitters": q91_cms_heavy_hitters,
+    "q92_zscore_outliers": q92_zscore_outliers,
+    "q93_label_propagation": q93_label_propagation,
+    "q94_weighted_sample": q94_weighted_sample,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -3258,10 +3610,10 @@ _WINDOW_PRIORITY = [
     "q82_bloom_decontam", "q83_token_budget", "q84_pq_ann",
     "q85_pq_rerank", "q86_kcore", "q87_length_batches",
     "q88_cdc_snapshot",
-    "q01_sort_events", "q03_wordcount", "q04_ngrams",
-    "q05_inverted_index", "q06_sessionize", "q07_pagerank",
-    "q08_link_extract", "q10_global_agg",
-    "q11_duplicate_keys",
+    # round-4 additions claim the remaining 6 window slots (44 + 6 = 50);
+    # everything displaced was triple-green in r03.
+    "q89_scd2_history", "q90_hll_distinct", "q91_cms_heavy_hitters",
+    "q92_zscore_outliers", "q93_label_propagation", "q94_weighted_sample",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
@@ -3358,4 +3710,10 @@ ORACLES: dict[str, str] = {
     "q86_kcore": _Q86_SQL,
     "q87_length_batches": _Q87_SQL,
     "q88_cdc_snapshot": _Q88_SQL,
+    "q89_scd2_history": _Q89_SQL,
+    "q90_hll_distinct": _Q90_SQL,
+    "q91_cms_heavy_hitters": _Q91_SQL,
+    "q92_zscore_outliers": _Q92_SQL,
+    "q93_label_propagation": _Q93_SQL,
+    "q94_weighted_sample": _Q94_SQL,
 }
