@@ -313,8 +313,15 @@ def label_propagation(
         .withColumn("label", F.col("vid"))
     )
     for _ in range(rounds):
-        nbr = e.join(labels, e.s == labels.vid).select(
-            F.col("d").alias("vid"), "label"
+        # One exchange per round: repartition the neighbor-label rows by
+        # vid ONCE; HashPartitioning(vid) satisfies the clustering of
+        # BOTH downstream aggregates (groupBy(vid,label) needs only
+        # same-key co-location, groupBy(vid) matches exactly), so the
+        # count and the argmax run exchange-free on top of it.
+        nbr = (
+            e.join(labels, e.s == labels.vid)
+            .select(F.col("d").alias("vid"), "label")
+            .repartition(npart, "vid")
         )
         counts = nbr.groupBy("vid", "label").agg(
             F.count(F.lit(1)).alias("__cnt")
