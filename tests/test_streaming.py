@@ -386,3 +386,53 @@ def test_token_budget_stream_rejects_bad_budget(spark):
     df = spark.readStream.format("rate").load()
     with pytest.raises(ValueError):
         token_budget_stream(df, "value", "value", "value", 0)
+
+
+def test_hll_registers_stream_matches_batch(spark, stream_dir):
+    from themis_tritonsort_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from themis_tritonsort_spark.streaming.sketches import hll_registers_stream
+
+    src = os.path.join(stream_dir, "src")
+    rows = [
+        (uid, f"2024-01-01 00:{10 + uid % 3:02d}:00", "click")
+        for uid in range(40)
+    ] + [
+        (uid, "2024-01-01 01:15:00", "view") for uid in range(25)
+    ]
+    _write_events(spark, src, rows)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    out = hll_registers_stream(
+        stream, window="1 hour", watermark="2 hours", p=8
+    )
+    _run_to_memory(out, "hll_regs", mode="complete")
+    got = spark.sql("SELECT * FROM hll_regs")
+
+    # streaming registers == batch registers over the same windowed rows
+    batch_src = spark.read.parquet(src).withColumn(
+        "win", F.date_trunc("hour", "ts")
+    )
+    expect = hll_registers(
+        batch_src, ["win", "event_type"], "user_id", p=8
+    )
+    got_set = {
+        (str(r["window_start"]), r["event_type"], r["bucket"], r["reg"])
+        for r in got.collect()
+    }
+    exp_set = {
+        (str(r["win"]), r["event_type"], r["bucket"], r["reg"])
+        for r in expect.collect()
+    }
+    assert got_set == exp_set
+
+    # and the batch finalizer over the sink estimates sensibly
+    est = hll_estimate(
+        got.withColumnRenamed("window_start", "win"), ["win", "event_type"], p=8
+    ).collect()
+    by_key = {(str(r["win"]), r["event_type"]): r["hll_estimate_micro"] / 1e6 for r in est}
+    assert abs(by_key[("2024-01-01 00:00:00", "click")] - 40) <= 8
+    assert abs(by_key[("2024-01-01 01:00:00", "view")] - 25) <= 6

@@ -117,6 +117,25 @@ def hll_linear_counting_micro(m: int) -> list[int]:
     return [round(1e6 * m * math.log(m / v)) for v in range(1, m + 1)]
 
 
+def hll_bucket_rho(value_col: str, p: int) -> tuple[F.Column, F.Column]:
+    """The map-side half of the HLL sketch: (bucket, rho) columns for a
+    value — register index from the hash's low p bits, leading-one
+    position of the remaining tail (capped).  Shared by the batch and
+    streaming register builders so both maintain the identical state.
+    """
+    if not 7 <= p <= 14:
+        raise ValueError(f"p must be in [7, 14], got {p}")
+    m = 1 << p
+    tail_bits = _HASH_BITS - p
+    h = _md5_60(F.col(value_col).cast("string"))
+    w = F.shiftright(h, p)  # hash tail — bit shift, never float division
+    # leading-one position within tail_bits (1-based); w == 0 -> cap
+    rho = F.when(
+        w > 0, F.lit(tail_bits + 1) - F.length(F.bin(w))
+    ).otherwise(F.lit(tail_bits + 1))
+    return (h % m), F.least(rho, F.lit(_HLL_RHO_CAP)).cast("int")
+
+
 def hll_registers(
     df: DataFrame, group_cols: Sequence[str], value_col: str, p: int = 9
 ) -> DataFrame:
@@ -127,20 +146,9 @@ def hll_registers(
     most 2^p rows per group — the sketch IS the aggregation state, so
     merging scale-out partitions is the same max().
     """
-    if not 7 <= p <= 14:
-        raise ValueError(f"p must be in [7, 14], got {p}")
-    m = 1 << p
-    tail_bits = _HASH_BITS - p
-    h = _md5_60(F.col(value_col).cast("string"))
-    w = F.shiftright(h, p)  # hash tail — bit shift, never float division
-    # leading-one position within tail_bits (1-based); w == 0 -> cap
-    rho = F.when(
-        F.col("__w") > 0,
-        F.lit(tail_bits + 1) - F.length(F.bin(F.col("__w"))),
-    ).otherwise(F.lit(tail_bits + 1))
+    bucket, rho = hll_bucket_rho(value_col, p)
     return (
-        df.select(*group_cols, (h % m).alias("bucket"), w.alias("__w"))
-        .withColumn("__rho", F.least(rho, F.lit(_HLL_RHO_CAP)).cast("int"))
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("__rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("__rho").alias("reg"))
     )
