@@ -146,3 +146,27 @@ def test_pagerank_two_iterations_via_job_chain(spark):
     out = run_in_sequence(spark, [it, it], df=verts)
     got = {(r["vid"], round(r["rank"], 9)) for r in out.collect()}
     assert got == want
+
+
+def test_driver_window_composition():
+    """The round driver gates the FIRST 50 entries of queries() — pin
+    that the window is exactly the rotation plan (round-4: the 28
+    entries whose last driver proof was r02, the q73+ tail, and the
+    round's new queries), every windowed entry has an oracle, and
+    nothing outside the window lacks local oracle coverage."""
+    from themis_tritonsort_spark.queries import (
+        _WINDOW_PRIORITY,
+        ORACLES,
+        QUERIES,
+    )
+
+    assert len(_WINDOW_PRIORITY) == 50
+    assert list(QUERIES)[:50] == _WINDOW_PRIORITY
+    missing = [n for n in _WINDOW_PRIORITY if n not in ORACLES]
+    assert missing == []
+    # the r02-era tail that must re-prove this round
+    stale = {f"q{i:02d}" for i in range(19, 29)} | {"q30"} | {
+        f"q{i}" for i in range(32, 39)
+    } | {f"q{i}" for i in range(40, 50)}
+    windowed_prefixes = {n.split("_")[0] for n in _WINDOW_PRIORITY}
+    assert stale <= windowed_prefixes
