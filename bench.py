@@ -124,6 +124,14 @@ BENCH_QUERIES = {
     "q92_zscore_outliers": q.q92_zscore_outliers,
     "q93_label_propagation": q.q93_label_propagation,
     "q94_weighted_sample": q.q94_weighted_sample,
+    "q95_volume_shipping": q.q95_volume_shipping,
+    "q96_product_profit": q.q96_product_profit,
+    "q97_important_parts": q.q97_important_parts,
+    "q98_supplier_variety": q.q98_supplier_variety,
+    "q99_large_orders": q.q99_large_orders,
+    "q100_bracket_revenue": q.q100_bracket_revenue,
+    "q101_excess_suppliers": q.q101_excess_suppliers,
+    "q102_waiting_suppliers": q.q102_waiting_suppliers,
 }
 
 

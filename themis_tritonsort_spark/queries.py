@@ -31,6 +31,10 @@ Sections:
   q89-q94   SCD2 dimension history, deterministic HLL distinct,
             count-min heavy hitters, grouped z-score anomalies,
             label-propagation communities, weighted sampling
+  q95-q102  remaining classic TPC-H join/subquery shapes (Q7 volume
+            shipping, Q9 profit, Q11 scalar-threshold, Q16 NOT-IN
+            variety, Q18 grouped-HAVING, Q19 OR-brackets, Q20 chained
+            semi-join, Q21 double-correlated EXISTS)
 """
 
 from __future__ import annotations
@@ -3484,6 +3488,399 @@ ORDER BY priority DESC, doc_id LIMIT {_WS_K}
 """
 
 
+# ---------------------------------------------------------------- q95-q102
+# The remaining classic TPC-H join/subquery shapes absent from the
+# catalog (the reference has no SQL layer at all — SURVEY §2.9 stops at
+# its 13 declared jobs — so these are "beyond-reference" relational
+# coverage like q14-q16/q48/q52/q53).  The testdata star schema has no
+# partsupp table and no commit/receipt dates, so Q9/Q11/Q20/Q21 are
+# adapted to lineitem-derivable equivalents; each docstring states the
+# adaptation.  All money stays in exact integer cents per
+# functions.exact.
+
+
+# Q95 Two-sided dimension pair filter (TPC-H Q7 volume-shipping shape):
+# revenue between two named nations by (supp_nation, cust_nation, year).
+# Scale plan: both nation filters are applied to the 25-row dimension
+# FIRST and propagate through broadcast joins onto supplier/customer,
+# so lineitem — the 100 TB side — is filtered by two broadcast hash
+# joins and never shuffled; the final rollup is a 4-group aggregate.
+def q95_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    su = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cu = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).alias("revenue_cents"))
+    )
+
+
+_Q95_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+# Q96 Product-type profit rollup (TPC-H Q9 shape).  Adaptation: the
+# schema has no partsupp, so supply cost is proxied as
+# 5% of p_retailprice per unit — the join/agg shape (part-name LIKE
+# filter, 4-way join, nation x year rollup) is what's under test.
+# Per-row profit is assembled products-first and rounded ONCE so both
+# engines round the same double.
+def q96_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity") * 0.05
+        )
+        * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(pa.select("p_partkey", "p_retailprice")), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).alias("profit_cents"))
+    )
+
+
+_Q96_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                            - p_retailprice * l_quantity * 0.05) * 100) AS BIGINT)) AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+# Q97 Group-vs-global scalar subquery (TPC-H Q11 important-stock
+# shape).  Adaptation (no partsupp): a part's "value" is its shipped
+# retail value from lineitem.  The global total is a 1-row aggregate
+# broadcast onto the per-part rows — Catalyst plans the scalar
+# subquery as a broadcast nested-loop over one row, so the threshold
+# costs nothing at any scale; lineitem is scanned once per branch and
+# both branches reuse the same grouped base via persist.
+def q97_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    pa = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    val = (
+        F.round(F.col("p_retailprice") * F.col("l_quantity") * 100)
+        .cast("long")
+    )
+    per_part = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("value_cents"))
+        .persist()
+    )
+    total = per_part.groupBy().agg(
+        (F.sum("value_cents").cast("double") * 0.0005).alias("__thresh")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents").cast("double") > F.col("__thresh"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+_Q97_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(ROUND(p_retailprice * l_quantity * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT l_partkey, value_cents
+FROM per_part
+WHERE CAST(value_cents AS DOUBLE) >
+      (SELECT CAST(sum(value_cents) AS DOUBLE) * 0.0005 FROM per_part)
+"""
+
+
+# Q98 Distinct-count with NOT-IN exclusion (TPC-H Q16
+# supplier-variety shape): suppliers per (brand, type, size) bucket,
+# excluding "complaint" suppliers (proxied as s_acctbal < 0 — the
+# schema has no s_comment).  The exclusion is a broadcast LEFT ANTI
+# join (100 rows), the part filter prunes before the join, and the
+# distinct-count shuffles only (brand,type,size,suppkey) pairs.
+def q98_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bad = table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pa = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 25)
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(pa.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q98_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+# Q99 Grouped-HAVING IN-subquery (TPC-H Q18 large-order shape):
+# customers whose order totals more than 300 units.  The qualifying
+# set is a grouped filter on lineitem alone (map-side partial sums);
+# orders/customer join AFTER the 46-order survivor set, so at 100 TB
+# the expensive side aggregates once and the joins move only
+# survivors.  Quantities are integral by data contract — cast to long
+# per row so the sum is order-independent.
+def q99_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(od, big.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("odate_us"),
+            cents("o_totalprice").alias("totalprice_cents"),
+            "sum_qty",
+        )
+    )
+
+
+_Q99_SQL = """
+SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS odate_us,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       sum_qty
+FROM (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum_qty > 300
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# Q100 Disjunctive multi-bracket predicate (TPC-H Q19 shape): revenue
+# from three (brand, size-range, quantity-range) brackets OR-ed
+# together.  The whole predicate is a single codegen expression on the
+# broadcast-joined pair — no union-of-three-scans; Catalyst pushes the
+# common `p_size <= 35` envelope and the quantity envelope to the
+# scans while evaluating the OR residual in one pass.
+def q100_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#4")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        j.where(b1 | b2 | b3)
+        .groupBy()
+        .agg(
+            F.sum(rev).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q100_SQL = """
+SELECT CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# Q101 Chained semi-join threshold (TPC-H Q20 excess-stock shape):
+# suppliers who shipped more than half of a part's 1997 volume for any
+# 'small%' part.  Adaptation (no partsupp availqty): the threshold is
+# 50% of the part's total shipped quantity.  Shape: one grouped pass
+# over the filtered lineitem produces BOTH the per-(supp,part) and
+# per-part totals (the latter re-aggregated from the former, so the
+# corpus-sized input is read and shuffled once), then a broadcast
+# threshold join and a semi join up to supplier.
+def q101_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pa.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    sp = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sp_qty"))
+        .persist()
+    )
+    part_tot = sp.groupBy("l_partkey").agg(F.sum("sp_qty").alias("part_qty"))
+    winners = (
+        sp.join(F.broadcast(part_tot), "l_partkey")
+        .where(
+            F.col("sp_qty").cast("double")
+            > F.col("part_qty").cast("double") * 0.5
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return su.join(
+        winners, su.s_suppkey == winners.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+_Q101_SQL = """
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sp_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+part_tot AS (
+  SELECT l_partkey, CAST(sum(sp_qty) AS BIGINT) AS part_qty FROM sp GROUP BY 1
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT DISTINCT l_suppkey
+  FROM sp JOIN part_tot USING (l_partkey)
+  WHERE CAST(sp_qty AS DOUBLE) > CAST(part_qty AS DOUBLE) * 0.5
+)
+"""
+
+
+# Q102 Double-correlated EXISTS / NOT-EXISTS (TPC-H Q21
+# waiting-supplier shape).  Adaptation (no receipt/commit dates): in
+# every multi-supplier order, the "waiting" supplier is the one whose
+# ship date equals the order's latest while some other supplier
+# shipped strictly earlier.  Both correlations collapse into one
+# window pass over (orderkey) — max/min ship date and distinct-supplier
+# count carried as order-level aggregates joined back — so the plan is
+# one shuffle on orderkey plus the per-supplier count, instead of two
+# correlated re-scans.
+def q102_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("__max_ship"),
+        F.min("l_shipdate").alias("__min_ship"),
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+    )
+    waiting = (
+        li.join(per_order, "l_orderkey")
+        .where(
+            (F.col("__n_supp") > 1)
+            & (F.col("l_shipdate") == F.col("__max_ship"))
+            & (F.col("__min_ship") < F.col("__max_ship"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return waiting.join(
+        F.broadcast(su), waiting.l_suppkey == su.s_suppkey
+    ).select("s_suppkey", "s_name", "numwait")
+
+
+_Q102_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, max(l_shipdate) AS max_ship, min(l_shipdate) AS min_ship,
+         count(DISTINCT l_suppkey) AS n_supp
+  FROM lineitem GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS numwait
+FROM lineitem l
+JOIN per_order o ON l.l_orderkey = o.l_orderkey
+JOIN supplier ON l.l_suppkey = s_suppkey
+WHERE o.n_supp > 1 AND l.l_shipdate = o.max_ship AND o.min_ship < o.max_ship
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -3580,6 +3977,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_zscore_outliers": q92_zscore_outliers,
     "q93_label_propagation": q93_label_propagation,
     "q94_weighted_sample": q94_weighted_sample,
+    "q95_volume_shipping": q95_volume_shipping,
+    "q96_product_profit": q96_product_profit,
+    "q97_important_parts": q97_important_parts,
+    "q98_supplier_variety": q98_supplier_variety,
+    "q99_large_orders": q99_large_orders,
+    "q100_bracket_revenue": q100_bracket_revenue,
+    "q101_excess_suppliers": q101_excess_suppliers,
+    "q102_waiting_suppliers": q102_waiting_suppliers,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -3716,4 +4121,12 @@ ORACLES: dict[str, str] = {
     "q92_zscore_outliers": _Q92_SQL,
     "q93_label_propagation": _Q93_SQL,
     "q94_weighted_sample": _Q94_SQL,
+    "q95_volume_shipping": _Q95_SQL,
+    "q96_product_profit": _Q96_SQL,
+    "q97_important_parts": _Q97_SQL,
+    "q98_supplier_variety": _Q98_SQL,
+    "q99_large_orders": _Q99_SQL,
+    "q100_bracket_revenue": _Q100_SQL,
+    "q101_excess_suppliers": _Q101_SQL,
+    "q102_waiting_suppliers": _Q102_SQL,
 }
