@@ -132,6 +132,8 @@ BENCH_QUERIES = {
     "q100_bracket_revenue": q.q100_bracket_revenue,
     "q101_excess_suppliers": q.q101_excess_suppliers,
     "q102_waiting_suppliers": q.q102_waiting_suppliers,
+    "q103_bfs_hops": q.q103_bfs_hops,
+    "q104_hashed_classifier": q.q104_hashed_classifier,
 }
 
 

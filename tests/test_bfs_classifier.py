@@ -1,0 +1,86 @@
+"""Semantic contracts for the BFS hop operator and the hashed linear
+classifier (q103/q104) on hand-built fixtures; engine parity is proved
+by test_queries_oracle."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from themis_tritonsort_spark.operators.components import bfs_hops
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _seeds(spark, vids):
+    return spark.createDataFrame([(v,) for v in vids], "vid long")
+
+
+def test_bfs_path_graph_hops(spark):
+    # 1-2-3-4 chain plus disjoint 5-6; seeds {1, 5}
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (5, 6)])
+    got = {
+        r["vid"]: r["hop"]
+        for r in bfs_hops(e, _seeds(spark, [1, 5]), rounds=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 0, 6: 1}
+
+
+def test_bfs_undirected_and_min_hop_wins(spark):
+    # edge direction must not matter, and a vertex reachable two ways
+    # gets the SHORTER distance: 3 is 1 hop from seed 1 via (3,1).
+    e = _edges(spark, [(3, 1), (1, 2), (2, 3)])
+    got = {
+        r["vid"]: r["hop"]
+        for r in bfs_hops(e, _seeds(spark, [1]), rounds=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_bfs_zero_rounds_and_horizon(spark):
+    e = _edges(spark, [(1, 2), (2, 3)])
+    assert {
+        r["vid"]: r["hop"]
+        for r in bfs_hops(e, _seeds(spark, [1]), rounds=0).collect()
+    } == {1: 0}
+    # horizon 1: vertex 3 (2 hops away) must NOT appear
+    assert {
+        r["vid"]: r["hop"]
+        for r in bfs_hops(e, _seeds(spark, [1]), rounds=1).collect()
+    } == {1: 0, 2: 1}
+
+
+def test_bfs_rejects_negative_rounds(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        bfs_hops(e, _seeds(spark, [1]), rounds=-1)
+
+
+def test_hashed_classifier_score_matches_hand_hash(spark, sf_dir):
+    # recompute one document's score with hashlib and compare
+    from themis_tritonsort_spark.queries import q104_hashed_classifier
+    from themis_tritonsort_spark.data import table
+    from themis_tritonsort_spark.functions.text import tokens
+
+    doc = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") == 1)
+        .select("doc_id", "text", tokens("text").alias("toks"))
+        .collect()[0]
+    )
+    expected = 0
+    for w in doc["toks"]:
+        bucket = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 256
+        expected += (bucket * 2654435761) % 1001 - 500
+    got = (
+        q104_hashed_classifier(spark, sf_dir)
+        .where(F.col("doc_id") == 1)
+        .collect()[0]
+    )
+    assert got["score_milli"] == expected
+    assert got["n_tokens"] == len(doc["toks"])
+    assert got["pred_keep"] == (expected > 0)

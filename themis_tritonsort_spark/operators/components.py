@@ -338,3 +338,65 @@ def label_propagation(
     return labels.select(
         F.col("vid").cast("long"), F.col("label").cast("long")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "vid",
+) -> DataFrame:
+    """Multi-source breadth-first hop distance: (vid long, hop int) for
+    every vertex reachable from ``seeds`` within ``rounds`` undirected
+    hops (seeds themselves at hop 0).  The classic frontier-expansion
+    formulation of iterative graph traversal (cf. the reference's
+    iterative network jobs, e.g. PageRank's per-superstep scatter,
+    /root/reference/src/tritonsort/mapreduce/functions/map/PageRankMapFunction.cc
+    — same superstep discipline, different per-round operator).
+
+    Scale shape: the both-orientations edge set is built ONCE,
+    pre-partitioned on the frontier-matching key, and persisted, so
+    each round's expansion join co-locates against it without
+    re-shuffling the graph.  Per round the moving data is the frontier
+    x avg-degree neighbor set (one exchange for its dedup) and the
+    visited-set anti-join — both bounded by the vertex set, never the
+    corpus.  ``localCheckpoint`` cuts the per-round lineage exactly as
+    in :func:`label_propagation`; frontiers SHRINK as the graph
+    saturates, so late rounds are cheap.
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    spark = edges.sparkSession
+    npart = spark.sparkContext.defaultParallelism
+    half = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col("s") != F.col("d")
+    )
+    e = (
+        half.unionByName(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .repartition(npart, "s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("vid"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist.select("vid")
+    for i in range(1, rounds + 1):
+        reached = (
+            e.join(frontier.withColumnRenamed("vid", "s"), "s")
+            .select(F.col("d").alias("vid"))
+            .distinct()
+        )
+        fresh = (
+            reached.join(dist.select("vid"), "vid", "left_anti")
+            .withColumn("hop", F.lit(i))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionByName(fresh).localCheckpoint(eager=False)
+        frontier = fresh.select("vid")
+    return dist.select(F.col("vid").cast("long"), F.col("hop").cast("int"))

@@ -35,6 +35,8 @@ Sections:
             shipping, Q9 profit, Q11 scalar-threshold, Q16 NOT-IN
             variety, Q18 grouped-HAVING, Q19 OR-brackets, Q20 chained
             semi-join, Q21 double-correlated EXISTS)
+  q103-q104 multi-source BFS hop distance, hashed-bag-of-words linear
+            quality classifier
 """
 
 from __future__ import annotations
@@ -3881,6 +3883,126 @@ GROUP BY 1, 2
 """
 
 
+# Q103 Multi-source BFS hop distance (operators/components.bfs_hops):
+# hop count from the seed set (every 50th part vertex) within 3
+# undirected hops over the lineitem co-order graph.  Same superstep
+# discipline as PageRank/label propagation — pre-partitioned persisted
+# edges, shrinking frontier, one dedup exchange per round — and the
+# oracle unrolls the identical 3 rounds as CTEs.
+_BFS_ROUNDS, _BFS_SEED_MOD = 3, 50
+
+
+def q103_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import bfs_hops
+
+    edges = _lineitem_edges(spark, sf_dir)
+    half = edges.select("src", "dst")
+    verts = (
+        half.select(F.col("src").alias("vid"))
+        .unionByName(half.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("vid") % _BFS_SEED_MOD == 0)
+    return bfs_hops(edges, seeds, rounds=_BFS_ROUNDS)
+
+
+def _bfs_oracle_sql(rounds: int, seed_mod: int) -> str:
+    parts = [
+        f"""
+WITH raw AS (
+  SELECT DISTINCT src, l_partkey AS dst FROM (
+    SELECT l_partkey,
+           lag(l_partkey) OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS src
+    FROM lineitem
+  ) WHERE src IS NOT NULL AND src <> l_partkey
+),
+e0 AS MATERIALIZED (
+  SELECT src AS s, dst AS d FROM raw
+  UNION
+  SELECT dst AS s, src AS d FROM raw
+),
+h0 AS (
+  SELECT vid, 0 AS hop FROM (SELECT DISTINCT s AS vid FROM e0)
+  WHERE vid % {seed_mod} = 0
+),
+f0 AS (SELECT vid FROM h0)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+n{i} AS MATERIALIZED (
+  SELECT vid, {i} AS hop FROM (
+    SELECT DISTINCT e.d AS vid FROM e0 e JOIN f{i - 1} f ON e.s = f.vid
+  )
+  WHERE vid NOT IN (SELECT vid FROM h{i - 1})
+),
+h{i} AS MATERIALIZED (
+  SELECT vid, hop FROM h{i - 1} UNION ALL SELECT vid, hop FROM n{i}
+),
+f{i} AS (SELECT vid FROM n{i})"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(vid AS BIGINT) AS vid, CAST(hop AS INTEGER) AS hop FROM h{rounds}
+"""
+    )
+    return "".join(parts)
+
+
+_Q103_SQL = _bfs_oracle_sql(_BFS_ROUNDS, _BFS_SEED_MOD)
+
+
+# Q104 Hashed-bag-of-words linear quality classifier (the fasttext-/
+# DSIR-style scorer of large-scale curation stacks): token -> md5
+# bucket (256 buckets) -> integer weight -> per-doc summed score and a
+# keep/drop decision.  The weight table is a deterministic surrogate
+# (Knuth-hash of the bucket id) because no trained model ships in this
+# container — the ENGINE side under test is the hash-projection +
+# grouped linear scoring plan, which is weight-agnostic: a real model
+# swaps in as a 256-row broadcast join (or literal map) without
+# changing the plan shape.  Everything is integer arithmetic on
+# 60-bit md5 prefixes, so any engine reproduces the same scores.
+def q104_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
+        % 256
+    )
+    w = (bucket * F.lit(2654435761)) % 1001 - 500
+    return (
+        tok.select("doc_id", w.alias("__w"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__w").alias("score_milli"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "score_milli",
+            "n_tokens",
+            (F.col("score_milli") > 0).alias("pred_keep"),
+        )
+    )
+
+
+_Q104_SQL = f"""
+SELECT doc_id,
+       CAST(sum(w) AS BIGINT) AS score_milli,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       sum(w) > 0 AS pred_keep
+FROM (
+  SELECT doc_id,
+         ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 256)
+          * 2654435761) % 1001 - 500 AS w
+  FROM (SELECT doc_id, unnest({_TOK.format(col='text')}) AS tok
+        FROM documents)
+)
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -3985,6 +4107,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_bracket_revenue": q100_bracket_revenue,
     "q101_excess_suppliers": q101_excess_suppliers,
     "q102_waiting_suppliers": q102_waiting_suppliers,
+    "q103_bfs_hops": q103_bfs_hops,
+    "q104_hashed_classifier": q104_hashed_classifier,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -4129,4 +4253,6 @@ ORACLES: dict[str, str] = {
     "q100_bracket_revenue": _Q100_SQL,
     "q101_excess_suppliers": _Q101_SQL,
     "q102_waiting_suppliers": _Q102_SQL,
+    "q103_bfs_hops": _Q103_SQL,
+    "q104_hashed_classifier": _Q104_SQL,
 }
