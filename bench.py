@@ -134,6 +134,8 @@ BENCH_QUERIES = {
     "q102_waiting_suppliers": q.q102_waiting_suppliers,
     "q103_bfs_hops": q.q103_bfs_hops,
     "q104_hashed_classifier": q.q104_hashed_classifier,
+    "q105_concurrency": q.q105_concurrency,
+    "q106_bpe_train": q.q106_bpe_train,
 }
 
 

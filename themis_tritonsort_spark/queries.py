@@ -35,8 +35,9 @@ Sections:
             shipping, Q9 profit, Q11 scalar-threshold, Q16 NOT-IN
             variety, Q18 grouped-HAVING, Q19 OR-brackets, Q20 chained
             semi-join, Q21 double-correlated EXISTS)
-  q103-q104 multi-source BFS hop distance, hashed-bag-of-words linear
-            quality classifier
+  q103-q106 multi-source BFS hop distance, hashed-bag-of-words linear
+            quality classifier, sweep-line interval concurrency,
+            distributed BPE tokenizer training
 """
 
 from __future__ import annotations
@@ -4003,6 +4004,141 @@ GROUP BY doc_id
 """
 
 
+# Q105 Sweep-line interval concurrency (the "how many sessions were
+# open at once" op of observability stacks): each user's activity span
+# becomes a +1/-1 boundary pair, boundaries collapse per timestamp,
+# and the running sum over time is the open-session count after each
+# instant (half-open [start, end) semantics: a span ending at t is
+# closed at t).  Scale shape: the event stream reduces to 2 boundaries
+# per user in ONE keyed aggregate; the sweep itself runs over that
+# boundary set — vertex-sized, never the corpus — through the
+# distributed prefix sum (range shuffle + partition-local cumsum +
+# broadcast offsets, operators/sort.py), so there is no global window
+# at any size.  The oracle's plain windowed cumsum is the semantic
+# spec the distributed form must equal.
+def q105_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sort import with_global_prefix_sum
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("__lo"), F.max("ts_us").alias("__hi")
+    )
+    bounds = (
+        spans.select(F.col("__lo").alias("ts_us"), F.lit(1).alias("__d"))
+        .unionByName(
+            spans.select(F.col("__hi").alias("ts_us"), F.lit(-1).alias("__d"))
+        )
+        .groupBy("ts_us")
+        .agg(F.sum("__d").alias("net_delta"))
+    )
+    return with_global_prefix_sum(
+        bounds, ["ts_us"], "net_delta", out_col="open_sessions"
+    ).select(
+        "ts_us",
+        F.col("net_delta").cast("long"),
+        F.col("open_sessions").cast("long"),
+    )
+
+
+_Q105_SQL = """
+WITH spans AS (
+  SELECT user_id, min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+  FROM events GROUP BY 1
+),
+bounds AS (
+  SELECT ts_us, CAST(sum(d) AS BIGINT) AS net_delta FROM (
+    SELECT lo AS ts_us, 1 AS d FROM spans
+    UNION ALL
+    SELECT hi AS ts_us, -1 AS d FROM spans
+  ) GROUP BY 1
+)
+SELECT ts_us, net_delta,
+       CAST(sum(net_delta) OVER (ORDER BY ts_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_sessions
+FROM bounds
+"""
+
+
+# Q106 BPE tokenizer training (operators/bpe.py): learn 3 greedy
+# best-pair merges from the corpus word-frequency table and return the
+# trained symbol vocabulary with counts.  The oracle replays the
+# identical algorithm — word table, pair counts, (count DESC, left,
+# right) argmax, and the greedy left-to-right merge fold as a
+# recursive CTE advancing one symbol per step — so every merge
+# decision and the final distribution must agree exactly.
+_BPE_MERGES = 3
+
+
+def q106_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    _rules, vocab = bpe_train(docs, merges=_BPE_MERGES)
+    return vocab
+
+
+def _bpe_oracle_sql(merges: int) -> str:
+    from .operators.bpe import BPE_MAX_WORD_LEN
+
+    parts = [
+        f"""
+WITH RECURSIVE words AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOK.format(col='text')}) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) <= {BPE_MAX_WORD_LEN}
+  GROUP BY w
+),
+s0 AS MATERIALIZED (
+  SELECT word, cnt,
+         list_transform(range(1, length(word) + 1),
+                        i -> substr(word, i, 1)) AS syms
+  FROM words
+)"""
+    ]
+    for r in range(merges):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT u.a AS a, u.b AS b, sum(cnt) AS c FROM (
+    SELECT cnt,
+           unnest(list_transform(range(1, len(syms)),
+                                 i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS u
+    FROM s{r})
+  GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (SELECT a, b FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+f{r} AS (
+  SELECT word, cnt, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM s{r}
+  UNION ALL
+  SELECT word, cnt, syms, i + 1,
+         CASE WHEN len(acc) > 0
+                   AND acc[len(acc)] = (SELECT a FROM b{r})
+                   AND syms[i] = (SELECT b FROM b{r})
+              THEN list_append(acc[1:len(acc) - 1],
+                               (SELECT a FROM b{r}) || (SELECT b FROM b{r}))
+              ELSE list_append(acc, syms[i]) END
+  FROM f{r} WHERE i <= len(syms)
+),
+s{r + 1} AS MATERIALIZED (
+  SELECT word, cnt, acc AS syms FROM f{r} WHERE i = len(syms) + 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT symbol, CAST(sum(cnt) AS BIGINT) AS total_cnt FROM (
+  SELECT cnt, unnest(syms) AS symbol FROM s{merges}
+) GROUP BY 1
+"""
+    )
+    return "".join(parts)
+
+
+_Q106_SQL = _bpe_oracle_sql(_BPE_MERGES)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -4109,6 +4245,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_waiting_suppliers": q102_waiting_suppliers,
     "q103_bfs_hops": q103_bfs_hops,
     "q104_hashed_classifier": q104_hashed_classifier,
+    "q105_concurrency": q105_concurrency,
+    "q106_bpe_train": q106_bpe_train,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -4255,4 +4393,6 @@ ORACLES: dict[str, str] = {
     "q102_waiting_suppliers": _Q102_SQL,
     "q103_bfs_hops": _Q103_SQL,
     "q104_hashed_classifier": _Q104_SQL,
+    "q105_concurrency": _Q105_SQL,
+    "q106_bpe_train": _Q106_SQL,
 }
