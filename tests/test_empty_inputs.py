@@ -145,3 +145,34 @@ def test_round4_operators_total_over_empty_inputs(spark):
         assert read_kvpair(spark, scratch).count() == 0
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_session_additions_total_over_empty_inputs(spark):
+    from themis_tritonsort_spark.operators.bpe import bpe_encode, bpe_train
+    from themis_tritonsort_spark.operators.components import bfs_hops
+    from themis_tritonsort_spark.operators.sort import with_global_prefix_sum
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    no_edges = spark.createDataFrame([], "src long, dst long")
+    no_seeds = spark.createDataFrame([], "vid long")
+    no_bounds = spark.createDataFrame([], "ts_us long, net_delta long")
+
+    # BFS: empty graph + empty seeds -> empty; empty graph with seeds
+    # -> seeds at hop 0 (they exist independently of edges)
+    assert bfs_hops(no_edges, no_seeds, rounds=3).count() == 0
+    seeds = spark.createDataFrame([(7,)], "vid long")
+    got = bfs_hops(no_edges, seeds, rounds=3).collect()
+    assert [(r["vid"], r["hop"]) for r in got] == [(7, 0)]
+
+    # BPE: no eligible words -> no rules, empty vocab; encode total
+    rules, vocab = bpe_train(no_docs, merges=3)
+    assert rules == [] and vocab.count() == 0
+    assert bpe_encode(no_docs, [("a", "b")]).count() == 0
+    only_digits = spark.createDataFrame([(0, "123 456")], "doc_id long, text string")
+    rules2, vocab2 = bpe_train(only_digits, merges=2)
+    assert rules2 == [] and vocab2.count() == 0
+
+    # prefix sum over an empty boundary set
+    assert (
+        with_global_prefix_sum(no_bounds, ["ts_us"], "net_delta").count() == 0
+    )
