@@ -4259,7 +4259,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # of the catalog (new round-4 entries claim slots from that fill).
 # Everything rotated OUT was triple-green in r03 with code unchanged,
 # and the whole catalog stays oracle-checked locally every run by
-# tests/test_queries_oracle.py.
+# tests/test_queries_oracle.py.  The session's later additions
+# (q95-q106) sit AFTER the window — locally oracle-proven this round,
+# first in line for the r05 rotation.
 _WINDOW_PRIORITY = [
     "q19_minhash_lsh", "q20_ann_topk", "q21_text_quality",
     "q22_lang_id", "q23_fingerprint", "q24_window_funcs",
