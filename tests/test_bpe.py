@@ -9,6 +9,8 @@ import re
 from collections import Counter
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from themis_tritonsort_spark.operators.bpe import (
@@ -127,3 +129,19 @@ def test_bpe_encode_vocab_consistency(spark):
     got = {r["symbol"]: r["n"] for r in enc.collect()}
     want = {r["symbol"]: r["total_cnt"] for r in vocab.collect()}
     assert got == want
+
+
+_word = st.text(alphabet="ab", min_size=1, max_size=6)
+
+
+@given(st.lists(_word, min_size=1, max_size=12))
+@settings(max_examples=10, deadline=None)
+def test_bpe_property_matches_reference(spark, words):
+    # tiny two-letter alphabet maximizes merge-chain collisions (the
+    # hard case: overlapping aa/ab/ba pairs and repeated merges)
+    text = " ".join(words)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rules, vocab = bpe_train(docs, merges=3)
+    ref_rules, ref_vocab = _ref_bpe([text], merges=3)
+    assert rules == ref_rules
+    assert {r["symbol"]: r["total_cnt"] for r in vocab.collect()} == ref_vocab

@@ -277,3 +277,39 @@ def scd2_intervals(
         .drop("__new_run", "__run")
         .select(*key_cols, *attr_cols, "valid_from", "valid_to", "version")
     )
+
+
+def concurrency_sweep(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    out_col: str = "open_sessions",
+) -> DataFrame:
+    """Sweep-line interval concurrency: each key's activity span
+    [min ts, max ts) becomes a +1/-1 boundary pair; boundaries
+    collapse per timestamp and the running sum over time is the
+    open-span count after each instant.  (ts, net_delta long,
+    out_col long.)  The corpus reduces to 2 boundaries per key in ONE
+    keyed aggregate; the sweep runs on that boundary set through the
+    distributed prefix sum — no global window at any size.
+    """
+    from .sort import with_global_prefix_sum
+
+    spans = df.groupBy(key_col).agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    )
+    bounds = (
+        spans.select(F.col("__lo").alias(ts_col), F.lit(1).alias("__d"))
+        .unionByName(
+            spans.select(F.col("__hi").alias(ts_col), F.lit(-1).alias("__d"))
+        )
+        .groupBy(ts_col)
+        .agg(F.sum("__d").alias("net_delta"))
+    )
+    return with_global_prefix_sum(
+        bounds, [ts_col], "net_delta", out_col=out_col
+    ).select(
+        F.col(ts_col),
+        F.col("net_delta").cast("long"),
+        F.col(out_col).cast("long"),
+    )

@@ -885,3 +885,40 @@ def batch_by_length(
         batch_col,
         F.expr(f"(__rn - 1) div {int(batch_size)}").cast("long"),
     ).drop("__rn")
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 256,
+) -> DataFrame:
+    """Hashed-bag-of-words linear quality classifier (fasttext/DSIR
+    style): token -> md5 bucket -> integer weight -> per-doc summed
+    score + keep decision.  (id, score_milli long, n_tokens long,
+    pred_keep boolean).  The weight table is a deterministic surrogate
+    (Knuth multiplicative hash of the bucket id — no trained model in
+    this container); a real model swaps in as a ``buckets``-row
+    broadcast join without changing the plan: one map-side expression
+    tree + one doc-key aggregate, corpus moves once.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__word")), 1, 15), 16, 10).cast("long")
+        % buckets
+    )
+    w = (bucket * F.lit(2654435761)) % 1001 - 500
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__word"))
+        .select(F.col(id_col), w.alias("__w"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__w").alias("score_milli"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            F.col(id_col),
+            "score_milli",
+            "n_tokens",
+            (F.col("score_milli") > 0).alias("pred_keep"),
+        )
+    )

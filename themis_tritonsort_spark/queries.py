@@ -3965,27 +3965,10 @@ _Q103_SQL = _bfs_oracle_sql(_BFS_ROUNDS, _BFS_SEED_MOD)
 # changing the plan shape.  Everything is integer arithmetic on
 # 60-bit md5 prefixes, so any engine reproduces the same scores.
 def q104_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import hashed_linear_score
+
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
-        % 256
-    )
-    w = (bucket * F.lit(2654435761)) % 1001 - 500
-    return (
-        tok.select("doc_id", w.alias("__w"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("__w").alias("score_milli"),
-            F.count(F.lit(1)).alias("n_tokens"),
-        )
-        .select(
-            "doc_id",
-            "score_milli",
-            "n_tokens",
-            (F.col("score_milli") > 0).alias("pred_keep"),
-        )
-    )
+    return hashed_linear_score(docs, "doc_id", "text")
 
 
 _Q104_SQL = f"""
@@ -4017,29 +4000,12 @@ GROUP BY doc_id
 # at any size.  The oracle's plain windowed cumsum is the semantic
 # spec the distributed form must equal.
 def q105_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.sort import with_global_prefix_sum
+    from .operators.temporal import concurrency_sweep
 
     ev = table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("ts_us")
     )
-    spans = ev.groupBy("user_id").agg(
-        F.min("ts_us").alias("__lo"), F.max("ts_us").alias("__hi")
-    )
-    bounds = (
-        spans.select(F.col("__lo").alias("ts_us"), F.lit(1).alias("__d"))
-        .unionByName(
-            spans.select(F.col("__hi").alias("ts_us"), F.lit(-1).alias("__d"))
-        )
-        .groupBy("ts_us")
-        .agg(F.sum("__d").alias("net_delta"))
-    )
-    return with_global_prefix_sum(
-        bounds, ["ts_us"], "net_delta", out_col="open_sessions"
-    ).select(
-        "ts_us",
-        F.col("net_delta").cast("long"),
-        F.col("open_sessions").cast("long"),
-    )
+    return concurrency_sweep(ev, "user_id", "ts_us")
 
 
 _Q105_SQL = """

@@ -70,6 +70,20 @@ def replicate_emb(emb, copies: int):
     )
 
 
+def replicate_events(ev, copies: int):
+    if copies == 1:
+        return ev.select("user_id", F.unix_micros("ts").alias("ts_us"))
+    c = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("__copy")
+    return ev.select("user_id", "ts", c).select(
+        (F.col("user_id") + F.col("__copy").cast("long") * COPY_STRIDE).alias(
+            "user_id"
+        ),
+        # shift each copy by a second so boundary timestamps stay
+        # distinct across copies (boundaries grow linearly)
+        (F.unix_micros("ts") + F.col("__copy").cast("long")).alias("ts_us"),
+    )
+
+
 def probes(spark, sf_dir: str, copies: int):
     from themis_tritonsort_spark.operators.dedup import (
         exact_duplicates,
@@ -88,8 +102,15 @@ def probes(spark, sf_dir: str, copies: int):
         pack_sequences,
     )
 
+    from themis_tritonsort_spark.operators.bpe import bpe_train
+    from themis_tritonsort_spark.operators.temporal import concurrency_sweep
+    from themis_tritonsort_spark.operators.textstats import hashed_linear_score
+
     docs = replicate_docs(table(spark, sf_dir, "documents"), copies)
     emb = replicate_emb(table(spark, sf_dir, "embeddings"), copies)
+    ev = replicate_events(
+        table(spark, sf_dir, "events").select("user_id", "ts"), copies
+    )
     queries = emb.where(F.col("vec_id") < 5)
 
     def lsh(d):
@@ -112,6 +133,12 @@ def probes(spark, sf_dir: str, copies: int):
         "chunk_pack": lambda: chunk_pack(docs),
         "sq8_ann": lambda: sq8_topk(emb, queries, "vec_id", "embedding", 10),
         "pq_ann": lambda: pq_topk(emb, queries, "vec_id", "embedding", cb, 10),
+        # vocab-bound: per-copy text prefixes add c{i} words, so the
+        # vocab grows ~linearly and the rounds stay vocab-sized
+        "bpe_train": lambda: bpe_train(docs, merges=3)[1],
+        "hashed_classifier": lambda: hashed_linear_score(docs, "doc_id", "text"),
+        # boundary-bound: the sweep's moving data is 2 rows per user
+        "concurrency": lambda: concurrency_sweep(ev, "user_id", "ts_us"),
     }
 
 
