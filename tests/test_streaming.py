@@ -436,3 +436,111 @@ def test_hll_registers_stream_matches_batch(spark, stream_dir):
     by_key = {(str(r["win"]), r["event_type"]): r["hll_estimate_micro"] / 1e6 for r in est}
     assert abs(by_key[("2024-01-01 00:00:00", "click")] - 40) <= 8
     assert abs(by_key[("2024-01-01 01:00:00", "view")] - 25) <= 6
+
+
+def test_cms_sketch_stream_matches_batch(spark, stream_dir):
+    from themis_tritonsort_spark.operators.sketches import cms_lookup, cms_sketch
+    from themis_tritonsort_spark.streaming.sketches import cms_sketch_stream
+
+    src = os.path.join(stream_dir, "src")
+    rows = (
+        [(1, "2024-01-01 00:05:00", "hot") for _ in range(30)]
+        + [(2, "2024-01-01 00:15:00", f"cold{i}") for i in range(10)]
+        + [(3, "2024-01-01 01:10:00", "hot") for _ in range(5)]
+    )
+    _write_events(spark, src, rows)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    out = cms_sketch_stream(
+        stream, "event_type", window="1 hour", depth=4, width=64
+    )
+    _run_to_memory(out, "cms_stream", mode="complete")
+    got = spark.sql("SELECT * FROM cms_stream")
+
+    # streaming counters == batch sketch over the same windowed rows
+    for win, n_rows in [("2024-01-01 00:00:00", 40), ("2024-01-01 01:00:00", 5)]:
+        batch = spark.read.parquet(src).where(
+            F.date_trunc("hour", "ts") == F.lit(win).cast("timestamp")
+        )
+        exp = {
+            (r["row"], r["bucket"]): r["total"]
+            for r in cms_sketch(batch, "event_type", depth=4, width=64).collect()
+        }
+        act = {
+            (r["row"], r["bucket"]): r["total"]
+            for r in got.where(
+                F.col("window_start") == F.lit(win).cast("timestamp")
+            ).collect()
+        }
+        assert act == exp
+        assert sum(act.values()) == 4 * n_rows
+
+    # heavy-hitter finalization over the sink: "hot" dominates hour 0
+    # re-materialize the sink rows as a plain relation (the memory
+    # sink's table cannot be joined mid-plan on this Spark build)
+    hour0 = spark.createDataFrame(
+        got.where(
+            F.col("window_start")
+            == F.lit("2024-01-01 00:00:00").cast("timestamp")
+        )
+        .select("row", "bucket", "total")
+        .collect(),
+        "row int, bucket long, total long",
+    )
+    items = spark.createDataFrame([("hot",), ("cold0",)], "event_type string")
+    est = {
+        r["event_type"]: r["cms_estimate"]
+        for r in cms_lookup(hour0, items, "event_type", width=64).collect()
+    }
+    assert est["hot"] >= 30
+    assert est["cold0"] >= 1
+
+
+def test_funnel_stream_matches_batch(spark, stream_dir):
+    from themis_tritonsort_spark.operators.sessionize import funnel_steps
+    from themis_tritonsort_spark.streaming.sessions import funnel_stream
+
+    steps = ["view", "cart", "buy"]
+    rows = [
+        # user 1 completes all three in order
+        (1, "2024-01-01 00:01:00", "view"),
+        (1, "2024-01-01 00:02:00", "cart"),
+        (1, "2024-01-01 00:03:00", "buy"),
+        # user 2: buy BEFORE cart -> stalls at stage 1
+        (2, "2024-01-01 00:01:00", "view"),
+        (2, "2024-01-01 00:00:30", "buy"),
+        # user 3: simultaneous view+cart -> strict > blocks stage 2
+        (3, "2024-01-01 00:01:00", "view"),
+        (3, "2024-01-01 00:01:00", "cart"),
+        # user 4: never starts
+        (4, "2024-01-01 00:05:00", "cart"),
+    ]
+    src = os.path.join(stream_dir, "src")
+    _write_events(spark, src, rows)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .parquet(src)
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+    )
+    out = funnel_stream(stream, steps)
+    _run_to_memory(out, "funnel_stream", mode="append")
+    got = spark.sql("SELECT * FROM funnel_stream")
+    max_stage = {
+        r["user_id"]: r["s"]
+        for r in got.groupBy("user_id").agg(F.max("stage").alias("s")).collect()
+    }
+
+    batch = funnel_steps(
+        spark.read.parquet(src), "user_id", "ts", "event_type", steps
+    )
+    exp = {r["user_id"]: r["stage"] for r in batch.collect()}
+    exp_nonzero = {u: s for u, s in exp.items() if s > 0}
+    assert max_stage == exp_nonzero
+    assert exp[1] == 3 and exp[2] == 1 and exp[3] == 1 and exp[4] == 0
+
+    # advancement facts are monotone per user: stages 1..max, each once
+    for r in got.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("stage")).alias("st")
+    ).collect():
+        assert r["st"] == list(range(1, len(r["st"]) + 1))

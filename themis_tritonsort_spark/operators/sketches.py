@@ -195,6 +195,16 @@ def hll_estimate(
 # --- deterministic count-min sketch ----------------------------------
 
 
+def cms_row_bucket(item_col: str, width: int) -> F.Column:
+    """Map-side bucket for a (item, row) pair — the shared derivation
+    that keeps batch and streaming sketches bit-identical.  Expects a
+    ``row`` column (the depth index) in scope."""
+    return (
+        _md5_60(F.concat_ws(":", F.col(item_col), F.col("row").cast("string")))
+        % width
+    )
+
+
 def cms_sketch(
     df: DataFrame,
     item_col: str,
@@ -218,12 +228,7 @@ def cms_sketch(
         F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     )
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
-    bucket = (
-        _md5_60(
-            F.concat_ws(":", F.col(item_col), F.col("row").cast("string"))
-        )
-        % width
-    ).alias("bucket")
+    bucket = cms_row_bucket(item_col, width).alias("bucket")
     return (
         df.select(F.col(item_col), wcol.alias("__w"), rows)
         .select("row", bucket, "__w")
@@ -244,8 +249,7 @@ def cms_lookup(
     depth_rows = sketch.select("row").distinct()
     probes = items.crossJoin(F.broadcast(depth_rows)).withColumn(
         "bucket",
-        _md5_60(F.concat_ws(":", F.col(item_col), F.col("row").cast("string")))
-        % width,
+        cms_row_bucket(item_col, width),
     )
     joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
     return joined.groupBy(item_col).agg(

@@ -122,3 +122,61 @@ def anchor_sessions_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+):
+    """Strict-sequence funnel progression (operators.sessionize.
+    funnel_steps) as a stateful streaming operator: per-user state is
+    (stage, frontier_ts) — stages completed and the earliest
+    completion time of the last one — and each advancement emits an
+    immutable (user, stage, reached_ts) fact, so append mode composes
+    with any downstream per-stage count.
+
+    The greedy earliest-advance rule is what makes two longs of state
+    sufficient: the batch fold never revisits earlier events once a
+    stage is reached, so the stream needs no event buffer.  Same
+    in-order-delivery caveat as ``anchor_sessions_stream`` (each
+    micro-batch is sorted; cross-batch stragglers older than the
+    frontier cannot retroactively advance — the watermark tradeoff of
+    any order-sensitive stateful operator).  Under in-order delivery
+    the max emitted stage per user equals the batch operator's result.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n = len(steps)
+    if n == 0:
+        raise ValueError("steps must be non-empty")
+    out_schema = f"{user_col} long, stage int, reached_ts long"
+    state_schema = "stage int, frontier_ts long"
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        stage, frontier = state.get if state.exists else (0, None)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for ts, et in zip(pdf[ts_col], pdf[type_col]):
+                if stage >= n:
+                    break
+                ts = int(ts)
+                if et == steps[stage] and (frontier is None or ts > frontier):
+                    stage += 1
+                    frontier = ts
+                    rows.append((user, stage, ts))
+        state.update((stage, frontier if frontier is not None else -1))
+        yield pd.DataFrame(rows, columns=[user_col, "stage", "reached_ts"])
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

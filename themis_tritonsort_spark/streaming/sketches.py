@@ -59,3 +59,44 @@ def hll_registers_stream(
             "reg",
         )
     )
+
+
+def cms_sketch_stream(
+    events: DataFrame,
+    item_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Tumbling-window count-min sketch: (window_start, window_end,
+    row, bucket, total) — the identical counters the batch
+    ``cms_sketch`` builds over the same rows (shared map-side bucket
+    derivation, ``operators.sketches.cms_row_bucket``), maintained
+    incrementally under a watermark.  Counter SUMS are the mergeable
+    state, so late micro-batches fold in exactly; heavy-hitter
+    estimates finalize batch-side via ``cms_lookup`` on the sink —
+    O(depth x width) rows per window regardless of stream volume.
+    """
+    from ..operators.sketches import cms_row_bucket
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.col(item_col), rows)
+        .select(
+            F.col(ts_col),
+            "row",
+            cms_row_bucket(item_col, width).alias("bucket"),
+        )
+        .groupBy(F.window(F.col(ts_col), window), "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "row",
+            "bucket",
+            "total",
+        )
+    )
