@@ -136,6 +136,8 @@ BENCH_QUERIES = {
     "q104_hashed_classifier": q.q104_hashed_classifier,
     "q105_concurrency": q.q105_concurrency,
     "q106_bpe_train": q.q106_bpe_train,
+    "q107_bm25_retrieval": q.q107_bm25_retrieval,
+    "q108_profile_events": q.q108_profile_events,
 }
 
 

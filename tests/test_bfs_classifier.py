@@ -84,3 +84,52 @@ def test_hashed_classifier_score_matches_hand_hash(spark, sf_dir):
     assert got["score_milli"] == expected
     assert got["n_tokens"] == len(doc["toks"])
     assert got["pred_keep"] == (expected > 0)
+
+
+def test_bm25_ranking_semantics(spark):
+    from themis_tritonsort_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join hash"),   # dense in both terms
+            (2, "hash scan filter filter"),    # one hit each of two terms
+            (3, "filter sort merge"),          # no hits
+            (4, "hash"),                       # short doc, one hit
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(docs, "doc_id", "text", ["hash", "join"], k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 3 not in ids                       # no-hit docs never appear
+    assert ids[0] == 1                        # densest doc ranks first
+    scores = {r["doc_id"]: r["score_micro"] for r in got}
+    assert scores[1] > scores[4] > 0
+    # k truncates deterministically
+    assert [r["doc_id"] for r in
+            bm25_topk(docs, "doc_id", "text", ["hash", "join"], k=1).collect()] == [1]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bm25_topk(docs, "doc_id", "text", [], k=5)
+    with _pt.raises(ValueError):
+        bm25_topk(docs, "doc_id", "text", ["hash"], k=0)
+
+
+def test_profile_table_hand_fixture(spark):
+    from themis_tritonsort_spark.operators.stats import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k long, s string",
+    )
+    got = {
+        r["col_name"]: r
+        for r in profile_table(df, {"k": F.col("k")}, ["s"]).collect()
+    }
+    assert set(got) == {"k", "s"}
+    k = got["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 1, 2)
+    assert (k["min_v"], k["max_v"]) == ("1", "2")
+    s = got["s"]
+    assert (s["n_rows"], s["n_nulls"], s["n_distinct"]) == (4, 1, 2)
+    assert (s["min_v"], s["max_v"]) == ("a", "b")

@@ -69,3 +69,60 @@ def zscore_outliers(
         )
     scored = group_zscore(df, group_col, value_col)
     return scored.where(F.abs(F.col("z_micro")) >= z_threshold_micro)
+
+
+def profile_table(
+    df: DataFrame,
+    long_cols: dict[str, "F.Column"],
+    str_cols: list[str],
+) -> DataFrame:
+    """One-pass data-profiling summary — the quality report a curation
+    pipeline runs before training: per column (col_name, n_rows,
+    n_nulls, n_distinct, min_v, max_v).  ``long_cols`` maps output
+    names to canonical BIGINT expressions (cents / epoch-micros / raw
+    keys — the repo's exact-integer discipline, so min/max stringify
+    identically on any engine); ``str_cols`` are profiled as-is with
+    lexicographic min/max.
+
+    Plan: a single global aggregate computes every column's stats in
+    one pass over the input (the multi-count-distinct expands rows by
+    the profiled-column count map-side — the standard cost of exact
+    distincts; swap in approx_count_distinct at 100 TB if exactness is
+    not required), then one row per column is exploded from the 1-row
+    result.  Nothing but the stats row ever moves.
+    """
+    aggs = []
+    names = []
+    for name, expr in long_cols.items():
+        c = expr.cast("long")
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"__nn_{name}"),
+            F.countDistinct(c).alias(f"__nd_{name}"),
+            F.min(c).cast("string").alias(f"__mn_{name}"),
+            F.max(c).cast("string").alias(f"__mx_{name}"),
+        ]
+        names.append(name)
+    for name in str_cols:
+        c = F.col(name)
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"__nn_{name}"),
+            F.countDistinct(c).alias(f"__nd_{name}"),
+            F.min(c).alias(f"__mn_{name}"),
+            F.max(c).alias(f"__mx_{name}"),
+        ]
+        names.append(name)
+    one = df.groupBy().agg(F.count(F.lit(1)).alias("__rows"), *aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col("__rows").alias("n_rows"),
+                F.col(f"__nn_{name}").alias("n_nulls"),
+                F.col(f"__nd_{name}").alias("n_distinct"),
+                F.col(f"__mn_{name}").alias("min_v"),
+                F.col(f"__mx_{name}").alias("max_v"),
+            )
+            for name in names
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")

@@ -922,3 +922,68 @@ def hashed_linear_score(
             (F.col("score_milli") > 0).alias("pred_keep"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-family retrieval: top-``k`` documents for a bag of query
+    terms — (id, score_micro long).  Rational-idf variant: idf(t) =
+    (N - df + 0.5) / (df + 0.5), i.e. the inside of classical BM25's
+    log, WITHOUT the log.  That substitution (monotone in df, so
+    per-term rankings agree) is what makes the score engine-exact: no
+    libm ln() whose last-ulp rounding could differ between engines.
+    Each (doc, term) partial score is ONE fixed IEEE tree over exact
+    integers (tf, df, dl, N, sum_dl) rounded to micro units, and the
+    per-doc score is a LONG sum of those micros — order-independent,
+    so the oracle hash-matches (the q92 z-score float discipline).
+
+    Scale: postings for the query terms only (the IN filter prunes
+    before the doc-frequency join), corpus stats are a broadcast 1-row
+    aggregate, and top-k compiles to TakeOrderedAndProject.  The
+    inverted-index substrate is q05's.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+    )
+    postings = tok.groupBy(id_col, "__w").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    doclen = postings.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
+    corpus = doclen.groupBy().agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sdl")
+    )
+    hits = postings.where(F.col("__w").isin(list(query_terms)))
+    dfreq = hits.groupBy("__w").agg(F.count(F.lit(1)).alias("__df"))
+    j = (
+        hits.join(F.broadcast(dfreq), "__w")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    tf = F.col("__tf").cast("double")
+    dfd = F.col("__df").cast("double")
+    dl = F.col("__dl").cast("double")
+    n = F.col("__n").cast("double")
+    sdl = F.col("__sdl").cast("double")
+    idf = (n - dfd + 0.5) / (dfd + 0.5)
+    denom = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl * n / sdl)
+    term_micro = F.round(
+        idf * (tf * F.lit(k1 + 1.0) / denom) * F.lit(1_000_000.0)
+    ).cast("long")
+    return (
+        j.select(F.col(id_col), term_micro.alias("__m"))
+        .groupBy(id_col)
+        .agg(F.sum("__m").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -35,9 +35,10 @@ Sections:
             shipping, Q9 profit, Q11 scalar-threshold, Q16 NOT-IN
             variety, Q18 grouped-HAVING, Q19 OR-brackets, Q20 chained
             semi-join, Q21 double-correlated EXISTS)
-  q103-q106 multi-source BFS hop distance, hashed-bag-of-words linear
+  q103-q108 multi-source BFS hop distance, hashed-bag-of-words linear
             quality classifier, sweep-line interval concurrency,
-            distributed BPE tokenizer training
+            distributed BPE tokenizer training, BM25 retrieval,
+            one-pass table profiling
 """
 
 from __future__ import annotations
@@ -4105,6 +4106,118 @@ SELECT symbol, CAST(sum(cnt) AS BIGINT) AS total_cnt FROM (
 _Q106_SQL = _bpe_oracle_sql(_BPE_MERGES)
 
 
+# Q107 BM25 retrieval (operators/textstats.bm25_topk) over the q05
+# inverted-index substrate: top-50 documents for a 3-term query.
+# Rational-idf variant (no libm ln — see operator docstring); every
+# fractional literal in the oracle is ::DOUBLE-cast because DuckDB
+# parses bare decimals as DECIMAL, which would change the arithmetic.
+_BM25_TERMS, _BM25_K = ["hash", "join", "scan"], 50
+
+
+def q107_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=_BM25_K)
+
+
+_Q107_SQL = f"""
+WITH postings AS (
+  SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOK.format(col='text')}) AS w FROM documents)
+  GROUP BY 1, 2
+),
+doclen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY 1),
+corpus AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl
+           FROM doclen),
+hits AS (SELECT * FROM postings
+         WHERE word IN ('hash', 'join', 'scan')),
+dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS dfq FROM hits GROUP BY 1),
+scored AS (
+  SELECT h.doc_id,
+         CAST(ROUND(
+           ((CAST(n AS DOUBLE) - CAST(dfq AS DOUBLE) + 0.5::DOUBLE)
+              / (CAST(dfq AS DOUBLE) + 0.5::DOUBLE))
+           * (CAST(tf AS DOUBLE) * 2.2::DOUBLE
+              / (CAST(tf AS DOUBLE)
+                 + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                                  + 0.75::DOUBLE * CAST(dl AS DOUBLE)
+                                    * CAST(n AS DOUBLE) / CAST(sdl AS DOUBLE))))
+           * 1000000.0::DOUBLE) AS BIGINT) AS m
+  FROM hits h JOIN dfreq USING (word) JOIN doclen USING (doc_id), corpus
+)
+SELECT doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+FROM scored GROUP BY 1
+ORDER BY score_micro DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+# Q108 One-pass table profiling (operators/stats.profile_table): the
+# pre-training data-quality report — per column nulls, exact distinct
+# count, min/max — over the events table, every numeric canonicalized
+# to the repo's exact-integer domains so min/max stringify identically
+# on any engine.
+def q108_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.stats import profile_table
+
+    ev = table(spark, sf_dir, "events")
+    return profile_table(
+        ev,
+        long_cols={
+            "event_id": F.col("event_id"),
+            "user_id": F.col("user_id"),
+            "value_cents": cents("value"),
+            "ts_us": F.unix_micros("ts"),
+        },
+        str_cols=["event_type", "props"],
+    )
+
+
+_Q108_SQL = """
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+         epoch_us(ts) AS ts_us, event_type, props
+  FROM events
+)
+SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS VARCHAR) AS min_v, CAST(max(event_id) AS VARCHAR) AS max_v
+FROM base
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM base
+UNION ALL
+SELECT 'value_cents', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN value_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT value_cents) AS BIGINT),
+       CAST(min(value_cents) AS VARCHAR), CAST(max(value_cents) AS VARCHAR)
+FROM base
+UNION ALL
+SELECT 'ts_us', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN ts_us IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT ts_us) AS BIGINT),
+       CAST(min(ts_us) AS VARCHAR), CAST(max(ts_us) AS VARCHAR)
+FROM base
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       min(event_type), max(event_type)
+FROM base
+UNION ALL
+SELECT 'props', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT props) AS BIGINT),
+       min(props), max(props)
+FROM base
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -4213,6 +4326,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q104_hashed_classifier": q104_hashed_classifier,
     "q105_concurrency": q105_concurrency,
     "q106_bpe_train": q106_bpe_train,
+    "q107_bm25_retrieval": q107_bm25_retrieval,
+    "q108_profile_events": q108_profile_events,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -4363,4 +4478,6 @@ ORACLES: dict[str, str] = {
     "q104_hashed_classifier": _Q104_SQL,
     "q105_concurrency": _Q105_SQL,
     "q106_bpe_train": _Q106_SQL,
+    "q107_bm25_retrieval": _Q107_SQL,
+    "q108_profile_events": _Q108_SQL,
 }
