@@ -35,10 +35,10 @@ Sections:
             shipping, Q9 profit, Q11 scalar-threshold, Q16 NOT-IN
             variety, Q18 grouped-HAVING, Q19 OR-brackets, Q20 chained
             semi-join, Q21 double-correlated EXISTS)
-  q103-q108 multi-source BFS hop distance, hashed-bag-of-words linear
+  q103-q109 multi-source BFS hop distance, hashed-bag-of-words linear
             quality classifier, sweep-line interval concurrency,
             distributed BPE tokenizer training, BM25 retrieval,
-            one-pass table profiling
+            one-pass table profiling, blocked fuzzy entity matching
 """
 
 from __future__ import annotations
@@ -4218,6 +4218,46 @@ FROM base
 """
 
 
+# Q109 Fuzzy entity matching (blocked edit-distance self-join): the
+# record-linkage step of any dimension-cleanup pipeline, on supplier
+# names.  Blocking = same length band (|Δlen| <= 1, a necessary
+# condition for lev <= 1) + ordered keys, then the exact Levenshtein
+# residual — both engines ship the standard DP edit distance as a
+# built-in, so the score is engine-exact.  Runs on the DIMENSION side
+# by design (suppliers/dims are broadcast-scale even at 100 TB fact
+# volume); corpus-scale fuzzy text dedup is the MinHash/SimHash/LSH
+# family (q18/q19/q30/q39), not all-pairs edit distance.
+def q109_fuzzy_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    a = su.select(
+        F.col("s_suppkey").alias("a_key"), F.col("s_name").alias("a_name")
+    )
+    b = su.select(
+        F.col("s_suppkey").alias("b_key"), F.col("s_name").alias("b_name")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a_key") < F.col("b_key"))
+            & (
+                F.abs(F.length("a_name") - F.length("b_name")) <= F.lit(1)
+            ),
+        )
+        .where(F.levenshtein("a_name", "b_name") <= 1)
+        .select("a_key", "b_key", F.levenshtein("a_name", "b_name").alias("lev"))
+    )
+
+
+_Q109_SQL = """
+SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS lev
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+ AND abs(length(a.s_name) - length(b.s_name)) <= 1
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -4328,6 +4368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_bpe_train": q106_bpe_train,
     "q107_bm25_retrieval": q107_bm25_retrieval,
     "q108_profile_events": q108_profile_events,
+    "q109_fuzzy_supplier_match": q109_fuzzy_supplier_match,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -4480,4 +4521,5 @@ ORACLES: dict[str, str] = {
     "q106_bpe_train": _Q106_SQL,
     "q107_bm25_retrieval": _Q107_SQL,
     "q108_profile_events": _Q108_SQL,
+    "q109_fuzzy_supplier_match": _Q109_SQL,
 }
