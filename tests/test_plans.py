@@ -254,3 +254,52 @@ def test_q70_pmi_no_eager_count(spark):
     cooccurrence_pmi(docs, "doc_id", "text", min_pairs=2, max_tokens_per_doc=16)
     after = len(tracker.getJobIdsForGroup(None))
     assert after == before
+
+
+def test_q95_fact_never_sort_merge_joined(spark):
+    # both nation filters propagate through broadcast joins; lineitem
+    # is reduced by BroadcastHashJoins, never shuffled for a join
+    plan = _plan(q.q95_volume_shipping(spark, SF_SMOKE), mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q100_or_brackets_single_scan(spark):
+    # the OR-of-ANDs is one codegen residual over ONE lineitem scan,
+    # not a union of three scans
+    plan = _plan(q.q100_bracket_revenue(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Union" not in plan
+
+
+def test_q107_bm25_topk_compiles_to_take_ordered(spark):
+    plan = _plan(q.q107_bm25_retrieval(spark, SF_SMOKE), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalSort" not in plan and "Sort [score" not in plan
+
+
+def test_q99_survivors_join_after_aggregate(spark):
+    # the grouped-HAVING filter runs on lineitem alone; orders joins
+    # the survivor aggregate (no lineitem x orders sort-merge first)
+    plan = _plan(q.q99_large_orders(spark, SF_SMOKE))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+    assert agg_pos != -1 and join_pos != -1
+    assert "sum_qty" in plan
+
+
+def test_q106_bpe_no_python_udf(spark):
+    # the merge fold is pure Catalyst: no BatchEvalPython / ArrowEval
+    # anywhere in the trained-vocab plan
+    plan = _plan(q.q106_bpe_train(spark, SF_SMOKE), mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q105_sweep_single_corpus_scan(spark):
+    # both +1/-1 boundaries explode from ONE spans aggregate (no
+    # union re-deriving it per branch), and the only SinglePartition
+    # exchange is the numPartitions-row offset table of the
+    # distributed prefix sum
+    plan = _plan(q.q105_concurrency(spark, SF_SMOKE), mode="simple")
+    assert "Union" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1

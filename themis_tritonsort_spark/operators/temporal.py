@@ -298,11 +298,23 @@ def concurrency_sweep(
     spans = df.groupBy(key_col).agg(
         F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
     )
+    # both boundaries EXPLODE from the one spans row — a union of two
+    # selects would re-derive the spans aggregate per branch and scan
+    # the corpus twice (pinned by the q105 plan test)
     bounds = (
-        spans.select(F.col("__lo").alias(ts_col), F.lit(1).alias("__d"))
-        .unionByName(
-            spans.select(F.col("__hi").alias(ts_col), F.lit(-1).alias("__d"))
+        spans.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__lo").alias(ts_col), F.lit(1).alias("__d")
+                    ),
+                    F.struct(
+                        F.col("__hi").alias(ts_col), F.lit(-1).alias("__d")
+                    ),
+                )
+            ).alias("__b")
         )
+        .select("__b.*")
         .groupBy(ts_col)
         .agg(F.sum("__d").alias("net_delta"))
     )
