@@ -138,6 +138,8 @@ BENCH_QUERIES = {
     "q106_bpe_train": q.q106_bpe_train,
     "q107_bm25_retrieval": q.q107_bm25_retrieval,
     "q108_profile_events": q.q108_profile_events,
+    "q109_fuzzy_supplier_match": q.q109_fuzzy_supplier_match,
+    "q110_attribution": q.q110_attribution,
 }
 
 

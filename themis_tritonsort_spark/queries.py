@@ -39,6 +39,7 @@ Sections:
             quality classifier, sweep-line interval concurrency,
             distributed BPE tokenizer training, BM25 retrieval,
             one-pass table profiling, blocked fuzzy entity matching
+  q110      first/last-touch marketing attribution (one window pass)
 """
 
 from __future__ import annotations
@@ -4258,6 +4259,56 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
 
+# Q110 Marketing attribution (first-touch + last-touch): every
+# purchase attributed to the user's first and most recent
+# view/click strictly before it.  BOTH models fall out of ONE window
+# pass over the per-user event timeline (conditional first/last with
+# IGNORE NULLS over unbounded-preceding..-1) — no per-conversion
+# as-of join cascade; one shuffle on the user key, total order
+# (ts, event_id) so ties reproduce.
+_TOUCH_TYPES = ("view", "click")
+
+
+def q110_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    )
+    touch = F.when(
+        F.col("event_type").isin(*_TOUCH_TYPES), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn("first_touch", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts_us", "first_touch", "last_touch")
+    )
+
+
+_Q110_SQL = """
+SELECT event_id, user_id, ts_us, first_touch, last_touch FROM (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+         first_value(CASE WHEN event_type IN ('view', 'click')
+                          THEN event_type END IGNORE NULLS) OVER w AS first_touch,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_type END IGNORE NULLS) OVER w AS last_touch
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+WHERE event_type = 'purchase'
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -4369,6 +4420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q107_bm25_retrieval": q107_bm25_retrieval,
     "q108_profile_events": q108_profile_events,
     "q109_fuzzy_supplier_match": q109_fuzzy_supplier_match,
+    "q110_attribution": q110_attribution,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -4522,4 +4574,5 @@ ORACLES: dict[str, str] = {
     "q107_bm25_retrieval": _Q107_SQL,
     "q108_profile_events": _Q108_SQL,
     "q109_fuzzy_supplier_match": _Q109_SQL,
+    "q110_attribution": _Q110_SQL,
 }
