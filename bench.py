@@ -140,6 +140,7 @@ BENCH_QUERIES = {
     "q108_profile_events": q.q108_profile_events,
     "q109_fuzzy_supplier_match": q.q109_fuzzy_supplier_match,
     "q110_attribution": q.q110_attribution,
+    "q111_bm25_multi": q.q111_bm25_multi,
 }
 
 

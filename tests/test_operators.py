@@ -103,7 +103,11 @@ def test_with_global_rank_release_bounds_cache(spark):
         assert len(released) == 1
         for cached in released:
             cached.unpersist(blocking=True)
-    assert jsc.getPersistentRDDs().size() == baseline
+    # <= not ==: Spark's async ContextCleaner may concurrently drop
+    # UNRELATED stale cached RDDs from earlier tests in the shared
+    # session, shrinking the count below the captured baseline.  The
+    # contract under test is only that THIS loop accumulates nothing.
+    assert jsc.getPersistentRDDs().size() <= baseline
 
 
 def test_with_global_prefix_sum_matches_single_window(spark):

@@ -987,3 +987,83 @@ def bm25_topk(
         .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def bm25_topk_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    query_term_col: str,
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch BM25 retrieval for a TABLE of queries — the RAG-corpus
+    shape: score every (query, candidate) pair and keep each query's
+    top ``k`` documents.  (query_id, id, score_micro, rn.)
+
+    Same rational-idf / integer-micro float discipline as
+    :func:`bm25_topk`.  Scale shape: ``queries`` is (query_id, term)
+    rows — BROADCAST onto the postings, so the corpus-sized posting
+    relation is filtered map-side by the semi of all query terms and
+    each surviving posting fans out only to the queries containing its
+    term.  Per-query doc frequencies reuse ONE (term, df) aggregate
+    across all queries; the final top-k is a window over the
+    (query, candidate) relation — partitioned BY QUERY, so no global
+    sort and no single-partition window at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(query_term_col).alias("__w")
+    ).distinct()
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+    )
+    postings = tok.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__tf"))
+    doclen = postings.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
+    corpus = doclen.groupBy().agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sdl")
+    )
+    hits = postings.join(
+        F.broadcast(q.select("__w").distinct()), "__w", "left_semi"
+    )
+    dfreq = hits.groupBy("__w").agg(F.count(F.lit(1)).alias("__df"))
+    j = (
+        hits.join(F.broadcast(q), "__w")
+        .join(F.broadcast(dfreq), "__w")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    tf = F.col("__tf").cast("double")
+    dfd = F.col("__df").cast("double")
+    dl = F.col("__dl").cast("double")
+    n = F.col("__n").cast("double")
+    sdl = F.col("__sdl").cast("double")
+    idf = (n - dfd + 0.5) / (dfd + 0.5)
+    denom = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl * n / sdl)
+    term_micro = F.round(
+        idf * (tf * F.lit(k1 + 1.0) / denom) * F.lit(1_000_000.0)
+    ).cast("long")
+    scored = (
+        j.select("__qid", F.col(id_col), term_micro.alias("__m"))
+        .groupBy("__qid", id_col)
+        .agg(F.sum("__m").alias("score_micro"))
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col),
+            "score_micro",
+            F.col("rn").cast("int"),
+        )
+    )

@@ -39,7 +39,8 @@ Sections:
             quality classifier, sweep-line interval concurrency,
             distributed BPE tokenizer training, BM25 retrieval,
             one-pass table profiling, blocked fuzzy entity matching
-  q110      first/last-touch marketing attribution (one window pass)
+  q110-q111 first/last-touch marketing attribution (one window pass),
+            batch BM25 for a query table (RAG-corpus retrieval)
 """
 
 from __future__ import annotations
@@ -4309,6 +4310,66 @@ WHERE event_type = 'purchase'
 """
 
 
+# Q111 Batch BM25 for a query TABLE (operators/textstats.
+# bm25_topk_multi) — the RAG-corpus retrieval shape: 3 queries scored
+# against every candidate in one pass, per-query top-20 via a
+# query-partitioned window (no global sort).  Query terms broadcast;
+# the (term, df) aggregate is shared across queries.
+_BM25_QUERIES = [
+    (1, "hash"), (1, "join"),
+    (2, "scan"), (2, "filter"),
+    (3, "merge"), (3, "sort"), (3, "batch"),
+]
+_BM25_MULTI_K = 20
+
+
+def q111_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import bm25_topk_multi
+
+    docs = table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, term string")
+    return bm25_topk_multi(
+        docs, "doc_id", "text", qs, "query_id", "term", k=_BM25_MULTI_K
+    )
+
+
+_Q111_SQL = f"""
+WITH qs(query_id, word) AS (
+  VALUES {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}
+),
+postings AS (
+  SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOK.format(col='text')}) AS w FROM documents)
+  GROUP BY 1, 2
+),
+doclen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY 1),
+corpus AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl
+           FROM doclen),
+hits AS (SELECT * FROM postings WHERE word IN (SELECT word FROM qs)),
+dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS dfq FROM hits GROUP BY 1),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, h.doc_id,
+         CAST(sum(CAST(ROUND(
+           ((CAST(n AS DOUBLE) - CAST(dfq AS DOUBLE) + 0.5::DOUBLE)
+              / (CAST(dfq AS DOUBLE) + 0.5::DOUBLE))
+           * (CAST(tf AS DOUBLE) * 2.2::DOUBLE
+              / (CAST(tf AS DOUBLE)
+                 + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                                  + 0.75::DOUBLE * CAST(dl AS DOUBLE)
+                                    * CAST(n AS DOUBLE) / CAST(sdl AS DOUBLE))))
+           * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS score_micro
+  FROM hits h JOIN qs q USING (word) JOIN dfreq USING (word)
+  JOIN doclen USING (doc_id), corpus
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score_micro, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_micro DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn <= {_BM25_MULTI_K}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -4421,6 +4482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_profile_events": q108_profile_events,
     "q109_fuzzy_supplier_match": q109_fuzzy_supplier_match,
     "q110_attribution": q110_attribution,
+    "q111_bm25_multi": q111_bm25_multi,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -4575,4 +4637,5 @@ ORACLES: dict[str, str] = {
     "q108_profile_events": _Q108_SQL,
     "q109_fuzzy_supplier_match": _Q109_SQL,
     "q110_attribution": _Q110_SQL,
+    "q111_bm25_multi": _Q111_SQL,
 }
