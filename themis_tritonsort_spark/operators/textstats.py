@@ -949,6 +949,8 @@ def bm25_topk(
     aggregate, and top-k compiles to TakeOrderedAndProject.  The
     inverted-index substrate is q05's.
     """
+    from pyspark.storagelevel import StorageLevel
+
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     if not query_terms:
@@ -956,8 +958,13 @@ def bm25_topk(
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
     )
-    postings = tok.groupBy(id_col, "__w").agg(
-        F.count(F.lit(1)).alias("__tf")
+    # persisted: doclen and the query-term hits both derive from it —
+    # without the persist each branch re-tokenizes the corpus (same
+    # lifecycle as tf_idf_topk's tf relation)
+    postings = (
+        tok.groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     doclen = postings.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
     corpus = doclen.groupBy().agg(
@@ -1015,6 +1022,7 @@ def bm25_topk_multi(
     sort and no single-partition window at any corpus size.
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -1024,7 +1032,11 @@ def bm25_topk_multi(
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
     )
-    postings = tok.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__tf"))
+    postings = (
+        tok.groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     doclen = postings.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
     corpus = doclen.groupBy().agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sdl")
