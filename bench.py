@@ -141,6 +141,7 @@ BENCH_QUERIES = {
     "q109_fuzzy_supplier_match": q.q109_fuzzy_supplier_match,
     "q110_attribution": q.q110_attribution,
     "q111_bm25_multi": q.q111_bm25_multi,
+    "q112_clustering_coeff": q.q112_clustering_coeff,
 }
 
 

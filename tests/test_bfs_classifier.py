@@ -133,3 +133,26 @@ def test_profile_table_hand_fixture(spark):
     s = got["s"]
     assert (s["n_rows"], s["n_nulls"], s["n_distinct"]) == (4, 1, 2)
     assert (s["min_v"], s["max_v"]) == ("a", "b")
+
+
+def test_local_clustering_coefficient_k4_and_path(spark):
+    from themis_tritonsort_spark.operators.components import (
+        local_clustering_coefficient,
+    )
+
+    # K4: every vertex has deg 3, 3 incident triangles, lcc = 1.0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "src long, dst long",
+    )
+    got = {r["vid"]: r for r in local_clustering_coefficient(k4).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for v in got.values():
+        assert (v["deg"], v["n_tri"], v["lcc_ppm"]) == (3, 3, 1_000_000)
+
+    # path 1-2-3: middle vertex deg 2, no triangles, lcc 0; endpoints
+    # deg 1 are excluded
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r["vid"]: r for r in local_clustering_coefficient(path).collect()}
+    assert set(got) == {2}
+    assert (got[2]["n_tri"], got[2]["lcc_ppm"]) == (0, 0)

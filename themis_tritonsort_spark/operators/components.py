@@ -400,3 +400,63 @@ def bfs_hops(
         dist = dist.unionByName(fresh).localCheckpoint(eager=False)
         frontier = fresh.select("vid")
     return dist.select(F.col("vid").cast("long"), F.col("hop").cast("int"))
+
+
+def local_clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex local clustering coefficient: (vid, deg, n_tri,
+    lcc_ppm) for every vertex of degree >= 2, where lcc = 2 * t(v) /
+    (deg * (deg - 1)) and t(v) counts the triangles INCIDENT to v
+    (each triangle credited to all three corners, unlike
+    :func:`triangle_counts`' smallest-corner attribution).  The
+    canonical web-graph connectivity/quality signal.
+
+    Exactness: t and deg are exact longs; the coefficient is ONE
+    double division of two exactly-representable integers, rounded to
+    ppm — reproducible on any IEEE engine.  Plan: the node-iterator
+    triangle join (same wedge cost as triangle_counts) + a 3-way
+    corner explode that is triangle-sized, + one degree aggregate
+    co-partitioned with the canonical edge set.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    tris = wedges.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    per_vertex = (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("vid")
+        )
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        e.select(F.col("a").alias("vid"))
+        .unionByName(e.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    num = (F.col("n_tri") * F.lit(2_000_000)).cast("double")
+    den = (F.col("deg") * (F.col("deg") - 1)).cast("double")
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(per_vertex, "vid", "left_outer")
+        .na.fill({"n_tri": 0})
+        .select(
+            F.col("vid").cast("long"),
+            F.col("deg").cast("long"),
+            F.col("n_tri").cast("long"),
+            F.round(num / den).cast("long").alias("lcc_ppm"),
+        )
+    )

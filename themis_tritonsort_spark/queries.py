@@ -39,8 +39,9 @@ Sections:
             quality classifier, sweep-line interval concurrency,
             distributed BPE tokenizer training, BM25 retrieval,
             one-pass table profiling, blocked fuzzy entity matching
-  q110-q111 first/last-touch marketing attribution (one window pass),
-            batch BM25 for a query table (RAG-corpus retrieval)
+  q110-q112 first/last-touch marketing attribution (one window pass),
+            batch BM25 for a query table (RAG-corpus retrieval),
+            per-vertex local clustering coefficient
 """
 
 from __future__ import annotations
@@ -4370,6 +4371,58 @@ SELECT query_id, doc_id, score_micro, CAST(rn AS INTEGER) AS rn FROM (
 """
 
 
+# Q112 Local clustering coefficient (operators/components.
+# local_clustering_coefficient): per-vertex lcc = 2*t(v)/(deg*(deg-1))
+# in ppm over the lineitem co-order graph — triangles credited to all
+# three corners (unlike q68's smallest-corner attribution).  Exact
+# longs everywhere except ONE double division of two
+# exactly-representable integers, so the ppm rounds identically on
+# any IEEE engine.
+def q112_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import local_clustering_coefficient
+
+    return local_clustering_coefficient(_lineitem_edges(spark, sf_dir))
+
+
+_Q112_SQL = """
+WITH raw AS (
+  SELECT src, l_partkey AS dst FROM (
+    SELECT l_partkey,
+           lag(l_partkey) OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS src
+    FROM lineitem
+  ) WHERE src IS NOT NULL AND src <> l_partkey
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+tris AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT unnest([a, b, c]) AS vid FROM tris
+),
+per_vertex AS (
+  SELECT vid, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY 1
+),
+deg AS (
+  SELECT vid, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS vid FROM e UNION ALL SELECT b AS vid FROM e
+  ) GROUP BY 1
+)
+SELECT CAST(d.vid AS BIGINT) AS vid, d.deg,
+       CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(ROUND(CAST(COALESCE(p.n_tri, 0) * 2000000 AS DOUBLE)
+                  / CAST(d.deg * (d.deg - 1) AS DOUBLE)) AS BIGINT) AS lcc_ppm
+FROM deg d LEFT JOIN per_vertex p ON d.vid = p.vid
+WHERE d.deg >= 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -4483,6 +4536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q109_fuzzy_supplier_match": q109_fuzzy_supplier_match,
     "q110_attribution": q110_attribution,
     "q111_bm25_multi": q111_bm25_multi,
+    "q112_clustering_coeff": q112_clustering_coeff,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -4638,4 +4692,5 @@ ORACLES: dict[str, str] = {
     "q109_fuzzy_supplier_match": _Q109_SQL,
     "q110_attribution": _Q110_SQL,
     "q111_bm25_multi": _Q111_SQL,
+    "q112_clustering_coeff": _Q112_SQL,
 }
