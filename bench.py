@@ -142,6 +142,7 @@ BENCH_QUERIES = {
     "q110_attribution": q.q110_attribution,
     "q111_bm25_multi": q.q111_bm25_multi,
     "q112_clustering_coeff": q.q112_clustering_coeff,
+    "q113_ewma": q.q113_ewma,
 }
 
 

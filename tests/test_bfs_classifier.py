@@ -156,3 +156,20 @@ def test_local_clustering_coefficient_k4_and_path(spark):
     got = {r["vid"]: r for r in local_clustering_coefficient(path).collect()}
     assert set(got) == {2}
     assert (got[2]["n_tri"], got[2]["lcc_ppm"]) == (0, 0)
+
+
+def test_ewma_halving_hand_values(spark):
+    from themis_tritonsort_spark.operators.temporal import ewma_halving
+
+    # x = 8, 4, 10 -> s = 8, 6, 8
+    df = spark.createDataFrame(
+        [(1, 10, 100, 8), (1, 20, 101, 4), (1, 30, 102, 10),
+         (2, 5, 200, 7)],
+        "k long, ts long, eid long, x long",
+    )
+    got = {
+        r["eid"]: r["ewma_micro"]
+        for r in ewma_halving(df, "k", "ts", "eid", "x").collect()
+    }
+    assert got == {100: 8_000_000, 101: 6_000_000, 102: 8_000_000,
+                   200: 7_000_000}

@@ -325,3 +325,71 @@ def concurrency_sweep(
         F.col("net_delta").cast("long"),
         F.col(out_col).cast("long"),
     )
+
+
+def ewma_halving(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key exponential smoothing with lambda = 1/2: s_1 = x_1,
+    s_i = (x_i + s_{i-1}) / 2 over the (ts, id)-ordered stream.
+    Returns (key, id, ts, ewma_micro long).
+
+    The halving constant is the engine-exactness trick: division by 2
+    is exact binary scaling, and both engines run the IDENTICAL
+    sequential op chain (the same truncation points when fractional
+    bits exceed the mantissa), so the recursion reproduces bit-for-bit
+    — general lambdas would hit libm pow/last-ulp drift.  ``value_col``
+    must be integral (cents/micros first).
+
+    Plan: ONE shuffle on the key; the recursion is a JVM ``aggregate``
+    fold over each key's time-sorted array (no Python), the same
+    bounded-per-key-array assumption as sessionization/funnel.
+    """
+    evs = (
+        df.select(
+            F.col(key_col),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("eid"),
+                F.col(value_col).cast("long").alias("x"),
+            ).alias("__e"),
+        )
+        .groupBy(key_col)
+        .agg(F.array_sort(F.collect_list("__e")).alias("__evs"))
+    )
+    folded = F.aggregate(
+        F.col("__evs"),
+        F.array().cast("array<struct<ts:long,eid:long,s:double>>"),
+        lambda acc, e: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    e["ts"].alias("ts"),
+                    e["eid"].alias("eid"),
+                    F.when(
+                        F.size(acc) == 0, e["x"].cast("double")
+                    )
+                    .otherwise(
+                        (e["x"].cast("double") + F.element_at(acc, -1)["s"])
+                        / F.lit(2.0)
+                    )
+                    .alias("s"),
+                )
+            ),
+        ),
+    )
+    return (
+        evs.select(F.col(key_col), F.explode(folded).alias("__o"))
+        .select(
+            F.col(key_col),
+            F.col("__o.eid").alias(id_col),
+            F.col("__o.ts").alias(ts_col),
+            F.round(F.col("__o.s") * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("ewma_micro"),
+        )
+    )

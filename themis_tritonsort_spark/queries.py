@@ -39,9 +39,10 @@ Sections:
             quality classifier, sweep-line interval concurrency,
             distributed BPE tokenizer training, BM25 retrieval,
             one-pass table profiling, blocked fuzzy entity matching
-  q110-q112 first/last-touch marketing attribution (one window pass),
+  q110-q113 first/last-touch marketing attribution (one window pass),
             batch BM25 for a query table (RAG-corpus retrieval),
-            per-vertex local clustering coefficient
+            per-vertex local clustering coefficient, per-key
+            exponential smoothing (bit-exact halving EWMA)
 """
 
 from __future__ import annotations
@@ -4423,6 +4424,51 @@ WHERE d.deg >= 2
 """
 
 
+# Q113 Per-user exponential smoothing (operators/temporal.
+# ewma_halving): s_i = (x_i + s_{i-1})/2 over each user's value
+# stream.  lambda = 1/2 on purpose: halving is exact binary scaling,
+# so the sequential recursion reproduces bit-for-bit on any IEEE
+# engine (general lambdas would drift in the last ulp).  The oracle
+# replays the identical fold as a recursive CTE advancing one event
+# per step, all users in lockstep.
+def q113_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import ewma_halving
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        cents("value").alias("value_cents"),
+    )
+    return ewma_halving(ev, "user_id", "ts_us", "event_id", "value_cents")
+
+
+_Q113_SQL = """
+WITH RECURSIVE evs AS (
+  SELECT user_id,
+         array_agg(struct_pack(ts := epoch_us(ts), eid := event_id,
+                               x := CAST(ROUND(value * 100) AS BIGINT))
+                   ORDER BY epoch_us(ts), event_id) AS es
+  FROM events GROUP BY 1
+),
+f AS (
+  SELECT user_id, es, 1 AS i,
+         CAST(NULL AS DOUBLE) AS s,
+         CAST(NULL AS BIGINT) AS ts, CAST(NULL AS BIGINT) AS eid
+  FROM evs
+  UNION ALL
+  SELECT user_id, es, i + 1,
+         CASE WHEN s IS NULL THEN CAST(es[i].x AS DOUBLE)
+              ELSE (CAST(es[i].x AS DOUBLE) + s) / 2.0::DOUBLE END,
+         es[i].ts, es[i].eid
+  FROM f WHERE i <= len(es)
+)
+SELECT user_id, eid AS event_id, ts AS ts_us,
+       CAST(ROUND(s * 1000000.0::DOUBLE) AS BIGINT) AS ewma_micro
+FROM f WHERE eid IS NOT NULL
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -4537,6 +4583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q110_attribution": q110_attribution,
     "q111_bm25_multi": q111_bm25_multi,
     "q112_clustering_coeff": q112_clustering_coeff,
+    "q113_ewma": q113_ewma,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -4693,4 +4740,5 @@ ORACLES: dict[str, str] = {
     "q110_attribution": _Q110_SQL,
     "q111_bm25_multi": _Q111_SQL,
     "q112_clustering_coeff": _Q112_SQL,
+    "q113_ewma": _Q113_SQL,
 }
