@@ -143,6 +143,7 @@ BENCH_QUERIES = {
     "q111_bm25_multi": q.q111_bm25_multi,
     "q112_clustering_coeff": q.q112_clustering_coeff,
     "q113_ewma": q.q113_ewma,
+    "q114_markov_transitions": q.q114_markov_transitions,
 }
 
 

@@ -544,3 +544,35 @@ def test_funnel_stream_matches_batch(spark, stream_dir):
         F.sort_array(F.collect_list("stage")).alias("st")
     ).collect():
         assert r["st"] == list(range(1, len(r["st"]) + 1))
+
+
+def test_ewma_stream_matches_batch(spark, stream_dir):
+    from themis_tritonsort_spark.operators.temporal import ewma_halving
+    from themis_tritonsort_spark.streaming.temporal import ewma_stream
+
+    src = os.path.join(stream_dir, "src")
+    rows = [
+        (1, 10, 100, 8), (1, 20, 101, 4), (1, 30, 102, 10),
+        (1, 40, 103, 3), (2, 5, 200, 7), (2, 6, 201, 7),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, value_cents long"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, ts_us long, event_id long, value_cents long"
+    ).parquet(src)
+    _run_to_memory(ewma_stream(stream), "ewma_stream", mode="append")
+    got = {
+        r["event_id"]: r["ewma_micro"]
+        for r in spark.sql("SELECT * FROM ewma_stream").collect()
+    }
+
+    batch = ewma_halving(
+        spark.read.parquet(src), "user_id", "ts_us", "event_id", "value_cents"
+    )
+    exp = {r["event_id"]: r["ewma_micro"] for r in batch.collect()}
+    assert got == exp
+    # hand spot-check: 8 -> 6 -> 8 -> 5.5 (the .5 tie exercises the
+    # HALF_UP parity shim)
+    assert exp[103] == 5_500_000

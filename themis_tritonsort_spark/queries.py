@@ -43,6 +43,7 @@ Sections:
             batch BM25 for a query table (RAG-corpus retrieval),
             per-vertex local clustering coefficient, per-key
             exponential smoothing (bit-exact halving EWMA)
+  q114      first-order Markov transition matrix over event streams
 """
 
 from __future__ import annotations
@@ -4469,6 +4470,67 @@ FROM f WHERE eid IS NOT NULL
 """
 
 
+# Q114 Behavioral transition matrix (first-order Markov estimate):
+# per-user event bigrams via one lag window, then (from, to) counts
+# and the per-source transition probability in ppm.  The probability
+# is ONE IEEE division of exact counts — engine-identical rounding.
+# One user-key shuffle + one (from, to) aggregate; the per-source
+# totals re-aggregate from the transition counts (transition-matrix-
+# sized, not corpus-sized).
+def q114_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            * F.lit(1_000_000.0)
+            / F.col("__tot").cast("double")
+        )
+        .cast("long")
+        .alias("p_ppm"),
+    )
+
+
+_Q114_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS next_type
+    FROM events
+  )
+  WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM pairs GROUP BY 1
+)
+SELECT from_type, to_type, n,
+       CAST(ROUND(CAST(n AS DOUBLE) * 1000000.0::DOUBLE
+                  / CAST(tot AS DOUBLE)) AS BIGINT) AS p_ppm
+FROM pairs JOIN totals USING (from_type)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -4584,6 +4646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_bm25_multi": q111_bm25_multi,
     "q112_clustering_coeff": q112_clustering_coeff,
     "q113_ewma": q113_ewma,
+    "q114_markov_transitions": q114_markov_transitions,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -4741,4 +4804,5 @@ ORACLES: dict[str, str] = {
     "q111_bm25_multi": _Q111_SQL,
     "q112_clustering_coeff": _Q112_SQL,
     "q113_ewma": _Q113_SQL,
+    "q114_markov_transitions": _Q114_SQL,
 }
