@@ -144,6 +144,10 @@ BENCH_QUERIES = {
     "q112_clustering_coeff": q.q112_clustering_coeff,
     "q113_ewma": q.q113_ewma,
     "q114_markov_transitions": q.q114_markov_transitions,
+    "q115_filtered_revenue": q.q115_filtered_revenue,
+    "q116_priority_by_class": q.q116_priority_by_class,
+    "q117_promo_share": q.q117_promo_share,
+    "q118_top_supplier": q.q118_top_supplier,
 }
 
 

@@ -44,6 +44,9 @@ Sections:
             per-vertex local clustering coefficient, per-key
             exponential smoothing (bit-exact halving EWMA)
   q114      first-order Markov transition matrix over event streams
+  q115-q118 TPC-H completion (Q6 scan-agg, Q12 conditional counts,
+            Q14 promo share, Q15 argmax-with-ties) — all 22 classic
+            shapes now covered
 """
 
 from __future__ import annotations
@@ -4531,6 +4534,172 @@ FROM pairs JOIN totals USING (from_type)
 """
 
 
+# ------------------------------------------------------------ q115-q118
+# TPC-H completion: the four remaining classic shapes (Q6 scan-agg,
+# Q12 conditional mode counts, Q14 promo share, Q15 argmax-with-ties)
+# — with q14/q48/q52/q53/q95-q102 this covers all 22 TPC-H query
+# shapes the schema can express (adaptations per docstring: no
+# l_shipmode/commitdate, so Q12 proxies mode with l_returnflag).
+
+
+# Q115 (TPC-H Q6 shape): pure scan-side predicate revenue — the
+# filter must reach the parquet scan (no join, no window; the plan IS
+# the pushdown).
+def q115_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100
+    ).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy()
+        .agg(
+            F.sum(rev).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q115_SQL = """
+SELECT CAST(sum(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05::DOUBLE AND l_discount <= 0.07::DOUBLE
+  AND l_quantity < 24
+"""
+
+
+# Q116 (TPC-H Q12 shape): conditional priority counts per shipping
+# class.  Adaptation: the schema has no l_shipmode, so l_returnflag
+# is the class proxy; the load-bearing shape — join + two conditional
+# aggregates in one pass — is unchanged.
+def q116_priority_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_priority"),
+            F.sum((~high).cast("long")).alias("low_priority"),
+        )
+    )
+
+
+_Q116_SQL = """
+SELECT l_returnflag AS ship_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_priority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+# Q117 (TPC-H Q14 shape): promotion revenue share — ratio of two
+# exact cents sums, ONE IEEE division rounded to ppm.
+def q117_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    agg = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)).alias(
+                "promo_cents"
+            ),
+            F.sum(rev).alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        F.round(
+            F.col("promo_cents").cast("double")
+            * F.lit(1_000_000.0)
+            / F.col("total_cents").cast("double")
+        )
+        .cast("long")
+        .alias("promo_ppm"),
+    )
+
+
+_Q117_SQL = """
+WITH agg AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS promo_cents,
+         CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-07-01'
+)
+SELECT promo_cents, total_cents,
+       CAST(ROUND(CAST(promo_cents AS DOUBLE) * 1000000.0::DOUBLE
+                  / CAST(total_cents AS DOUBLE)) AS BIGINT) AS promo_ppm
+FROM agg
+"""
+
+
+# Q118 (TPC-H Q15 shape): top supplier(s) by windowed revenue — the
+# argmax-with-ties view pattern: per-supplier aggregate, 1-row max
+# broadcast back, equality filter keeps ALL tied winners (exact longs,
+# so the tie decision is engine-identical).
+def q118_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_cents"))
+    best = per_supp.groupBy().agg(F.max("total_cents").alias("__best"))
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(best))
+        .where(F.col("total_cents") == F.col("__best"))
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+_Q118_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_cents
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_cents = (SELECT max(total_cents) FROM per_supp)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -4647,6 +4816,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q112_clustering_coeff": q112_clustering_coeff,
     "q113_ewma": q113_ewma,
     "q114_markov_transitions": q114_markov_transitions,
+    "q115_filtered_revenue": q115_filtered_revenue,
+    "q116_priority_by_class": q116_priority_by_class,
+    "q117_promo_share": q117_promo_share,
+    "q118_top_supplier": q118_top_supplier,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -4805,4 +4978,8 @@ ORACLES: dict[str, str] = {
     "q112_clustering_coeff": _Q112_SQL,
     "q113_ewma": _Q113_SQL,
     "q114_markov_transitions": _Q114_SQL,
+    "q115_filtered_revenue": _Q115_SQL,
+    "q116_priority_by_class": _Q116_SQL,
+    "q117_promo_share": _Q117_SQL,
+    "q118_top_supplier": _Q118_SQL,
 }
