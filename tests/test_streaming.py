@@ -576,3 +576,52 @@ def test_ewma_stream_matches_batch(spark, stream_dir):
     # hand spot-check: 8 -> 6 -> 8 -> 5.5 (the .5 tie exercises the
     # HALF_UP parity shim)
     assert exp[103] == 5_500_000
+
+
+def test_activity_delta_stream_gauge(spark, stream_dir):
+    from themis_tritonsort_spark.operators.sort import with_global_prefix_sum
+    from themis_tritonsort_spark.streaming.temporal import activity_delta_stream
+
+    src = os.path.join(stream_dir, "src")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 00:05:00", "a"),   # active 00:05-01:05
+            (2, "2024-01-01 00:20:00", "a"),   # active 00:20-01:20
+            (3, "2024-01-01 02:00:00", "a"),   # active 02:00-03:00
+        ],
+    )
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    out = activity_delta_stream(
+        stream, horizon="1 hour", window="15 minutes", watermark="3 hours"
+    )
+    _run_to_memory(out, "act_deltas", mode="complete")
+    sink = spark.createDataFrame(
+        spark.sql(
+            "SELECT CAST(window_start AS STRING) AS w, net_delta"
+            " FROM act_deltas"
+        ).collect(),
+        "w string, net_delta long",
+    )
+
+    # batch-side finalization: cumsum over windows = the open gauge
+    gauge = {
+        r["w"]: r["open"]
+        for r in with_global_prefix_sum(
+            sink, ["w"], "net_delta", out_col="open"
+        ).collect()
+    }
+    # 00:00 window: +1 (event1); 00:15: +1 (event2) -> gauge 2;
+    # 01:00: -1 (event1 expiry); 01:15: -1 (event2) -> gauge 0;
+    # 02:00: +1; 03:00: -1
+    assert gauge["2024-01-01 00:00:00"] == 1
+    assert gauge["2024-01-01 00:15:00"] == 2
+    assert gauge["2024-01-01 01:00:00"] == 1
+    assert gauge["2024-01-01 01:15:00"] == 0
+    assert gauge["2024-01-01 02:00:00"] == 1
+    assert gauge["2024-01-01 03:00:00"] == 0
+    # deltas are conservation-exact: every +1 has its -1
+    assert sum(r["net_delta"] for r in sink.collect()) == 0

@@ -71,3 +71,60 @@ def ewma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def activity_delta_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    horizon: str = "1 hour",
+    window: str = "15 minutes",
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """Streaming concurrency gauge, the mergeable-state half: every
+    event is "active" for ``horizon`` after its timestamp, so it
+    contributes +1 to its own window and -1 to the window containing
+    ts + horizon (a stateless map-side explode — no per-key state at
+    all); the windowed SUM of deltas is mergeable, so late
+    micro-batches fold in exactly.  (window_start, window_end,
+    net_delta.)
+
+    The open-activity gauge itself is the running cumsum of net_delta
+    over window_start — a non-mergeable finalization done batch-side
+    on the sink (``operators.sort.with_global_prefix_sum`` over the
+    window-sized relation), the same register/finalize split as the
+    streaming HLL and CMS sketches.  NOTE the semantic difference from
+    the batch sweep (operators.temporal.concurrency_sweep): that
+    measures per-KEY activity spans; this measures per-EVENT activity
+    horizons — the watermark-friendly formulation, since a key's
+    lifetime span is unbounded state but an event's horizon is fixed.
+    ``watermark`` must exceed ``horizon`` + expected lateness so the
+    -1 deltas (which land ``horizon`` in the future) stay inside the
+    state window.
+    """
+    from pyspark.sql import functions as F
+
+    deltas = events.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(ts_col).alias("__dts"), F.lit(1).alias("__d")
+                ),
+                F.struct(
+                    (
+                        F.col(ts_col) + F.expr(f"INTERVAL {horizon}")
+                    ).alias("__dts"),
+                    F.lit(-1).alias("__d"),
+                ),
+            )
+        ).alias("__b")
+    ).select("__b.*")
+    return (
+        deltas.withWatermark("__dts", watermark)
+        .groupBy(F.window(F.col("__dts"), window))
+        .agg(F.sum("__d").alias("net_delta"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.col("net_delta").cast("long"),
+        )
+    )
