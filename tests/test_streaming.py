@@ -625,3 +625,52 @@ def test_activity_delta_stream_gauge(spark, stream_dir):
     assert gauge["2024-01-01 03:00:00"] == 0
     # deltas are conservation-exact: every +1 has its -1
     assert sum(r["net_delta"] for r in sink.collect()) == 0
+
+
+def test_cdc_apply_stream_maintains_snapshot(spark, stream_dir):
+    import time as _time
+
+    from themis_tritonsort_spark.streaming.cdc import (
+        cdc_apply_stream,
+        read_snapshot,
+    )
+
+    src = os.path.join(stream_dir, "changes")
+    snap_dir = os.path.join(stream_dir, "snapshot")
+    os.makedirs(src, exist_ok=True)
+
+    def _write_batch(rows, name):
+        spark.createDataFrame(
+            rows, "k long, ver long, val string, deleted boolean"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, name)
+        )
+
+    # two change files -> maxFilesPerTrigger=1 forces two micro-batches,
+    # so the second MERGEs onto a non-empty carried snapshot
+    _write_batch(
+        [(1, 1, "a1", False), (2, 1, "b1", False)], "f1.parquet"
+    )
+    _time.sleep(1.1)  # distinct mod times -> deterministic file order
+    _write_batch(
+        [(1, 2, "a2", False), (2, 2, None, True), (3, 1, "c1", False)],
+        "f2.parquet",
+    )
+
+    stream = (
+        spark.readStream.schema("k long, ver long, val string, deleted boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = cdc_apply_stream(stream, snap_dir, ["k"], ["ver"], "deleted")
+    q.awaitTermination(120)
+
+    snap = read_snapshot(spark, snap_dir)
+    got = {r["k"]: r["val"] for r in snap.collect()}
+    # k1 updated to a2, k2 tombstoned away, k3 inserted
+    assert got == {1: "a2", 3: "c1"}
+    # snapshot versions accumulated and the pointer names the latest
+    versions = sorted(
+        d for d in os.listdir(snap_dir) if d.startswith("v")
+    )
+    assert len(versions) >= 2
