@@ -148,6 +148,7 @@ BENCH_QUERIES = {
     "q116_priority_by_class": q.q116_priority_by_class,
     "q117_promo_share": q.q117_promo_share,
     "q118_top_supplier": q.q118_top_supplier,
+    "q119_histogram_quantiles": q.q119_histogram_quantiles,
 }
 
 

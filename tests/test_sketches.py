@@ -68,3 +68,46 @@ def test_frequent_items_finds_planted_heavy_hitter(spark):
     assert 424242 in items
     with pytest.raises(ValueError):
         frequent_items(base, "v", min_share=0.0)
+
+
+def test_histogram_quantiles_contract(spark):
+    from themis_tritonsort_spark.operators.sketches import histogram_quantiles
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    # 100 values 0..99, bin width 10: p50 -> first bin with cum >= 50
+    # = bin 4 (values 40..49, cum 50) -> ub 50; p95 -> bin 9 -> ub 100
+    df = spark.range(100).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    [r] = histogram_quantiles(
+        df, ["g"], "v", bin_width=10, n_bins=20, percents=[50, 95]
+    ).collect()
+    assert (r["n"], r["p50_ub"], r["p95_ub"]) == (100, 50, 100)
+
+    # sketch upper bound brackets the exact quantile from above
+    [exact] = df.groupBy("g").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("p50")
+    ).collect()
+    assert exact["p50"] <= r["p50_ub"]
+
+    # overflow clamp: values beyond the range saturate at the cap
+    big = spark.range(10).select(
+        F.lit("g").alias("g"), (F.col("id") + 1000).alias("v")
+    )
+    [rb] = histogram_quantiles(
+        big, ["g"], "v", bin_width=10, n_bins=5, percents=[50]
+    ).collect()
+    assert rb["p50_ub"] == 50  # 5 bins * width 10 = the saturation value
+
+    # mergeability: sum of two halves' counters == whole (same sketch
+    # by construction of the plan; checked semantically via equality)
+    h1 = df.where(F.col("v") < 50)
+    h2 = df.where(F.col("v") >= 50)
+    whole = histogram_quantiles(df, ["g"], "v", 10, 20, [95])
+    merged = histogram_quantiles(
+        h1.unionByName(h2), ["g"], "v", 10, 20, [95]
+    )
+    assert whole.collect() == merged.collect()
+
+    with _pt.raises(ValueError):
+        histogram_quantiles(df, ["g"], "v", 0, 10)

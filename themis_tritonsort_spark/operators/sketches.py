@@ -257,3 +257,64 @@ def cms_lookup(
             "cms_estimate"
         )
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bin_width: int,
+    n_bins: int,
+    percents: list[int] = (50, 95, 99),
+) -> DataFrame:
+    """Mergeable histogram quantile sketch — the O(bins) scale answer
+    to exact per-group quantiles (q42's percentile_disc sorts each
+    group; this shuffles at most ``n_bins`` counter rows per group no
+    matter the cardinality, and two sketches merge by adding
+    counters).  Returns group cols + (n, p{p}_ub ...) where each
+    estimate is the UPPER BOUND of the first bin whose cumulative
+    count reaches ceil(p% of n) — a deterministic integer, so the
+    sketch reproduces exactly on any engine (no interpolation, no
+    floats anywhere).
+
+    ``value_col`` must be integral and non-negative; values at or
+    beyond ``bin_width * n_bins`` clamp into the last (overflow) bin,
+    whose upper bound is reported as bin_width * n_bins (the sketch's
+    saturation value — widen the bins if the tail matters).
+
+    Plan: one (group, bin) partial-aggregated count, a bin-ordered
+    window cumsum WITHIN each group (bin-sized, never row-sized), and
+    a conditional-min final aggregate; thresholds use pure integer
+    ceiling arithmetic ((p*n + 99) div 100).
+    """
+    from pyspark.sql import Window
+
+    if bin_width <= 0 or n_bins <= 1:
+        raise ValueError(f"need bin_width > 0, n_bins > 1; got {bin_width}/{n_bins}")
+    bin_ = F.least(
+        (F.col(value_col).cast("long") / F.lit(bin_width)).cast("long"),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        df.select(*group_cols, bin_.alias("__bin"))
+        .groupBy(*group_cols, "__bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__bin")
+    cum = counts.withColumn(
+        "__cum", F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("__n", F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    aggs = [F.max("__n").cast("long").alias("n")]
+    for p in percents:
+        thresh = (F.col("__n") * p + 99) / 100
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cum") >= thresh.cast("long"),
+                    (F.col("__bin") + 1) * bin_width,
+                )
+            )
+            .cast("long")
+            .alias(f"p{p}_ub")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)

@@ -47,6 +47,7 @@ Sections:
   q115-q118 TPC-H completion (Q6 scan-agg, Q12 conditional counts,
             Q14 promo share, Q15 argmax-with-ties) — all 22 classic
             shapes now covered
+  q119      mergeable histogram quantile sketch (O(bins) scale path)
 """
 
 from __future__ import annotations
@@ -4700,6 +4701,52 @@ WHERE total_cents = (SELECT max(total_cents) FROM per_supp)
 """
 
 
+# Q119 Mergeable histogram quantile sketch (operators/sketches.
+# histogram_quantiles): the O(bins) scale path next to q42's exact
+# percentile_disc — at most n_bins counter rows per group shuffle no
+# matter the group cardinality, counters merge by addition, and every
+# estimate is a deterministic integer bin upper bound (no floats, no
+# interpolation).
+_HQ_BIN_W, _HQ_BINS = 100_000, 128
+
+
+def q119_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import histogram_quantiles
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", cents("l_extendedprice").alias("__c")
+    )
+    return histogram_quantiles(
+        li, ["l_returnflag"], "__c", bin_width=_HQ_BIN_W, n_bins=_HQ_BINS
+    )
+
+
+_Q119_SQL = f"""
+WITH counts AS (
+  SELECT l_returnflag,
+         LEAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) // {_HQ_BIN_W},
+               {_HQ_BINS - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, bin, c,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM counts
+)
+SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100
+                     THEN (bin + 1) * {_HQ_BIN_W} END) AS BIGINT) AS p50_ub,
+       CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100
+                     THEN (bin + 1) * {_HQ_BIN_W} END) AS BIGINT) AS p95_ub,
+       CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100
+                     THEN (bin + 1) * {_HQ_BIN_W} END) AS BIGINT) AS p99_ub
+FROM cum GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -4820,6 +4867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q116_priority_by_class": q116_priority_by_class,
     "q117_promo_share": q117_promo_share,
     "q118_top_supplier": q118_top_supplier,
+    "q119_histogram_quantiles": q119_histogram_quantiles,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -4982,4 +5030,5 @@ ORACLES: dict[str, str] = {
     "q116_priority_by_class": _Q116_SQL,
     "q117_promo_share": _Q117_SQL,
     "q118_top_supplier": _Q118_SQL,
+    "q119_histogram_quantiles": _Q119_SQL,
 }
