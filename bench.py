@@ -149,6 +149,8 @@ BENCH_QUERIES = {
     "q117_promo_share": q.q117_promo_share,
     "q118_top_supplier": q.q118_top_supplier,
     "q119_histogram_quantiles": q.q119_histogram_quantiles,
+    "q120_lineno_gaps": q.q120_lineno_gaps,
+    "q121_orphan_audit": q.q121_orphan_audit,
 }
 
 

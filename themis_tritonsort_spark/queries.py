@@ -48,6 +48,8 @@ Sections:
             Q14 promo share, Q15 argmax-with-ties) — all 22 classic
             shapes now covered
   q119      mergeable histogram quantile sketch (O(bins) scale path)
+  q120-q121 data-quality audits: sequence completeness, referential
+            integrity (orphan counts per star edge)
 """
 
 from __future__ import annotations
@@ -4747,6 +4749,80 @@ FROM cum GROUP BY 1
 """
 
 
+# Q120 Sequence-completeness audit (data-quality family with q108's
+# profiler): orders whose line numbers are not exactly 1..n — gaps,
+# duplicates, or offset starts.  One keyed aggregate; the three
+# integrity predicates (count, min, max, distinct) collapse into a
+# single pass.
+def q120_lineno_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_linenumber").alias("n_distinct"),
+        F.min("l_linenumber").cast("long").alias("min_ln"),
+        F.max("l_linenumber").cast("long").alias("max_ln"),
+    )
+    return per.where(
+        (F.col("min_ln") != 1)
+        | (F.col("max_ln") != F.col("n_lines"))
+        | (F.col("n_distinct") != F.col("n_lines"))
+    )
+
+
+_Q120_SQL = """
+SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(DISTINCT l_linenumber) AS BIGINT) AS n_distinct,
+       CAST(min(l_linenumber) AS BIGINT) AS min_ln,
+       CAST(max(l_linenumber) AS BIGINT) AS max_ln
+FROM lineitem
+GROUP BY 1
+HAVING min(l_linenumber) <> 1
+    OR CAST(max(l_linenumber) AS BIGINT) <> count(*)
+    OR count(DISTINCT l_linenumber) <> count(*)
+"""
+
+
+# Q121 Referential-integrity audit: orphan counts along every edge of
+# the star schema in one report — each edge is a broadcast/shuffled
+# LEFT ANTI join reduced to a count, unioned into a fixed 4-row
+# relation (constant-size output at any scale).
+def q121_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    pa = table(spark, sf_dir, "part")
+    su = table(spark, sf_dir, "supplier")
+
+    def orphans(child, col, parent, pcol, edge):
+        n = child.join(
+            parent.select(pcol), child[col] == parent[pcol], "left_anti"
+        ).count()
+        return (edge, n)
+
+    rows = [
+        orphans(li, "l_orderkey", od, "o_orderkey", "lineitem->orders"),
+        orphans(li, "l_partkey", pa, "p_partkey", "lineitem->part"),
+        orphans(li, "l_suppkey", su, "s_suppkey", "lineitem->supplier"),
+        orphans(od, "o_custkey", cu, "c_custkey", "orders->customer"),
+    ]
+    return spark.createDataFrame(rows, "edge string, n_orphans long")
+
+
+_Q121_SQL = """
+SELECT 'lineitem->orders' AS edge, CAST(count(*) AS BIGINT) AS n_orphans
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+UNION ALL
+SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -4868,6 +4944,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q117_promo_share": q117_promo_share,
     "q118_top_supplier": q118_top_supplier,
     "q119_histogram_quantiles": q119_histogram_quantiles,
+    "q120_lineno_gaps": q120_lineno_gaps,
+    "q121_orphan_audit": q121_orphan_audit,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -5031,4 +5109,6 @@ ORACLES: dict[str, str] = {
     "q117_promo_share": _Q117_SQL,
     "q118_top_supplier": _Q118_SQL,
     "q119_histogram_quantiles": _Q119_SQL,
+    "q120_lineno_gaps": _Q120_SQL,
+    "q121_orphan_audit": _Q121_SQL,
 }
