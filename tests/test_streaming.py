@@ -674,3 +674,28 @@ def test_cdc_apply_stream_maintains_snapshot(spark, stream_dir):
         d for d in os.listdir(snap_dir) if d.startswith("v")
     )
     assert len(versions) >= 2
+
+
+def test_transition_stream_matches_batch_matrix(spark, stream_dir):
+    from themis_tritonsort_spark.streaming.temporal import transition_stream
+
+    src = os.path.join(stream_dir, "src")
+    spark.createDataFrame(
+        [
+            (1, 10, 100, "view"), (1, 20, 101, "click"),
+            (1, 30, 102, "buy"), (2, 10, 200, "view"),
+            (2, 20, 201, "view"),
+        ],
+        "user_id long, ts_us long, event_id long, event_type string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts_us long, event_id long, event_type string"
+    ).parquet(src)
+    _run_to_memory(transition_stream(stream), "transitions", mode="append")
+    got = sorted(
+        (r["user_id"], r["from_type"], r["to_type"])
+        for r in spark.sql("SELECT * FROM transitions").collect()
+    )
+    assert got == [
+        (1, "click", "buy"), (1, "view", "click"), (2, "view", "view"),
+    ]

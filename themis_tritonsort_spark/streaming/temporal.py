@@ -128,3 +128,50 @@ def activity_delta_stream(
             F.col("net_delta").cast("long"),
         )
     )
+
+
+def transition_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+):
+    """Streaming twin of q114's Markov substrate: emits one immutable
+    (key, from_type, to_type, ts) fact per observed transition,
+    carrying ONE string of state per key (the last event type).  The
+    downstream (from, to) count/probability aggregate is mergeable, so
+    any sink consumer reproduces the batch transition matrix over the
+    same in-order rows.  Same in-order caveat as the other
+    order-sensitive stateful operators."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, from_type string, to_type string, {ts_col} long"
+    )
+    state_schema = "last_type string"
+
+    def fn(key, pdfs, state: GroupState):
+        (k,) = key
+        last = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            for ts, et in zip(pdf[ts_col], pdf[type_col]):
+                if last is not None:
+                    rows.append((k, last, et, int(ts)))
+                last = et
+        if last is not None:
+            state.update((last,))
+        yield pd.DataFrame(
+            rows, columns=[key_col, "from_type", "to_type", ts_col]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
