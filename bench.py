@@ -151,6 +151,7 @@ BENCH_QUERIES = {
     "q119_histogram_quantiles": q.q119_histogram_quantiles,
     "q120_lineno_gaps": q.q120_lineno_gaps,
     "q121_orphan_audit": q.q121_orphan_audit,
+    "q122_event_paths": q.q122_event_paths,
 }
 
 

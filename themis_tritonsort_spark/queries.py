@@ -50,6 +50,7 @@ Sections:
   q119      mergeable histogram quantile sketch (O(bins) scale path)
   q120-q121 data-quality audits: sequence completeness, referential
             integrity (orphan counts per star edge)
+  q122      ordered sequence assembly (capped per-user event paths)
 """
 
 from __future__ import annotations
@@ -4823,6 +4824,58 @@ FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
 """
 
 
+# Q122 Ordered sequence assembly (the training-export shape for
+# behavior/sequence models): each user's first 20 events, time-ordered,
+# joined into one path string.  One key shuffle; the per-user cap is a
+# row_number prune BEFORE the assembly, so a pathological key
+# contributes at most 20 rows to the collect — the unbounded-key guard
+# any sequence export needs.  The path is a '|'-joined string so the
+# cross-engine compare is a plain string equality.
+_PATH_CAP = 20
+
+
+def q122_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= _PATH_CAP)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("path_len"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("__rn", F.col("event_type").alias("t"))
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                "|",
+            ).alias("path"),
+        )
+    )
+
+
+_Q122_SQL = f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS path_len,
+       string_agg(event_type, '|' ORDER BY ts_us, event_id) AS path
+FROM (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+)
+WHERE rn <= {_PATH_CAP}
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -4946,6 +4999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_histogram_quantiles": q119_histogram_quantiles,
     "q120_lineno_gaps": q120_lineno_gaps,
     "q121_orphan_audit": q121_orphan_audit,
+    "q122_event_paths": q122_event_paths,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -5111,4 +5165,5 @@ ORACLES: dict[str, str] = {
     "q119_histogram_quantiles": _Q119_SQL,
     "q120_lineno_gaps": _Q120_SQL,
     "q121_orphan_audit": _Q121_SQL,
+    "q122_event_paths": _Q122_SQL,
 }
