@@ -5013,8 +5013,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Everything rotated OUT was triple-green in r03 with code unchanged,
 # and the whole catalog stays oracle-checked locally every run by
 # tests/test_queries_oracle.py.  The session's later additions
-# (q95-q106) sit AFTER the window — locally oracle-proven this round,
-# first in line for the r05 rotation.
+# (q95-q122) sit AFTER the window — locally oracle-proven this round,
+# first in line for the r05 rotation (27 never-driver-gated entries;
+# rotate them in ahead of re-proving r04-gated rows).
 _WINDOW_PRIORITY = [
     "q19_minhash_lsh", "q20_ann_topk", "q21_text_quality",
     "q22_lang_id", "q23_fingerprint", "q24_window_funcs",
