@@ -303,3 +303,12 @@ def test_q105_sweep_single_corpus_scan(spark):
     plan = _plan(q.q105_concurrency(spark, SF_SMOKE), mode="simple")
     assert "Union" not in plan
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_q115_predicates_reach_scan(spark):
+    # the Q6 shape is ONLY a scan + agg: every predicate must push
+    plan = _plan(q.q115_filtered_revenue(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed and "l_discount" in pushed
+    assert "Join" not in plan

@@ -699,3 +699,57 @@ def test_transition_stream_matches_batch_matrix(spark, stream_dir):
     assert got == [
         (1, "click", "buy"), (1, "view", "click"), (2, "view", "view"),
     ]
+
+
+def test_bm25_frozen_scoring_stream_matches_batch(spark, stream_dir):
+    from themis_tritonsort_spark.operators.textstats import (
+        bm25_freeze_stats,
+        bm25_score_frozen,
+        bm25_topk_multi,
+    )
+
+    docs_rows = [
+        (1, "hash join hash join hash"),
+        (2, "hash scan filter filter"),
+        (3, "filter sort merge"),
+        (4, "hash"),
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    queries = {1: ["hash", "join"], 2: ["scan", "filter"]}
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    stats, n, sdl = bm25_freeze_stats(docs, "doc_id", "text", all_terms)
+
+    # frozen scorer over the SAME corpus == the join-based multi-query
+    # operator (same df/N/avgdl by construction)
+    frozen = {
+        (r["query_id"], r["doc_id"]): r["score_micro"]
+        for r in bm25_score_frozen(
+            docs, "doc_id", "text", queries, stats, n, sdl
+        ).collect()
+    }
+    qdf = spark.createDataFrame(
+        [(q, t) for q, ts in queries.items() for t in ts],
+        "query_id long, term string",
+    )
+    batch = {
+        (r["query_id"], r["doc_id"]): r["score_micro"]
+        for r in bm25_topk_multi(
+            docs, "doc_id", "text", qdf, "query_id", "term", k=100
+        ).collect()
+    }
+    assert frozen == batch
+
+    # and the identical expression scores a STREAM statelessly
+    src = os.path.join(stream_dir, "src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    _run_to_memory(
+        bm25_score_frozen(stream, "doc_id", "text", queries, stats, n, sdl),
+        "bm25_stream",
+        mode="append",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_micro"]
+        for r in spark.sql("SELECT * FROM bm25_stream").collect()
+    }
+    assert got == batch

@@ -1079,3 +1079,104 @@ def bm25_topk_multi(
             F.col("rn").cast("int"),
         )
     )
+
+
+def bm25_freeze_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+) -> tuple[dict, int, int]:
+    """Driver-side frozen BM25 corpus statistics for ``terms``:
+    ({term: doc_frequency}, n_docs, sum_doc_len).  The result is
+    query-term-sized (a handful of longs — the k-means-centers
+    collect discipline), which is what makes map-side scoring of a
+    STREAM possible: the stats ride as plan literals, no join, no
+    state."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+    )
+    postings = tok.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__tf"))
+    doclen = postings.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
+    [c] = doclen.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sdl")
+    ).collect()
+    dfs = {
+        r["__w"]: r["df"]
+        for r in postings.where(F.col("__w").isin(list(terms)))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    return {t: int(dfs.get(t, 0)) for t in terms}, int(c["n"]), int(c["sdl"])
+
+
+def bm25_score_frozen(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict,
+    stats: dict,
+    n_docs: int,
+    sum_dl: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score documents against frozen-stat BM25 queries ENTIRELY
+    map-side: (id, query_id, score_micro) per (doc, query) with at
+    least one matching term.  ``queries`` maps query_id -> term list;
+    ``stats``/``n_docs``/``sum_dl`` come from :func:`bm25_freeze_stats`
+    over the reference corpus.  Per-term tf is an array fold over the
+    document's own tokens and every constant folds into codegen — no
+    join, no aggregation, no state, so the same expression runs
+    unchanged on a STREAMING DataFrame (the frozen-snapshot discipline
+    of the Bloom decontaminator).  Scores are identical to
+    ``bm25_topk_multi`` over the stats corpus (pinned by test): the
+    rational-idf tree, per-term integer micros, long sum.
+    """
+    toks = tokens(F.col(text_col))
+    dl = F.size(toks).cast("double")
+    n = float(n_docs)
+
+    def _match(term: str):
+        # single-arg lambda via closure: a defaulted second parameter
+        # would make Spark bind the array INDEX to it (filter's (x, i)
+        # form) and shadow the term
+        return lambda x: x == F.lit(term)
+
+    rows = []
+    for qid, terms in queries.items():
+        per_term = []
+        for t in terms:
+            dfq = float(stats.get(t, 0))
+            if dfq <= 0:
+                continue
+            tf = F.size(F.filter(toks, _match(t))).cast("double")
+            idf = (n - dfq + 0.5) / (dfq + 0.5)
+            denom = tf + F.lit(k1) * (
+                F.lit(1.0) - F.lit(b) + F.lit(b) * dl * F.lit(n) / F.lit(float(sum_dl))
+            )
+            micro = F.round(
+                F.lit(idf) * (tf * F.lit(k1 + 1.0) / denom) * F.lit(1_000_000.0)
+            ).cast("long")
+            per_term.append(F.when(tf > 0, micro).otherwise(F.lit(0)))
+        if not per_term:
+            continue
+        score = per_term[0]
+        for m in per_term[1:]:
+            score = score + m
+        rows.append(
+            F.struct(
+                F.lit(int(qid)).alias("query_id"), score.alias("score_micro")
+            )
+        )
+    if not rows:
+        raise ValueError("no query has any term present in the frozen stats")
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array(*rows)).alias("__q"),
+        )
+        .select(F.col(id_col), "__q.query_id", "__q.score_micro")
+        .where(F.col("score_micro") > 0)
+    )
