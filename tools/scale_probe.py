@@ -103,8 +103,12 @@ def probes(spark, sf_dir: str, copies: int):
     )
 
     from themis_tritonsort_spark.operators.bpe import bpe_train
+    from themis_tritonsort_spark.operators.sketches import histogram_quantiles
     from themis_tritonsort_spark.operators.temporal import concurrency_sweep
-    from themis_tritonsort_spark.operators.textstats import hashed_linear_score
+    from themis_tritonsort_spark.operators.textstats import (
+        bm25_topk_multi,
+        hashed_linear_score,
+    )
 
     docs = replicate_docs(table(spark, sf_dir, "documents"), copies)
     emb = replicate_emb(table(spark, sf_dir, "embeddings"), copies)
@@ -139,6 +143,27 @@ def probes(spark, sf_dir: str, copies: int):
         "hashed_classifier": lambda: hashed_linear_score(docs, "doc_id", "text"),
         # boundary-bound: the sweep's moving data is 2 rows per user
         "concurrency": lambda: concurrency_sweep(ev, "user_id", "ts_us"),
+        # postings persist + broadcast query terms: one corpus pass
+        "bm25_multi": lambda: bm25_topk_multi(
+            docs,
+            "doc_id",
+            "text",
+            spark.createDataFrame(
+                [(1, "hash"), (1, "join"), (2, "scan"), (2, "filter")],
+                "query_id long, term string",
+            ),
+            "query_id",
+            "term",
+            k=20,
+        ),
+        # counter-bound: at most n_bins rows per group shuffle
+        "histogram_quantiles": lambda: histogram_quantiles(
+            docs.withColumn("g", F.col("doc_id") % 8),
+            ["g"],
+            "n_chars",
+            bin_width=64,
+            n_bins=128,
+        ),
     }
 
 
