@@ -152,6 +152,8 @@ BENCH_QUERIES = {
     "q120_lineno_gaps": q.q120_lineno_gaps,
     "q121_orphan_audit": q.q121_orphan_audit,
     "q122_event_paths": q.q122_event_paths,
+    "q123_segment_mode": q.q123_segment_mode,
+    "q124_spend_deciles": q.q124_spend_deciles,
 }
 
 

@@ -50,7 +50,9 @@ Sections:
   q119      mergeable histogram quantile sketch (O(bins) scale path)
   q120-q121 data-quality audits: sequence completeness, referential
             integrity (orphan counts per star edge)
-  q122      ordered sequence assembly (capped per-user event paths)
+  q122-q124 ordered sequence assembly (capped per-user event paths),
+            grouped mode (partial-aggregatable argmax), global decile
+            bucketing via the distributed rank (no ntile window)
 """
 
 from __future__ import annotations
@@ -4876,6 +4878,92 @@ GROUP BY 1
 """
 
 
+# Q123 Grouped mode with deterministic tie-break: the most frequent
+# order priority per market segment.  The argmax is
+# max(struct(cnt, priority)) over the (segment, priority) counts — a
+# PARTIAL-AGGREGATABLE expression (the q93 celebrity-vertex
+# discipline), so no per-group sort and no row_number window; ties
+# break to the lexicographically LARGEST priority inside the struct
+# max, stated and mirrored in the oracle.
+def q123_segment_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    od = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    counts = (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.groupBy("c_mktsegment")
+        .agg(
+            F.max(
+                F.struct(F.col("n"), F.col("o_orderpriority").alias("p"))
+            ).alias("__best")
+        )
+        .select(
+            "c_mktsegment",
+            F.col("__best.p").alias("mode_priority"),
+            F.col("__best.n").alias("n_orders"),
+        )
+    )
+
+
+_Q123_SQL = """
+WITH counts AS (
+  SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS n_orders
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY n DESC, o_orderpriority DESC) AS rn
+  FROM counts
+) WHERE rn = 1
+"""
+
+
+# Q124 Global decile bucketing of entities by spend — the
+# whole-population quantile assignment (mixture tiers, ability
+# grouping) WITHOUT ntile's single-partition window: the distributed
+# rank (range shuffle + partition-local row_number + broadcast
+# offsets) feeds an explicit floor((rank-1)*10/n) bucket formula that
+# any engine reproduces exactly (ntile's remainder-distribution rule
+# is engine-specific; the formula is not).
+def q124_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+    spend = od.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("spend_cents")
+    )
+    ranked = with_global_rank(
+        spend, ["spend_cents", "o_custkey"], rank_col="__r"
+    )
+    n = spend.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "o_custkey",
+            "spend_cents",
+            F.floor((F.col("__r") - 1) * 10 / F.col("__n"))
+            .cast("int")
+            .alias("decile"),
+        )
+    )
+
+
+_Q124_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, spend_cents,
+       CAST((row_number() OVER (ORDER BY spend_cents, o_custkey) - 1) * 10
+            // (SELECT count(*) FROM spend) AS INTEGER) AS decile
+FROM spend
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -5000,6 +5088,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q120_lineno_gaps": q120_lineno_gaps,
     "q121_orphan_audit": q121_orphan_audit,
     "q122_event_paths": q122_event_paths,
+    "q123_segment_mode": q123_segment_mode,
+    "q124_spend_deciles": q124_spend_deciles,
 }
 
 # Driver-window rotation (round 4).  The round driver gates the FIRST
@@ -5167,4 +5257,6 @@ ORACLES: dict[str, str] = {
     "q120_lineno_gaps": _Q120_SQL,
     "q121_orphan_audit": _Q121_SQL,
     "q122_event_paths": _Q122_SQL,
+    "q123_segment_mode": _Q123_SQL,
+    "q124_spend_deciles": _Q124_SQL,
 }
