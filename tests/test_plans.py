@@ -305,6 +305,14 @@ def test_q105_sweep_single_corpus_scan(spark):
     assert plan.count("Exchange SinglePartition") <= 1
 
 
+def test_q109_fuzzy_match_is_hash_equi_join(spark):
+    plan = _plan(q.q109_fuzzy_supplier_match(spark, SF_SMOKE), mode="simple")
+    # deletion-neighborhood blocking makes the candidate join an equi
+    # hash join on the deletion key — levenshtein must NOT sit inside
+    # a BroadcastNestedLoopJoin / CartesianProduct condition
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_q115_predicates_reach_scan(spark):
     # the Q6 shape is ONLY a scan + agg: every predicate must push
     plan = _plan(q.q115_filtered_revenue(spark, SF_SMOKE))

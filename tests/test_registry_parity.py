@@ -150,10 +150,10 @@ def test_pagerank_two_iterations_via_job_chain(spark):
 
 def test_driver_window_composition():
     """The round driver gates the FIRST 50 entries of queries() — pin
-    that the window is exactly the rotation plan (round-4: the 28
-    entries whose last driver proof was r02, the q73+ tail, and the
-    round's new queries), every windowed entry has an oracle, and
-    nothing outside the window lacks local oracle coverage."""
+    that the window is exactly the rotation plan (round-5: all 30
+    never-driver-gated entries q95..q124 plus the 20 longest-stale
+    r03-era rows), every windowed entry has an oracle, and nothing
+    outside the window lacks local oracle coverage."""
     from themis_tritonsort_spark.queries import (
         _WINDOW_PRIORITY,
         ORACLES,
@@ -164,9 +164,10 @@ def test_driver_window_composition():
     assert list(QUERIES)[:50] == _WINDOW_PRIORITY
     missing = [n for n in _WINDOW_PRIORITY if n not in ORACLES]
     assert missing == []
-    # the r02-era tail that must re-prove this round
-    stale = {f"q{i:02d}" for i in range(19, 29)} | {"q30"} | {
-        f"q{i}" for i in range(32, 39)
-    } | {f"q{i}" for i in range(40, 50)}
     windowed_prefixes = {n.split("_")[0] for n in _WINDOW_PRIORITY}
-    assert stale <= windowed_prefixes
+    # every never-driver-gated entry (q95..q124) must be in the window
+    never_gated = {f"q{i}" for i in range(95, 125)}
+    assert never_gated <= windowed_prefixes
+    # the longest-stale r03 rows re-prove this round
+    stale_front = {f"q{i:02d}" for i in range(1, 19)} | {"q10b", "q29"}
+    assert stale_front <= windowed_prefixes

@@ -4232,33 +4232,63 @@ FROM base
 """
 
 
-# Q109 Fuzzy entity matching (blocked edit-distance self-join): the
-# record-linkage step of any dimension-cleanup pipeline, on supplier
-# names.  Blocking = same length band (|Δlen| <= 1, a necessary
-# condition for lev <= 1) + ordered keys, then the exact Levenshtein
-# residual — both engines ship the standard DP edit distance as a
-# built-in, so the score is engine-exact.  Runs on the DIMENSION side
-# by design (suppliers/dims are broadcast-scale even at 100 TB fact
-# volume); corpus-scale fuzzy text dedup is the MinHash/SimHash/LSH
-# family (q18/q19/q30/q39), not all-pairs edit distance.
+# Q109 Fuzzy entity matching (deletion-neighborhood edit-distance
+# self-join): the record-linkage step of any dimension-cleanup
+# pipeline, on supplier names.  Blocking = the FastSS / SymSpell
+# deletion neighborhood: every name emits itself plus each
+# single-character-deletion variant as an equi-join key.  Any pair
+# with lev(a,b) <= 1 MUST share a key (substitution -> delete the
+# differing position from both; insertion/deletion -> the shorter
+# string is itself a deletion of the longer; equality -> the string
+# itself), so an equi hash join on the key is a complete candidate
+# generator; shared keys only bound lev <= 2, so the exact
+# Levenshtein residual filters — both engines ship the standard DP
+# edit distance as a built-in, so the score is engine-exact.  The
+# expansion is len(name)+1 keys per row (linear), keys are
+# near-unique strings (no hot bucket even when every name has the
+# same length, where a length-band block would degenerate to
+# all-pairs), and the plan is a hash equi-join — no
+# BroadcastNestedLoopJoin, no n^2 levenshtein calls.  At 100x the
+# dimension this stays (n * len) build size with per-key candidate
+# lists of O(1).
 def q109_fuzzy_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    a = su.select(
-        F.col("s_suppkey").alias("a_key"), F.col("s_name").alias("a_name")
+    one = F.lit(1)
+    deletions = F.transform(
+        F.sequence(one, F.length("s_name")),
+        lambda i: F.concat(
+            F.substr(F.col("s_name"), one, i - one),
+            F.substr(F.col("s_name"), i + one, F.length("s_name")),
+        ),
     )
-    b = su.select(
-        F.col("s_suppkey").alias("b_key"), F.col("s_name").alias("b_name")
+    keyed = su.select(
+        "s_suppkey",
+        "s_name",
+        F.explode(
+            F.array_distinct(
+                F.concat(F.array(F.col("s_name")), deletions)
+            )
+        ).alias("__blk"),
+    )
+    a = keyed.select(
+        F.col("s_suppkey").alias("a_key"),
+        F.col("s_name").alias("a_name"),
+        "__blk",
+    )
+    b = keyed.select(
+        F.col("s_suppkey").alias("b_key"),
+        F.col("s_name").alias("b_name"),
+        "__blk",
     )
     return (
-        a.join(
-            b,
-            (F.col("a_key") < F.col("b_key"))
-            & (
-                F.abs(F.length("a_name") - F.length("b_name")) <= F.lit(1)
-            ),
-        )
+        a.join(b, "__blk")
+        .where(F.col("a_key") < F.col("b_key"))
+        .select("a_key", "a_name", "b_key", "b_name")
+        .distinct()  # a pair can share several deletion keys
         .where(F.levenshtein("a_name", "b_name") <= 1)
-        .select("a_key", "b_key", F.levenshtein("a_name", "b_name").alias("lev"))
+        .select(
+            "a_key", "b_key", F.levenshtein("a_name", "b_name").alias("lev")
+        )
     )
 
 
@@ -5092,41 +5122,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q124_spend_deciles": q124_spend_deciles,
 }
 
-# Driver-window rotation (round 4).  The round driver gates the FIRST
-# 50 entries of queries() against their oracles.  CORRECTNESS_r03
-# covered q01..q18, q29/q31/q39, and q50..q77; the 28 entries with
-# only round-2 driver rows (q19..q28, q30, q32..q38, q40..q49) rotate
-# back in so the r03 ∪ r04 union gives every catalog entry a
-# current-or-previous-round driver proof with nothing older.  q73..q77
-# stay in per the round-3 verdict; the remaining slots hold the front
-# of the catalog (new round-4 entries claim slots from that fill).
-# Everything rotated OUT was triple-green in r03 with code unchanged,
-# and the whole catalog stays oracle-checked locally every run by
-# tests/test_queries_oracle.py.  The session's later additions
-# (q95-q122) sit AFTER the window — locally oracle-proven this round,
-# first in line for the r05 rotation (27 never-driver-gated entries;
-# rotate them in ahead of re-proving r04-gated rows).
+# Driver-window rotation (round 5).  The round driver gates the FIRST
+# 50 entries of queries() against their oracles.  CORRECTNESS_r04 was
+# 50/50 green over q19..q49 (the r02-stale tail) plus q73..q94, so the
+# only catalog entries that have NEVER seen a driver gate are the
+# round-4 session's late additions q95..q124 — all 30 go in front.
+# The remaining 20 slots re-prove the longest-stale r03 rows: q01..q18
+# (incl. q10b) and q29.  q31/q39 (r03-green, code unchanged) plus the
+# r03-green q50..q72 block rotate back in round 6.  Everything outside
+# the window stays oracle-checked locally every run by
+# tests/test_queries_oracle.py, and tools/driver_sim.py flags any
+# entry whose newest driver row is ≥2 rounds old.
 _WINDOW_PRIORITY = [
-    "q19_minhash_lsh", "q20_ann_topk", "q21_text_quality",
-    "q22_lang_id", "q23_fingerprint", "q24_window_funcs",
-    "q25_customers_without_orders", "q26_distinct_agg",
-    "q27_parts_shipped_by_brand", "q28_json_extract", "q30_simhash",
-    "q32_above_avg_parts", "q33_late_ship_orders", "q34_region_share",
-    "q35_rollup_revenue", "q36_asof_join", "q37_range_join",
-    "q38_cosine_neardup", "q40_nation_market", "q41_token_counts",
-    "q42_value_quantiles", "q43_corpus_pipeline", "q44_salted_count",
-    "q45_time_rollup", "q46_dedup_clusters", "q47_gap_sessions",
-    "q48_shipping_priority", "q49_stratified_sample",
-    "q73_pack_sequences", "q74_triangle_total", "q75_surprisal_mix",
-    "q76_shuffle_shards", "q77_full_curation", "q78_media_decode",
-    "q79_semdedup", "q80_bigram_perplexity", "q81_sq8_ann",
-    "q82_bloom_decontam", "q83_token_budget", "q84_pq_ann",
-    "q85_pq_rerank", "q86_kcore", "q87_length_batches",
-    "q88_cdc_snapshot",
-    # round-4 additions claim the remaining 6 window slots (44 + 6 = 50);
-    # everything displaced was triple-green in r03.
-    "q89_scd2_history", "q90_hll_distinct", "q91_cms_heavy_hitters",
-    "q92_zscore_outliers", "q93_label_propagation", "q94_weighted_sample",
+    # never driver-gated (local-oracle-proven only) — all 30
+    "q95_volume_shipping", "q96_product_profit", "q97_important_parts",
+    "q98_supplier_variety", "q99_large_orders", "q100_bracket_revenue",
+    "q101_excess_suppliers", "q102_waiting_suppliers", "q103_bfs_hops",
+    "q104_hashed_classifier", "q105_concurrency", "q106_bpe_train",
+    "q107_bm25_retrieval", "q108_profile_events",
+    "q109_fuzzy_supplier_match", "q110_attribution", "q111_bm25_multi",
+    "q112_clustering_coeff", "q113_ewma", "q114_markov_transitions",
+    "q115_filtered_revenue", "q116_priority_by_class",
+    "q117_promo_share", "q118_top_supplier", "q119_histogram_quantiles",
+    "q120_lineno_gaps", "q121_orphan_audit", "q122_event_paths",
+    "q123_segment_mode", "q124_spend_deciles",
+    # longest-stale (last driver proof r03) — 20 of the 22 candidates
+    "q01_sort_events", "q02_sort_lineitem", "q03_wordcount",
+    "q04_ngrams", "q05_inverted_index", "q06_sessionize",
+    "q07_pagerank", "q08_link_extract", "q09_kmeans_assign",
+    "q10_global_agg", "q10b_length_histogram", "q11_duplicate_keys",
+    "q12_merge_sorted", "q13_grep", "q14_pricing_summary",
+    "q15_revenue_by_nation", "q16_top_customers", "q17_exact_dedup",
+    "q18_jaccard_pairs", "q29_kmeans_full",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
