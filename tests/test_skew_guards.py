@@ -148,6 +148,37 @@ def test_max_df_prunes_candidate_stage_not_just_output(spark):
     assert capped_cands < n_docs  # near-linear after the guard
 
 
+def test_semdedup_max_cluster_resplits_hot_cluster(spark):
+    """Plant ONE hot k-means cluster (all 12 identical vectors land on
+    the same center) and assert max_cluster re-splits it: pairs are
+    only compared within an id%n_splits sub-block, so each sub-block's
+    lowest id survives instead of just the global lowest — the
+    candidate count drops from m(m-1)/2 to ~m*max_cluster/2 while the
+    split stays deterministic."""
+    from themis_tritonsort_spark.operators.similarity import semdedup
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers = [[1.0, 2.0, 3.0, 4.0], [-9.0, -9.0, -9.0, -9.0]]
+
+    uncapped = semdedup(df, "vec_id", "embedding", centers, 0.99)
+    survivors = {
+        r["vec_id"]
+        for r in uncapped.where(F.col("is_dup") == 0).collect()
+    }
+    assert survivors == {0}  # one hot cluster: only the global min
+
+    # cap 4 over 12 rows -> n_splits = 3, sub = vec_id % 3: each
+    # sub-block {0,3,6,9}/{1,4,7,10}/{2,5,8,11} keeps its own min
+    capped = semdedup(
+        df, "vec_id", "embedding", centers, 0.99, max_cluster=4
+    )
+    survivors = {
+        r["vec_id"] for r in capped.where(F.col("is_dup") == 0).collect()
+    }
+    assert survivors == {0, 1, 2}
+
+
 def test_hot_bucket_cap_on_embedding_lsh(spark):
     # 20 identical embeddings collide in EVERY band bucket; the cap
     # must drop those buckets while a genuine near-dup pair in the

@@ -243,6 +243,7 @@ def semdedup(
     vec_col: str,
     centers: list[list[float]],
     threshold: float,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings with k-means, then mark
@@ -253,13 +254,26 @@ def semdedup(
     Scale: the clustering IS the blocking structure — the pairwise
     stage is an equi-join on the cluster id, so candidate pairs are
     bounded per cluster (sum of cluster-size^2), never
-    corpus-quadratic; at 100 TB, k grows with the corpus to hold
-    cluster cardinality constant, and the centers broadcast (literal
-    fold for small k, Arrow matmul for IVF-sized codebooks — see
-    assign_clusters).  The single-pass lower-id rule keeps the
-    operator deterministic and one extra shuffle over assignment; the
-    paper's greedy-sequential variant needs per-cluster iteration for
-    marginal additional removal.
+    corpus-quadratic.  ``max_cluster`` is the cardinality guard for
+    when k does NOT grow with the corpus: a cluster of m rows emits
+    m(m-1)/2 candidates, so one hot cluster (fixed k on a growing
+    corpus, or a degenerate embedding mode) re-creates the quadratic
+    blow-up the clustering was meant to prevent.  With the guard, a
+    cluster larger than ``max_cluster`` is deterministically re-split
+    into ceil(size / max_cluster) sub-blocks on ``id mod n_splits``
+    (pure integer arithmetic — oracle-reproducible; requires a
+    numeric id), and pairs are only compared within a sub-block:
+    candidates per cluster drop to ~size^2/n_splits, bounded by
+    ~size*max_cluster.  Cross-sub-block duplicates are missed — the
+    standard bounded-candidate tradeoff (same contract as
+    lsh_candidate_pairs(max_bucket=...), which drops hot buckets
+    outright; re-splitting keeps partial recall instead).  The split
+    needs one window count over the cluster key before the pair join.
+    Centers broadcast (literal fold for small k, Arrow matmul for
+    IVF-sized codebooks — see assign_clusters).  The single-pass
+    lower-id rule keeps the operator deterministic and one extra
+    shuffle over assignment; the paper's greedy-sequential variant
+    needs per-cluster iteration for marginal additional removal.
 
     Nearest-center assignment reuses operators/kmeans.py
     assign_clusters (strict-< argmin in center order,
@@ -277,15 +291,27 @@ def semdedup(
         F.col("cluster").alias("__cl"),
         as_double(F.col(vec_col)).alias("__v"),
     ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    if max_cluster is not None:
+        w = Window.partitionBy("__cl")
+        n_splits = F.expr(f"(__csz + {max_cluster - 1}) div {max_cluster}")
+        sided = (
+            sided.withColumn("__csz", F.count(F.lit(1)).over(w))
+            .withColumn("__sub", F.col("__id").cast("long") % n_splits)
+            .drop("__csz")
+        )
+    else:
+        sided = sided.withColumn("__sub", F.lit(0).cast("long"))
     a = sided.select(
         F.col("__id").alias("__ida"),
         F.col("__cl").alias("__cla"),
+        F.col("__sub").alias("__suba"),
         F.col("__v").alias("__va"),
         F.col("__n").alias("__na"),
     )
     b = sided.select(
         F.col("__id").alias("__idb"),
         F.col("__cl").alias("__clb"),
+        F.col("__sub").alias("__subb"),
         F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"),
     )
@@ -296,6 +322,7 @@ def semdedup(
         a.join(
             b,
             (F.col("__cla") == F.col("__clb"))
+            & (F.col("__suba") == F.col("__subb"))
             & (F.col("__ida") < F.col("__idb")),
         )
         .where(cos >= threshold)

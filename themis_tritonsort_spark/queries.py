@@ -2674,14 +2674,30 @@ FROM blocks GROUP BY 1, 2
 # an EXISTS-style lower-id join — every decision (distance argmin,
 # cosine threshold) is the same double arithmetic both engines fold
 # identically (proven by q09/q38's hash-green rows).
+SEMDEDUP_MAX_CLUSTER = 50
+
+
 def q79_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import semdedup
 
     emb = table(spark, sf_dir, "embeddings")
     centers = _seed_centers(spark, sf_dir)
-    return semdedup(emb, "vec_id", "embedding", centers, NEARDUP_COS)
+    return semdedup(
+        emb,
+        "vec_id",
+        "embedding",
+        centers,
+        NEARDUP_COS,
+        max_cluster=SEMDEDUP_MAX_CLUSTER,
+    )
 
 
+# The oracle mirrors the max_cluster guard exactly: clusters larger
+# than the cap re-split into ceil(size/cap) sub-blocks on
+# vec_id % n_splits (integer arithmetic in both engines), and pairs
+# only compare within a sub-block.  At sf0.01 (~500 embeddings over 8
+# seed centers) several clusters exceed 50, so the driver gate
+# exercises the capped path, not just the identity n_splits=1 case.
 _Q79_SQL = f"""
 WITH c AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
@@ -2693,17 +2709,25 @@ d AS (
                                  i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
   FROM e CROSS JOIN c
 ),
-asg AS (
+asg0 AS (
   SELECT vec_id, cid AS cluster
   FROM (SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
         FROM d)
   WHERE rn = 1
 ),
+asg AS (
+  SELECT vec_id, cluster,
+         vec_id % ((count(*) OVER (PARTITION BY cluster)
+                    + {SEMDEDUP_MAX_CLUSTER - 1}) // {SEMDEDUP_MAX_CLUSTER})
+           AS sub
+  FROM asg0
+),
 dups AS (
   SELECT DISTINCT b.vec_id
   FROM asg a
-  JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN asg b ON a.cluster = b.cluster AND a.sub = b.sub
+            AND a.vec_id < b.vec_id
   JOIN e ea ON ea.vec_id = a.vec_id
   JOIN e eb ON eb.vec_id = b.vec_id
   WHERE list_dot_product(ea.v, eb.v)

@@ -95,6 +95,7 @@ def probes(spark, sf_dir: str, copies: int):
     from themis_tritonsort_spark.operators.similarity import (
         pq_codebook,
         pq_topk,
+        semdedup,
         sq8_topk,
     )
     from themis_tritonsort_spark.operators.textstats import (
@@ -128,6 +129,17 @@ def probes(spark, sf_dir: str, copies: int):
         return pack_sequences(ch, "doc_id", "chunk_idx", "n_chunk_tokens", 256)
 
     cb = pq_codebook(emb, "vec_id", "embedding", 8, 16)
+    # fixed k=8 centers on a growing corpus is exactly the semdedup
+    # worst case the max_cluster guard exists for: without it the
+    # within-cluster pair join is (n/8)^2 per cluster (alpha -> 2)
+    centers = [
+        r["embedding"]
+        for r in table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("embedding"))
+        .collect()
+    ]
     return {
         "exact_dedup": lambda: exact_duplicates(docs, "doc_id", "text"),
         "minhash_lsh": lambda: lsh(docs),
@@ -136,6 +148,10 @@ def probes(spark, sf_dir: str, copies: int):
         ),
         "chunk_pack": lambda: chunk_pack(docs),
         "sq8_ann": lambda: sq8_topk(emb, queries, "vec_id", "embedding", 10),
+        # guard-bound: candidates ~ n * max_cluster even with fixed k
+        "semdedup": lambda: semdedup(
+            emb, "vec_id", "embedding", centers, 0.99, max_cluster=200
+        ),
         "pq_ann": lambda: pq_topk(emb, queries, "vec_id", "embedding", cb, 10),
         # vocab-bound: per-copy text prefixes add c{i} words, so the
         # vocab grows ~linearly and the rounds stay vocab-sized
