@@ -109,5 +109,17 @@ def test_histogram_quantiles_contract(spark):
     )
     assert whole.collect() == merged.collect()
 
+    # NULL values are dropped before binning (contract: integral
+    # non-negative input; NULL order differs across engines)
+    with_null = df.unionByName(
+        spark.range(1).select(
+            F.lit("g").alias("g"), F.lit(None).cast("long").alias("v")
+        )
+    )
+    [rn] = histogram_quantiles(
+        with_null, ["g"], "v", bin_width=10, n_bins=20, percents=[50]
+    ).collect()
+    assert (rn["n"], rn["p50_ub"]) == (100, 50)
+
     with _pt.raises(ValueError):
         histogram_quantiles(df, ["g"], "v", 0, 10)

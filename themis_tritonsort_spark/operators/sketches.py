@@ -277,26 +277,30 @@ def histogram_quantiles(
     sketch reproduces exactly on any engine (no interpolation, no
     floats anywhere).
 
-    ``value_col`` must be integral and non-negative; values at or
-    beyond ``bin_width * n_bins`` clamp into the last (overflow) bin,
-    whose upper bound is reported as bin_width * n_bins (the sketch's
+    ``value_col`` must be integral and non-negative; NULL values are
+    dropped before binning (they carry no rank information and their
+    sort position differs across engines).  Values at or beyond
+    ``bin_width * n_bins`` clamp into the last (overflow) bin, whose
+    upper bound is reported as bin_width * n_bins (the sketch's
     saturation value — widen the bins if the tail matters).
 
     Plan: one (group, bin) partial-aggregated count, a bin-ordered
     window cumsum WITHIN each group (bin-sized, never row-sized), and
-    a conditional-min final aggregate; thresholds use pure integer
-    ceiling arithmetic ((p*n + 99) div 100).
+    a conditional-min final aggregate; the bin index and thresholds
+    use pure integer arithmetic (``div``) end to end, so the sketch is
+    exact at any count (double division would round above ~2^53).
     """
     from pyspark.sql import Window
 
     if bin_width <= 0 or n_bins <= 1:
         raise ValueError(f"need bin_width > 0, n_bins > 1; got {bin_width}/{n_bins}")
     bin_ = F.least(
-        (F.col(value_col).cast("long") / F.lit(bin_width)).cast("long"),
-        F.lit(n_bins - 1),
+        F.expr(f"cast(`{value_col}` as bigint) div {int(bin_width)}"),
+        F.lit(n_bins - 1).cast("long"),
     )
     counts = (
-        df.select(*group_cols, bin_.alias("__bin"))
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, bin_.alias("__bin"))
         .groupBy(*group_cols, "__bin")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
@@ -306,11 +310,11 @@ def histogram_quantiles(
     ).withColumn("__n", F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     aggs = [F.max("__n").cast("long").alias("n")]
     for p in percents:
-        thresh = (F.col("__n") * p + 99) / 100
+        thresh = F.expr(f"(__n * {int(p)} + 99) div 100")
         aggs.append(
             F.min(
                 F.when(
-                    F.col("__cum") >= thresh.cast("long"),
+                    F.col("__cum") >= thresh,
                     (F.col("__bin") + 1) * bin_width,
                 )
             )

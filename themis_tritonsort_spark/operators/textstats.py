@@ -568,15 +568,20 @@ def tf_idf_topk(
     so the corpus is tokenized once) and is vocabulary-sized, so it
     BROADCASTS back onto the tf relation; the final per-doc top-k is one
     shuffle on the doc id — the same shuffle any per-group top-k pays.
-    N is a driver-side scalar (a column-less count, metadata at any
-    scale).
+    N rides as a lazy 1-row aggregate broadcast onto the scored
+    relation (the cooccurrence_pmi discipline) — no eager driver-side
+    count(), so the whole query is ONE Spark job.
     """
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    n_docs = df.count()
+    n_docs_df = (
+        df.select(F.col(id_col))
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_docs"))
+    )
     tf = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy(id_col, "word")
@@ -584,13 +589,15 @@ def tf_idf_topk(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
-    scored = tf.join(F.broadcast(dfreq), "word").select(
-        F.col(id_col),
-        F.col("word"),
-        F.col("tf"),
-        F.expr(f"tf * ((CAST({n_docs} AS BIGINT) * 1000000) div dfreq)").alias(
-            "tfidf"
-        ),
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            F.col(id_col),
+            F.col("word"),
+            F.col("tf"),
+            F.expr("tf * ((__n_docs * 1000000) div dfreq)").alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "word")
     return (
@@ -1147,6 +1154,7 @@ def bm25_score_frozen(
     rows = []
     for qid, terms in queries.items():
         per_term = []
+        matches = []
         for t in terms:
             dfq = float(stats.get(t, 0))
             if dfq <= 0:
@@ -1160,14 +1168,19 @@ def bm25_score_frozen(
                 F.lit(idf) * (tf * F.lit(k1 + 1.0) / denom) * F.lit(1_000_000.0)
             ).cast("long")
             per_term.append(F.when(tf > 0, micro).otherwise(F.lit(0)))
+            matches.append(tf > 0)
         if not per_term:
             continue
         score = per_term[0]
-        for m in per_term[1:]:
+        matched = matches[0]
+        for m, cond in zip(per_term[1:], matches[1:]):
             score = score + m
+            matched = matched | cond
         rows.append(
             F.struct(
-                F.lit(int(qid)).alias("query_id"), score.alias("score_micro")
+                F.lit(int(qid)).alias("query_id"),
+                score.alias("score_micro"),
+                matched.alias("matched"),
             )
         )
     if not rows:
@@ -1177,6 +1190,10 @@ def bm25_score_frozen(
             F.col(id_col),
             F.explode(F.array(*rows)).alias("__q"),
         )
+        # keep every (doc, query) with a matching TERM — not
+        # score_micro > 0, which would drop a matching doc whose
+        # per-term micros all round to 0 (tiny idf at df ~ N) and
+        # break score parity with bm25_topk_multi on that edge
+        .where(F.col("__q.matched"))
         .select(F.col(id_col), "__q.query_id", "__q.score_micro")
-        .where(F.col("score_micro") > 0)
     )

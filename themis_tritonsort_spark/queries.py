@@ -3876,31 +3876,57 @@ WHERE s_suppkey IN (
 
 # Q102 Double-correlated EXISTS / NOT-EXISTS (TPC-H Q21
 # waiting-supplier shape).  Adaptation (no receipt/commit dates): in
-# every multi-supplier order, the "waiting" supplier is the one whose
-# ship date equals the order's latest while some other supplier
-# shipped strictly earlier.  Both correlations collapse into one
-# window pass over (orderkey) — max/min ship date and distinct-supplier
-# count carried as order-level aggregates joined back — so the plan is
-# one shuffle on orderkey plus the per-supplier count, instead of two
-# correlated re-scans.
+# every multi-supplier order, a supplier is "waiting" when it shipped
+# at the order's latest ship date while some OTHER supplier shipped
+# strictly earlier — the earlier shipment must belong to a different
+# supplier, exactly TPC-H Q21's correlation.  Both correlations
+# collapse into one window pass over per-(order, supplier) ship-date
+# extremes: min-over-other-suppliers is reconstructed from the
+# order's min, the count of suppliers achieving it, and the second
+# distinct min (others_min = min1 unless THIS supplier holds min1
+# alone, else min2) — so the plan is one (order, supplier) aggregate
+# plus one orderkey-partitioned window, instead of a correlated
+# re-scan per supplier.
 def q102_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.max("l_shipdate").alias("__max_ship"),
-        F.min("l_shipdate").alias("__min_ship"),
-        F.countDistinct("l_suppkey").alias("__n_supp"),
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.min("l_shipdate").alias("__s_min"),
+        F.max("l_shipdate").alias("__s_max"),
     )
+    w = Window.partitionBy("l_orderkey")
+    per = (
+        per_os.withColumn("__max_ship", F.max("__s_max").over(w))
+        .withColumn("__min1", F.min("__s_min").over(w))
+        .withColumn("__n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "__cnt_min",
+            F.sum(
+                F.when(F.col("__s_min") == F.col("__min1"), 1).otherwise(0)
+            ).over(w),
+        )
+        .withColumn(
+            "__min2",
+            F.min(
+                F.when(F.col("__s_min") > F.col("__min1"), F.col("__s_min"))
+            ).over(w),
+        )
+    )
+    others_min = F.when(
+        (F.col("__s_min") > F.col("__min1")) | (F.col("__cnt_min") > 1),
+        F.col("__min1"),
+    ).otherwise(F.col("__min2"))
     waiting = (
-        li.join(per_order, "l_orderkey")
-        .where(
+        per.where(
             (F.col("__n_supp") > 1)
-            & (F.col("l_shipdate") == F.col("__max_ship"))
-            & (F.col("__min_ship") < F.col("__max_ship"))
+            & (F.col("__s_max") == F.col("__max_ship"))
+            & (others_min < F.col("__max_ship"))
         )
         .groupBy("l_suppkey")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
     su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return waiting.join(
@@ -3909,16 +3935,31 @@ def q102_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q102_SQL = """
-WITH per_order AS (
-  SELECT l_orderkey, max(l_shipdate) AS max_ship, min(l_shipdate) AS min_ship,
-         count(DISTINCT l_suppkey) AS n_supp
-  FROM lineitem GROUP BY 1
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         min(l_shipdate) AS s_min, max(l_shipdate) AS s_max
+  FROM lineitem GROUP BY 1, 2
+),
+per1 AS (
+  SELECT l_orderkey, l_suppkey, s_min, s_max,
+         max(s_max) OVER (PARTITION BY l_orderkey) AS max_ship,
+         min(s_min) OVER (PARTITION BY l_orderkey) AS min1,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_supp
+  FROM per_os
+),
+per AS (
+  SELECT *,
+         sum(CASE WHEN s_min = min1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_orderkey) AS cnt_min,
+         min(CASE WHEN s_min > min1 THEN s_min END)
+           OVER (PARTITION BY l_orderkey) AS min2
+  FROM per1
 )
-SELECT s_suppkey, s_name, CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS numwait
-FROM lineitem l
-JOIN per_order o ON l.l_orderkey = o.l_orderkey
-JOIN supplier ON l.l_suppkey = s_suppkey
-WHERE o.n_supp > 1 AND l.l_shipdate = o.max_ship AND o.min_ship < o.max_ship
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp > 1 AND s_max = max_ship
+  AND (CASE WHEN s_min > min1 OR cnt_min > 1 THEN min1 ELSE min2 END)
+      < max_ship
 GROUP BY 1, 2
 """
 
@@ -4652,8 +4693,11 @@ def q116_priority_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(od, li.l_orderkey == od.o_orderkey)
         .groupBy(F.col("l_returnflag").alias("ship_class"))
         .agg(
-            F.sum(high.cast("long")).alias("high_priority"),
-            F.sum((~high).cast("long")).alias("low_priority"),
+            # F.when(...).otherwise: a NULL priority buckets as low,
+            # identical to the oracle's CASE (sum of (~high).cast
+            # would skip the NULL row entirely and diverge)
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority"),
         )
     )
 
@@ -4786,7 +4830,7 @@ WITH counts AS (
          LEAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) // {_HQ_BIN_W},
                {_HQ_BINS - 1}) AS bin,
          CAST(count(*) AS BIGINT) AS c
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
 ),
 cum AS (
   SELECT l_returnflag, bin, c,
@@ -4841,8 +4885,15 @@ HAVING min(l_linenumber) <> 1
 
 # Q121 Referential-integrity audit: orphan counts along every edge of
 # the star schema in one report — each edge is a broadcast/shuffled
-# LEFT ANTI join reduced to a count, unioned into a fixed 4-row
-# relation (constant-size output at any scale).
+# LEFT ANTI join reduced to a 1-row aggregate, unioned into a fixed
+# 4-row LAZY relation (constant-size output at any scale; nothing
+# executes at construction time, so plan tooling can build the entry
+# without triggering four full jobs).  NULL foreign keys are excluded
+# from every edge in both engines: a NULL key is a missing-value
+# problem (q108's profiler counts those), not a dangling reference —
+# and Spark's left_anti would count it as an orphan while SQL's NOT IN
+# would silently drop the whole count, so the guard is also what makes
+# the two formulations agree.
 def q121_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     od = table(spark, sf_dir, "orders")
@@ -4851,32 +4902,41 @@ def q121_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = table(spark, sf_dir, "supplier")
 
     def orphans(child, col, parent, pcol, edge):
-        n = child.join(
-            parent.select(pcol), child[col] == parent[pcol], "left_anti"
-        ).count()
-        return (edge, n)
+        return (
+            child.where(F.col(col).isNotNull())
+            .join(parent.select(pcol), child[col] == parent[pcol], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(edge).alias("edge"), "n_orphans")
+        )
 
-    rows = [
+    parts = [
         orphans(li, "l_orderkey", od, "o_orderkey", "lineitem->orders"),
         orphans(li, "l_partkey", pa, "p_partkey", "lineitem->part"),
         orphans(li, "l_suppkey", su, "s_suppkey", "lineitem->supplier"),
         orphans(od, "o_custkey", cu, "c_custkey", "orders->customer"),
     ]
-    return spark.createDataFrame(rows, "edge string, n_orphans long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 _Q121_SQL = """
 SELECT 'lineitem->orders' AS edge, CAST(count(*) AS BIGINT) AS n_orphans
-FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+FROM lineitem WHERE l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
 UNION ALL
 SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
-FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+FROM lineitem WHERE l_partkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
 UNION ALL
 SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT)
-FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+FROM lineitem WHERE l_suppkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
 UNION ALL
 SELECT 'orders->customer', CAST(count(*) AS BIGINT)
-FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+FROM orders WHERE o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
 """
 
 
