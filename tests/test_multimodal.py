@@ -70,6 +70,121 @@ def test_frame_sample_offsets(spark, sf_dir):
         assert sorted(offs) == list(range(0, max(sizes[i], 1), 100))
 
 
+def test_jpeg_roundtrip_and_strict_mode():
+    """Baseline JPEG decode is REAL without PIL: our encoder's output
+    round-trips through decode_image within quantization error, and
+    strict-mode decode_media succeeds on a JPEG payload."""
+    import numpy as np
+
+    from themis_tritonsort_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from themis_tritonsort_spark.operators.multimodal import decode_image
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            xx * 255 // (w - 1),
+            yy * 255 // (h - 1),
+            (xx + yy) * 255 // (w + h - 2),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    payload = encode_jpeg(img)
+    assert payload.startswith(b"\xff\xd8") and payload.endswith(b"\xff\xd9")
+
+    arr = decode_image(payload)  # dispatches to decode_jpeg (no PIL)
+    assert arr is not None and arr.shape == (h, w, 3)
+    assert np.abs(arr.astype(int) - img.astype(int)).max() <= 12
+
+    # grayscale single-component scan
+    g = (yy * 255 // (h - 1)).astype(np.uint8)
+    ag = decode_jpeg(encode_jpeg(g))
+    assert ag.shape == (h, w, 3)
+    assert np.abs(ag[:, :, 0].astype(int) - g.astype(int)).max() <= 12
+
+    # strict mode accepts a real JPEG payload (the last strict-mode
+    # hole in PIL-less containers), still refuses junk
+    feats = decode_media(payload, "image/jpeg", strict=True)
+    assert len(feats) == FEATURE_DIM
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8junk", "image/jpeg", strict=True)
+
+    # decoder is format-sniffing: rejects non-JPEG bytes
+    assert decode_jpeg(b"\x89PNGxxxx") is None
+
+
+@pytest.mark.parametrize("subsample", [(2, 1), (1, 2), (2, 2)])
+@pytest.mark.parametrize("restart_interval", [0, 3])
+def test_jpeg_subsampling_and_restart_paths(subsample, restart_interval):
+    """The decoder's chroma-subsampled MCU assembly and RSTn restart
+    resync paths, exercised via the encoder's 4:2:2/4:2:0 + DRI
+    options on odd (non-multiple-of-16) dimensions."""
+    import numpy as np
+
+    from themis_tritonsort_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w = 29, 45
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            xx * 255 // (w - 1),
+            yy * 255 // (h - 1),
+            (xx + yy) * 255 // (w + h - 2),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    payload = encode_jpeg(
+        img, subsample=subsample, restart_interval=restart_interval
+    )
+    arr = decode_jpeg(payload)
+    assert arr is not None and arr.shape == (h, w, 3)
+    # smooth gradient: subsampled chroma stays within quantization +
+    # downsample error
+    assert np.abs(arr.astype(int) - img.astype(int)).max() <= 20
+
+
+def test_frame_sample_decodes_ppm_stream(spark, sf_dir):
+    """A concatenated-P6 video payload is walked at REAL frame
+    boundaries and each sampled frame is decoded: gray_sum equals the
+    exact integer pixel sum recomputed from the fixture's md5-derived
+    bytes, and offsets follow the fixed frame length."""
+    import hashlib
+
+    from themis_tritonsort_spark.operators.multimodal import (
+        ppm_video_from_documents,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(5)
+    media = ppm_video_from_documents(docs, width=8, height=6, frames=4)
+    out = frame_sample(media, frame_step=2).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    # header "P6\n8 6\n255\n" = 11 bytes + 144 data bytes per frame
+    frame_len = 11 + 8 * 6 * 3
+    assert len(out) == 5 * 2  # frames 0 and 2 of 4, per doc
+    for r in out:
+        assert r["offset"] == r["frame_idx"] * frame_len
+        data = b"".join(
+            hashlib.md5(
+                f"{texts[r['id']]}-f{r['frame_idx']}-{i}".encode()
+            ).digest()
+            for i in range(9)
+        )[:144]
+        assert r["gray_sum"] == sum(data)
+        assert r["chunk_hash"] is not None
+
+
+def test_frame_sample_fallback_keeps_null_gray(spark, sf_dir):
+    media = media_from_documents(table(spark, sf_dir, "documents")).limit(3)
+    rows = frame_sample(media, every_n_bytes=100).collect()
+    assert rows and all(r["gray_sum"] is None for r in rows)
+
+
 def test_resize_media_uniform_payloads(spark, sf_dir):
     from themis_tritonsort_spark.operators.multimodal import resize_media
 

@@ -1,14 +1,16 @@
 """Multimodal column handling: image/audio/video as opaque binary
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The DECODE step is REAL for the common simple formats: pure-python
-decoders for PPM (P6), BMP (24-bit uncompressed), PNG (8-bit
-gray/RGB/RGBA, all five scanline filters, via stdlib zlib) and WAV
-(PCM via stdlib wave), with PIL preferred for any image type when it
-is importable.  Payloads no decoder can handle fall back to a
-deterministic hash stand-in (or raise, if ``strict``) — the seam is
-still explicit, but it only covers genuinely-unsupported codecs
-(JPEG/MP3/MP4 in a container without the libraries), not the whole
+The DECODE step is REAL for the common formats: pure-python decoders
+for PPM (P6), BMP (24-bit uncompressed), PNG (8-bit gray/RGB/RGBA,
+all five scanline filters, via stdlib zlib), baseline JPEG (full
+T.81 sequential decode — see operators/jpeg.py) and WAV (PCM via
+stdlib wave), with PIL preferred for any image type when it is
+importable.  Video: concatenated-P6 streams are walked and decoded
+per-frame (frame_sample).  Payloads no decoder can handle fall back
+to a deterministic hash stand-in (or raise, if ``strict``) — the
+seam is still explicit, but it only covers genuinely-unsupported
+codecs (progressive JPEG, MP3, real MP4 containers), not the whole
 decode path.
 
 Schema convention for a media table:
@@ -65,8 +67,8 @@ def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
 
 def _fake_decode(payload: bytes) -> list[float]:
     """Deterministic stand-in for payloads NO available decoder can
-    handle (e.g. JPEG in a container without PIL): FEATURE_DIM floats
-    derived from the payload digest."""
+    handle (e.g. progressive JPEG or MP3 without the libraries):
+    FEATURE_DIM floats derived from the payload digest."""
     digest = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
@@ -79,32 +81,68 @@ def _fake_decode(payload: bytes) -> list[float]:
 # ---------------------------------------------------------------------------
 
 
+def _parse_ppm_header(
+    payload: bytes, base: int = 0
+) -> tuple[int, int, int, int] | None:
+    """Parse a P6 header at offset ``base``: (w, h, maxval,
+    data_start) or None.  '#' comments allowed between tokens."""
+    if payload[base : base + 2] != b"P6":
+        return None
+    pos, fields = base + 2, []
+    try:
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            if pos == start:
+                return None
+            fields.append(int(payload[start:pos]))
+    except ValueError:
+        return None
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or maxval <= 0 or maxval > 255:
+        return None
+    return w, h, maxval, pos
+
+
 def _decode_ppm(payload: bytes) -> np.ndarray | None:
     """Binary PPM (P6, maxval 255) -> HxWx3 uint8 array."""
-    if not payload.startswith(b"P6"):
+    hdr = _parse_ppm_header(payload)
+    if hdr is None:
         return None
-    # header: "P6" <ws> width <ws> height <ws> maxval <single ws> data,
-    # with '#' comments allowed between tokens
-    pos, fields = 2, []
-    while len(fields) < 3:
-        while pos < len(payload) and payload[pos : pos + 1].isspace():
-            pos += 1
-        if payload[pos : pos + 1] == b"#":
-            while pos < len(payload) and payload[pos] != 0x0A:
-                pos += 1
-            continue
-        start = pos
-        while pos < len(payload) and not payload[pos : pos + 1].isspace():
-            pos += 1
-        fields.append(int(payload[start:pos]))
-    pos += 1  # single whitespace after maxval
-    w, h, maxval = fields[0], fields[1], fields[2]
-    if maxval != 255 or w <= 0 or h <= 0:
+    w, h, maxval, pos = hdr
+    if maxval != 255:
         return None
     data = payload[pos : pos + w * h * 3]
     if len(data) != w * h * 3:
         return None
     return np.frombuffer(data, np.uint8).reshape(h, w, 3)
+
+
+def walk_ppm_stream(payload: bytes) -> list[tuple[int, int]] | None:
+    """Walk a concatenated-P6 video container: back-to-back binary PPM
+    frames, each self-describing (header gives w*h*3, so the next
+    frame's offset is exact).  Returns [(offset, length), ...] or None
+    if the payload is not a well-formed P6 stream."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        hdr = _parse_ppm_header(payload, pos)
+        if hdr is None:
+            return None
+        w, h, maxval, data_start = hdr
+        end = data_start + w * h * 3
+        if maxval != 255 or end > len(payload):
+            return None
+        frames.append((pos, end - pos))
+        pos = end
+    return frames or None
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray | None:
@@ -254,12 +292,14 @@ def _pil_decode(payload: bytes) -> np.ndarray | None:
 
 def decode_image(payload: bytes) -> np.ndarray | None:
     """Decode an image payload to HxWx3 uint8, or None if no available
-    decoder handles it.  PIL first (covers JPEG etc. when installed),
-    then the pure-python PPM/BMP/PNG decoders by magic bytes."""
+    decoder handles it.  PIL first (fastest when installed), then the
+    pure-python PNG/BMP/PPM/baseline-JPEG decoders by magic bytes."""
+    from .jpeg import decode_jpeg
+
     arr = _pil_decode(payload)
     if arr is not None:
         return arr
-    for dec in (_decode_png, _decode_bmp, _decode_ppm):
+    for dec in (_decode_png, _decode_bmp, _decode_ppm, decode_jpeg):
         arr = dec(payload)
         if arr is not None:
             return arr
@@ -369,25 +409,117 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
-    """Video-frame-sampling stand-in: emits one row per sampled offset
-    per payload (a real implementation samples frames; the plumbing —
-    one-to-many mapInPandas with offset metadata — is identical).
-    Output: (id, offset long, chunk_hash string)."""
+FRAME_SCHEMA = (
+    "id long, frame_idx long, offset long, gray_sum long, chunk_hash string"
+)
+
+
+def frame_sample(
+    media: DataFrame, every_n_bytes: int = 1024, frame_step: int = 1
+) -> DataFrame:
+    """Video frame sampling over a container the engine can REALLY
+    walk: a payload of back-to-back P6 PPM frames (the MJPEG shape,
+    with the codec we ship) is split at exact frame boundaries, every
+    ``frame_step``-th frame is DECODED, and each sampled frame emits
+    (id, frame_idx, offset, gray_sum, chunk_hash) — gray_sum is the
+    exact integer sum of the frame's decoded pixel bytes (the
+    image_block_sums oracle discipline), chunk_hash the frame-bytes
+    md5.  Payloads that are not a well-formed frame stream (unknown
+    codecs in this container) keep the byte-stride fallback: one row
+    per ``every_n_bytes`` chunk with gray_sum NULL — same plumbing,
+    honest about not decoding.
+
+    One-to-many mapInPandas: frames never leave the executor; only
+    fixed-width sample rows shuffle."""
+    if frame_step <= 0:
+        raise ValueError(f"frame_step must be positive, got {frame_step}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, offs, hashes = [], [], []
+            ids, fidxs, offs, sums, hashes = [], [], [], [], []
             for i, m in zip(pdf["id"], pdf["media"]):
                 payload = bytes(m)
-                for off in range(0, max(len(payload), 1), every_n_bytes):
-                    chunk = payload[off : off + every_n_bytes]
-                    ids.append(i)
-                    offs.append(off)
-                    hashes.append(hashlib.md5(chunk).hexdigest())
-            yield pd.DataFrame({"id": ids, "offset": offs, "chunk_hash": hashes})
+                frames = walk_ppm_stream(payload)
+                if frames is not None:
+                    for fi in range(0, len(frames), frame_step):
+                        off, length = frames[fi]
+                        fb = payload[off : off + length]
+                        arr = _decode_ppm(fb)
+                        ids.append(i)
+                        fidxs.append(fi)
+                        offs.append(off)
+                        sums.append(int(arr.astype(np.int64).sum()))
+                        hashes.append(hashlib.md5(fb).hexdigest())
+                else:
+                    for ci, off in enumerate(
+                        range(0, max(len(payload), 1), every_n_bytes)
+                    ):
+                        chunk = payload[off : off + every_n_bytes]
+                        ids.append(i)
+                        fidxs.append(ci)
+                        offs.append(off)
+                        sums.append(None)
+                        hashes.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame_idx": fidxs,
+                    "offset": offs,
+                    "gray_sum": pd.array(sums, dtype="Int64"),
+                    "chunk_hash": hashes,
+                }
+            )
 
-    return media.mapInPandas(fn, schema="id long, offset long, chunk_hash string")
+    return media.mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+def ppm_video_from_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    height: int = 6,
+    frames: int = 4,
+) -> DataFrame:
+    """Deterministic REAL video table: each document becomes a
+    concatenated-P6 stream of ``frames`` frames; frame f's pixel bytes
+    are the first w*h*3 bytes of md5(text || '-f' || f || '-' || i)
+    digests, i = 0,1,2,...  Every byte is engine-reproducible, so a
+    SQL oracle re-derives the exact per-frame pixel sums AND frame
+    offsets (header is fixed-width by construction) — the frame
+    WALKER and per-frame decode become oracle-checkable end-to-end
+    (see q125)."""
+    n_bytes = width * height * 3
+    n_digests = (n_bytes + 15) // 16
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                parts = []
+                for f in range(frames):
+                    data = b"".join(
+                        hashlib.md5(f"{text}-f{f}-{i}".encode()).digest()
+                        for i in range(n_digests)
+                    )[:n_bytes]
+                    arr = np.frombuffer(data, np.uint8).reshape(
+                        height, width, 3
+                    )
+                    parts.append(encode_ppm(arr))
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "media": payloads,
+                    "media_type": ["video/x-ppm-stream"] * len(pdf),
+                    "meta": [
+                        {"n_bytes": len(p), "source": "documents"}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(fn, schema=MEDIA_SCHEMA)
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:

@@ -5078,6 +5078,52 @@ FROM spend
 """
 
 
+# Q125 Video frame sampling (operators/multimodal.py: frame_sample):
+# each document becomes a deterministic concatenated-P6 video
+# (ppm_video_from_documents — frame bytes from md5 digests, like
+# q78's images), the engine WALKS the container at exact frame
+# boundaries and DECODES every 2nd frame; the oracle re-derives each
+# sampled frame's integer pixel sum and fixed-stride offset from the
+# same md5 bytes in SQL — so the frame walker and per-frame decode
+# are both oracle-checked end-to-end.  Frames never leave the
+# executor; only (id, frame, offset, sum) rows shuffle.
+_VID_W, _VID_H, _VID_FRAMES, _VID_STEP = 8, 6, 4, 2
+# header "P6\n8 6\n255\n" = 11 bytes + w*h*3 data
+_VID_FRAME_LEN = 11 + _VID_W * _VID_H * 3
+
+
+def q125_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import frame_sample, ppm_video_from_documents
+
+    docs = table(spark, sf_dir, "documents")
+    media = ppm_video_from_documents(
+        docs, width=_VID_W, height=_VID_H, frames=_VID_FRAMES
+    )
+    return frame_sample(media, frame_step=_VID_STEP).select(
+        F.col("id").alias("doc_id"),
+        "frame_idx",
+        F.col("offset").alias("frame_offset"),
+        "gray_sum",
+    )
+
+
+_Q125_SQL = f"""
+WITH fb AS (
+  SELECT d.doc_id, fr.f, g.i,
+         ('0x' || substr(md5(d.text || '-f' || CAST(fr.f AS VARCHAR)
+                          || '-' || CAST(g.i // 16 AS VARCHAR)),
+                         2 * (g.i % 16) + 1, 2))::BIGINT AS v
+  FROM documents d,
+       (SELECT unnest(range(0, {_VID_FRAMES}, {_VID_STEP})) AS f) fr,
+       generate_series(0, {_VID_W * _VID_H * 3 - 1}) g(i)
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(f * {_VID_FRAME_LEN} AS BIGINT) AS frame_offset,
+       CAST(SUM(v) AS BIGINT) AS gray_sum
+FROM fb GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -5204,6 +5250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q122_event_paths": q122_event_paths,
     "q123_segment_mode": q123_segment_mode,
     "q124_spend_deciles": q124_spend_deciles,
+    "q125_video_frames": q125_video_frames,
 }
 
 # Driver-window rotation (round 5).  The round driver gates the FIRST
@@ -5211,9 +5258,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # 50/50 green over q19..q49 (the r02-stale tail) plus q73..q94, so the
 # only catalog entries that have NEVER seen a driver gate are the
 # round-4 session's late additions q95..q124 — all 30 go in front.
-# The remaining 20 slots re-prove the longest-stale r03 rows: q01..q18
-# (incl. q10b) and q29.  q31/q39 (r03-green, code unchanged) plus the
-# r03-green q50..q72 block rotate back in round 6.  Everything outside
+# 19 more slots re-prove the longest-stale r03 rows q01..q18 (incl.
+# q10b); the last slot goes to this round's new q125 (never gated).
+# q29/q31/q39 (r03-green, code unchanged) plus the r03-green
+# q50..q72 block rotate back in round 6.  Everything outside
 # the window stays oracle-checked locally every run by
 # tests/test_queries_oracle.py, and tools/driver_sim.py flags any
 # entry whose newest driver row is ≥2 rounds old.
@@ -5237,7 +5285,7 @@ _WINDOW_PRIORITY = [
     "q10_global_agg", "q10b_length_histogram", "q11_duplicate_keys",
     "q12_merge_sorted", "q13_grep", "q14_pricing_summary",
     "q15_revenue_by_nation", "q16_top_customers", "q17_exact_dedup",
-    "q18_jaccard_pairs", "q29_kmeans_full",
+    "q18_jaccard_pairs", "q125_video_frames",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
@@ -5370,4 +5418,5 @@ ORACLES: dict[str, str] = {
     "q122_event_paths": _Q122_SQL,
     "q123_segment_mode": _Q123_SQL,
     "q124_spend_deciles": _Q124_SQL,
+    "q125_video_frames": _Q125_SQL,
 }
