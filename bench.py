@@ -154,6 +154,44 @@ BENCH_QUERIES = {
     "q122_event_paths": q.q122_event_paths,
     "q123_segment_mode": q.q123_segment_mode,
     "q124_spend_deciles": q.q124_spend_deciles,
+    "q125_video_frames": q.q125_video_frames,
+    # round-5 fill: the remaining catalog entries, so the bench set IS
+    # the catalog (q18/q19/q39 keep their scale-variant stand-ins
+    # above — trigram shingles / 64-plane LSH, the 100 TB settings).
+    "q02_sort_lineitem": q.q02_sort_lineitem,
+    "q08_link_extract": q.q08_link_extract,
+    "q10_global_agg": q.q10_global_agg,
+    "q10b_length_histogram": q.q10b_length_histogram,
+    "q11_duplicate_keys": q.q11_duplicate_keys,
+    "q13_grep": q.q13_grep,
+    "q16_top_customers": q.q16_top_customers,
+    "q17_exact_dedup": q.q17_exact_dedup,
+    "q22_lang_id": q.q22_lang_id,
+    "q23_fingerprint": q.q23_fingerprint,
+    "q25_customers_without_orders": q.q25_customers_without_orders,
+    "q27_parts_shipped_by_brand": q.q27_parts_shipped_by_brand,
+    "q29_kmeans_full": q.q29_kmeans_full,
+    "q30_simhash": q.q30_simhash,
+    "q31_ivf_ann": q.q31_ivf_ann,
+    "q32_above_avg_parts": q.q32_above_avg_parts,
+    "q33_late_ship_orders": q.q33_late_ship_orders,
+    "q34_region_share": q.q34_region_share,
+    "q35_rollup_revenue": q.q35_rollup_revenue,
+    "q38_cosine_neardup": q.q38_cosine_neardup,
+    "q40_nation_market": q.q40_nation_market,
+    "q44_salted_count": q.q44_salted_count,
+    "q45_time_rollup": q.q45_time_rollup,
+    "q46_dedup_clusters": q.q46_dedup_clusters,
+    "q47_gap_sessions": q.q47_gap_sessions,
+    "q48_shipping_priority": q.q48_shipping_priority,
+    "q50_mixture_sample": q.q50_mixture_sample,
+    "q60_encode_tokens": q.q60_encode_tokens,
+    "q61_train_split": q.q61_train_split,
+    "q66_blocklist_filter": q.q66_blocklist_filter,
+    "q126_local_supplier_volume": q.q126_local_supplier_volume,
+    "q127_market_share": q.q127_market_share,
+    "q128_returned_items": q.q128_returned_items,
+    "q129_sales_opportunity": q.q129_sales_opportunity,
 }
 
 

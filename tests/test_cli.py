@@ -52,3 +52,24 @@ def test_cli_gensort_checksum_only(capsys):
     rc = main(["--gensort", "2000", "--start", "5000"])
     assert rc == 0
     assert "3f070c88a47" in capsys.readouterr().out
+
+
+def test_driver_sim_staleness_report():
+    """tools/driver_sim.py's freshness audit: windowed entries always
+    count as current, never-gated non-window entries warn, and a row
+    within the last round stays quiet — the rotation-debt contract."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from driver_sim import WINDOW, staleness_report
+
+    import __spark_entry__ as em
+
+    names = list(em.queries())
+    warnings = staleness_report(names)
+    flagged = {w.split()[1].rstrip(":") for w in warnings}
+    # nothing inside this round's window may be flagged
+    assert not (flagged & set(names[:WINDOW]))
+    # every flagged entry really is outside the window
+    assert flagged <= set(names[WINDOW:])

@@ -5124,6 +5124,254 @@ FROM fb GROUP BY 1, 2, 3
 """
 
 
+# Q126 Same-nation 6-way join (TPC-H Q5 local-supplier-volume shape):
+# revenue per nation where the ordering customer and the line's
+# supplier share a nation, within one region and order-date year.
+# Scale plan: region -> nation -> supplier/customer are broadcast
+# chains; the same-nation correlation becomes an equi condition on
+# the two broadcast-derived nation keys, so lineitem joins orders on
+# the orderkey (the only fact-fact shuffle) and everything else is
+# map-side.
+def q126_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    re_ = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    na = (
+        table(spark, sf_dir, "nation")
+        .join(F.broadcast(re_), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    su = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("s_nationkey").alias("__sn"), "n_name")
+    )
+    cu = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("c_nationkey").alias("__cn"))
+    )
+    od = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .where(F.col("__sn") == F.col("__cn"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_cents"))
+    )
+
+
+_Q126_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+# Q127 Market-share ratio (TPC-H Q8 shape): of all STANDARD-part
+# revenue delivered to EUROPE-region customers per order year, the
+# ppm share supplied by the target nation.  Both the numerator
+# (conditional sum) and the denominator fall out of ONE grouped
+# aggregate over the joined facts; the share is a single IEEE
+# division of two exact cents longs rounded to ppm, so both engines
+# round the same double.
+def q127_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    re_ = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cna = (
+        table(spark, sf_dir, "nation")
+        .join(F.broadcast(re_), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    cu = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(cna), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    sna = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
+    )
+    su = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(sna), F.col("s_nationkey") == F.col("__snk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    pa = table(spark, sf_dir, "part").where(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    grouped = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0)
+            ).alias("__target"),
+            F.sum(rev).alias("__total"),
+        )
+    )
+    share = F.round(
+        F.col("__target").cast("double")
+        / F.col("__total").cast("double")
+        * 1_000_000
+    ).cast("long")
+    return grouped.select("o_year", share.alias("share_ppm"))
+
+
+_Q127_SQL = """
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+)
+SELECT o_year,
+       CAST(ROUND(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(rev) AS DOUBLE) * 1000000) AS BIGINT) AS share_ppm
+FROM j GROUP BY 1
+"""
+
+
+# Q128 Returned-item top customers (TPC-H Q10 shape): the 20
+# customers losing the most revenue to returns (l_returnflag = 'R')
+# among orders placed in 1996Q4.  The order-date filter prunes orders
+# BEFORE the fact join; customer/nation broadcast onto the grouped
+# result (group first, join dims after — the aggregate shrinks the
+# relation to customer cardinality, so the dim join touches grouped
+# rows, not raw lineitems); top-20 compiles to TakeOrderedAndProject
+# under a (revenue desc, custkey) total order.
+def q128_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    od = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .join(F.broadcast(cu), F.col("o_custkey") == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue_cents")
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q128_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+# Q129 Sales-opportunity audit (TPC-H Q22 shape, adapted twice: the
+# schema has no phone, so the "country code" is the customer's
+# nation; and the synthetic data gives every customer at least one
+# order, so "never ordered" becomes "no order since 2000-01-01" —
+# same correlated NOT EXISTS, non-degenerate result).  Nations'
+# count + balance of above-average-balance lapsed customers.  The
+# positive-balance average is a 1-row scalar aggregate broadcast as
+# a plan literal; the lapse test is a LEFT ANTI join against the
+# date-pruned orders — no correlated re-scan per customer.
+def q129_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    avg_pos = (
+        cu.where(F.col("c_acctbal") > 0)
+        .groupBy()
+        .agg(F.avg("c_acctbal").alias("__avg"))
+    )
+    od = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        cu.crossJoin(F.broadcast(avg_pos))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).alias("totacctbal_cents"),
+        )
+    )
+
+
+_Q129_SQL = """
+SELECT n_name AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -5251,6 +5499,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q123_segment_mode": q123_segment_mode,
     "q124_spend_deciles": q124_spend_deciles,
     "q125_video_frames": q125_video_frames,
+    "q126_local_supplier_volume": q126_local_supplier_volume,
+    "q127_market_share": q127_market_share,
+    "q128_returned_items": q128_returned_items,
+    "q129_sales_opportunity": q129_sales_opportunity,
 }
 
 # Driver-window rotation (round 5).  The round driver gates the FIRST
@@ -5258,10 +5510,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # 50/50 green over q19..q49 (the r02-stale tail) plus q73..q94, so the
 # only catalog entries that have NEVER seen a driver gate are the
 # round-4 session's late additions q95..q124 — all 30 go in front.
-# 19 more slots re-prove the longest-stale r03 rows q01..q18 (incl.
-# q10b); the last slot goes to this round's new q125 (never gated).
-# q29/q31/q39 (r03-green, code unchanged) plus the r03-green
-# q50..q72 block rotate back in round 6.  Everything outside
+# 15 more slots re-prove the longest-stale r03 rows q01..q14 (incl.
+# q10b); the last 5 go to this round's new q125..q129 (never gated).
+# q15..q18, q29/q31/q39 (r03-green, code unchanged) plus the
+# r03-green q50..q72 block rotate back in round 6 —
+# tools/driver_sim.py's staleness report lists them.  Everything outside
 # the window stays oracle-checked locally every run by
 # tests/test_queries_oracle.py, and tools/driver_sim.py flags any
 # entry whose newest driver row is ≥2 rounds old.
@@ -5284,8 +5537,9 @@ _WINDOW_PRIORITY = [
     "q07_pagerank", "q08_link_extract", "q09_kmeans_assign",
     "q10_global_agg", "q10b_length_histogram", "q11_duplicate_keys",
     "q12_merge_sorted", "q13_grep", "q14_pricing_summary",
-    "q15_revenue_by_nation", "q16_top_customers", "q17_exact_dedup",
-    "q18_jaccard_pairs", "q125_video_frames",
+    "q125_video_frames", "q126_local_supplier_volume",
+    "q127_market_share", "q128_returned_items",
+    "q129_sales_opportunity",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
@@ -5419,4 +5673,8 @@ ORACLES: dict[str, str] = {
     "q123_segment_mode": _Q123_SQL,
     "q124_spend_deciles": _Q124_SQL,
     "q125_video_frames": _Q125_SQL,
+    "q126_local_supplier_volume": _Q126_SQL,
+    "q127_market_share": _Q127_SQL,
+    "q128_returned_items": _Q128_SQL,
+    "q129_sales_opportunity": _Q129_SQL,
 }
