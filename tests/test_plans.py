@@ -256,6 +256,27 @@ def test_q70_pmi_no_eager_count(spark):
     assert after == before
 
 
+def test_text_scoring_ops_launch_no_eager_jobs(spark):
+    # tf-idf's N, unigram surprisal's token total, and the mixture's
+    # percentile bounds all ride as lazy 1-row broadcast aggregates —
+    # building any of them must launch ZERO jobs
+    from themis_tritonsort_spark.data import table
+    from themis_tritonsort_spark.operators.textstats import (
+        surprisal_mixture,
+        tf_idf_topk,
+        unigram_surprisal,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    tf_idf_topk(docs, "doc_id", "text", k=3)
+    unigram_surprisal(docs, "doc_id", "text")
+    surprisal_mixture(docs, "doc_id", "text", n_buckets=4)
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before
+
+
 def test_q95_fact_never_sort_merge_joined(spark):
     # both nation filters propagate through broadcast joins; lineitem
     # is reduced by BroadcastHashJoins, never shuffled for a join

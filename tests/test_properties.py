@@ -238,3 +238,31 @@ def test_asof_join_matches_naive_python(spark):
         matches = [t for t in by_key.get(k, []) if t[0] <= ts]
         want = matches[-1] if matches else (None, None)
         assert got[(k, ts, lid)] == want, (k, ts, lid)
+
+
+@given(
+    st.lists(st.integers(0, 255), min_size=6, max_size=6),
+    st.sampled_from([(1, 1), (2, 1), (1, 2), (2, 2)]),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_error_bound_on_blockwise_constant(grays, subsample):
+    """Analytic JPEG bound: an image that is CONSTANT per 16x16 tile
+    has (near-)zero AC energy in every 8x8 block of every component,
+    so the only loss is DC quantization (luma table 16, chroma 17 —
+    at most ~half a quant step per coefficient, ~2 gray levels
+    spatially) plus color-transform rounding.  The decoder must land
+    within that bound for every subsampling mode — a real bit-level
+    contract, not a looks-about-right check."""
+    import numpy as np
+
+    from themis_tritonsort_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    tiles = np.array(grays, dtype=np.uint8).reshape(2, 3)
+    gray = np.kron(tiles, np.ones((16, 16), np.uint8))  # 32x48
+    img = np.repeat(gray[:, :, None], 3, axis=2)  # gray in RGB space
+    arr = decode_jpeg(encode_jpeg(img, subsample=subsample))
+    assert arr is not None and arr.shape == img.shape
+    assert np.abs(arr.astype(int) - img.astype(int)).max() <= 6

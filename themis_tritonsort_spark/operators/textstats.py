@@ -700,7 +700,9 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Scale: word counts are one vocabulary-sized aggregate that
     BROADCASTS back onto the (doc, word) tf relation (persisted, so the
     corpus tokenizes once); the per-doc rollup is one shuffle on the doc
-    id.  Total corpus tokens is a driver-side scalar.
+    id.  Total corpus tokens rides as a lazy 1-row aggregate broadcast
+    onto the vocabulary (the cooccurrence_pmi discipline) — no eager
+    driver-side collect, so the whole query is ONE Spark job.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -713,12 +715,14 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     wc = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
     # sum over an empty corpus is NULL; 1 keeps the (never-evaluated)
     # ln() argument well-formed so empty input yields empty output
-    total = wc.agg(F.sum("cnt")).collect()[0][0] or 1
-    surprisal = wc.select(
+    total_df = wc.groupBy().agg(
+        F.coalesce(F.sum("cnt"), F.lit(1)).cast("double").alias("__total")
+    )
+    surprisal = wc.crossJoin(F.broadcast(total_df)).select(
         "word",
         F.round(
             F.lit(-1_000_000.0)
-            * F.log(F.col("cnt").cast("double") / F.lit(float(total)))
+            * F.log(F.col("cnt").cast("double") / F.col("__total"))
         )
         .cast("long")
         .alias("s_micronat"),
@@ -754,12 +758,13 @@ def surprisal_mixture(
 
     Scale: bucket BOUNDARIES are (n_buckets - 1) exact
     percentile_disc scalars — one aggregate over the per-doc surprisal
-    relation, collected to the driver like k-means centers.  Bucket
-    ASSIGNMENT is then a map-side comparison chain (no global window,
-    no ntile over the corpus — an ntile would be a single-partition
-    sort at 100 TB).  The surprisal relation is persisted so the
-    boundary pass (eager, in here) and the classification pass (the
-    returned lazy plan) share one computation; pass a list as
+    relation, riding as a lazy 1-row relation broadcast onto the
+    classification pass (the cooccurrence_pmi discipline — no eager
+    driver collect, one Spark job).  Bucket ASSIGNMENT is then a
+    map-side comparison chain (no global window, no ntile over the
+    corpus — an ntile would be a single-partition sort at 100 TB).
+    The surprisal relation is persisted so the boundary branch and
+    the classification branch share one computation; pass a list as
     ``release`` to unpersist it after your action (with_global_rank's
     cache-lifetime idiom).
     """
@@ -773,7 +778,7 @@ def surprisal_mixture(
     if release is not None:
         release.append(s)
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    row = s.agg(
+    bounds_df = s.groupBy().agg(
         *[
             F.expr(
                 f"percentile_disc({frac}) WITHIN GROUP "
@@ -781,15 +786,16 @@ def surprisal_mixture(
             ).alias(f"__b{i}")
             for i, frac in enumerate(fracs)
         ]
-    ).collect()[0]
-    bounds = [row[f"__b{i}"] for i in range(len(fracs))]
+    )
     bucket = F.lit(1)
-    for b in bounds:
+    for i in range(len(fracs)):
         bucket = bucket + F.when(
-            F.col("mean_micronat") > F.lit(b), 1
+            F.col("mean_micronat") > F.col(f"__b{i}"), 1
         ).otherwise(0)
     return (
-        s.withColumn("bucket", bucket.cast("long"))
+        s.crossJoin(F.broadcast(bounds_df))
+        .withColumn("bucket", bucket.cast("long"))
+        .drop(*[f"__b{i}" for i in range(len(fracs))])
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
