@@ -135,6 +135,37 @@ def test_profile_table_hand_fixture(spark):
     assert (s["min_v"], s["max_v"]) == ("a", "b")
 
 
+def test_profile_table_approx_path(spark):
+    """The 100 TB profiler switch: approx_rsd swaps the exact
+    multi-count-distinct (row EXPAND) for HLL++ sketches.  Everything
+    but n_distinct stays exact; n_distinct lands within the sketch's
+    error band; and the approx plan must contain NO Expand node."""
+    import contextlib
+    import io
+
+    from themis_tritonsort_spark.operators.stats import profile_table
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).cast("string").alias("s")
+    )
+    prof = profile_table(df, {"k": F.col("k")}, ["s"], approx_rsd=0.02)
+    got = {r["col_name"]: r for r in prof.collect()}
+    assert (got["k"]["n_rows"], got["k"]["n_nulls"]) == (2000, 0)
+    assert (got["k"]["min_v"], got["k"]["max_v"]) == ("0", "1999")
+    assert abs(got["k"]["n_distinct"] - 2000) <= 2000 * 0.06
+    assert abs(got["s"]["n_distinct"] - 100) <= 100 * 0.06
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        prof.explain("simple")
+    assert "Expand" not in buf.getvalue()
+    # ... while the exact path pays the EXPAND (pinning the contrast)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        profile_table(df, {"k": F.col("k")}, ["s"]).explain("simple")
+    assert "Expand" in buf.getvalue()
+
+
 def test_local_clustering_coefficient_k4_and_path(spark):
     from themis_tritonsort_spark.operators.components import (
         local_clustering_coefficient,

@@ -176,3 +176,35 @@ def test_session_additions_total_over_empty_inputs(spark):
     assert (
         with_global_prefix_sum(no_bounds, ["ts_us"], "net_delta").count() == 0
     )
+
+
+def test_round5_additions_total_over_empty_inputs(spark):
+    """Round-5 surface over degenerate inputs: the capped semdedup,
+    the deletion-neighborhood fuzzy match, the frame sampler, and the
+    approx profiler all stay total (empty in -> empty/identity out,
+    no exceptions)."""
+    from themis_tritonsort_spark.operators.multimodal import (
+        frame_sample,
+        walk_ppm_stream,
+    )
+    from themis_tritonsort_spark.operators.similarity import semdedup
+
+    no_media = spark.createDataFrame(
+        [],
+        "id long, media binary, media_type string, "
+        "meta struct<n_bytes: long, source: string>",
+    )
+    assert frame_sample(no_media).count() == 0
+    assert walk_ppm_stream(b"") is None
+    assert walk_ppm_stream(b"P6\n1 1\n255\n") is None  # truncated frame
+
+    no_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semdedup(
+        no_vecs, "vec_id", "embedding", [[0.0, 0.0]], 0.9, max_cluster=4
+    )
+    assert out.count() == 0
+
+    from themis_tritonsort_spark.operators.jpeg import decode_jpeg
+
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"\xff\xd8") is None  # SOI only

@@ -753,3 +753,63 @@ def test_bm25_frozen_scoring_stream_matches_batch(spark, stream_dir):
         for r in spark.sql("SELECT * FROM bm25_stream").collect()
     }
     assert got == batch
+
+
+def test_media_decode_streams_match_batch(spark, stream_dir):
+    """Multimodal decode is stateless mapInPandas, so the SAME
+    operators (feature extraction over real PPM images, video frame
+    sampling over a concatenated-P6 stream) run unchanged on a
+    streaming DataFrame and emit exactly the batch rows — the
+    decode-at-ingest path of a media curation pipeline."""
+    import os as _os
+
+    from themis_tritonsort_spark.data import table
+    from themis_tritonsort_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        frame_sample,
+        ppm_from_documents,
+        ppm_video_from_documents,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents").limit(20)
+    img_src = _os.path.join(stream_dir, "img")
+    vid_src = _os.path.join(stream_dir, "vid")
+    ppm_from_documents(docs).coalesce(1).write.mode("overwrite").parquet(
+        img_src
+    )
+    ppm_video_from_documents(docs, frames=3).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(vid_src)
+
+    img_stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(img_src)
+    q = _run_to_memory(extract_features(img_stream), "media_feat")
+    got = {
+        r["id"]: tuple(r["feature"])
+        for r in spark.sql("select * from media_feat").collect()
+    }
+    want = {
+        r["id"]: tuple(r["feature"])
+        for r in extract_features(
+            spark.read.schema(MEDIA_SCHEMA).parquet(img_src)
+        ).collect()
+    }
+    q.stop()
+    assert got == want and len(got) == 20
+
+    vid_stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(vid_src)
+    q = _run_to_memory(frame_sample(vid_stream, frame_step=2), "media_frames")
+    got = {
+        (r["id"], r["frame_idx"]): (r["offset"], r["gray_sum"])
+        for r in spark.sql("select * from media_frames").collect()
+    }
+    q.stop()
+    want = {
+        (r["id"], r["frame_idx"]): (r["offset"], r["gray_sum"])
+        for r in frame_sample(
+            spark.read.schema(MEDIA_SCHEMA).parquet(vid_src), frame_step=2
+        ).collect()
+    }
+    assert got == want and len(got) == 20 * 2  # frames 0, 2 per doc

@@ -75,6 +75,7 @@ def profile_table(
     df: DataFrame,
     long_cols: dict[str, "F.Column"],
     str_cols: list[str],
+    approx_rsd: float | None = None,
 ) -> DataFrame:
     """One-pass data-profiling summary — the quality report a curation
     pipeline runs before training: per column (col_name, n_rows,
@@ -87,17 +88,30 @@ def profile_table(
     Plan: a single global aggregate computes every column's stats in
     one pass over the input (the multi-count-distinct expands rows by
     the profiled-column count map-side — the standard cost of exact
-    distincts; swap in approx_count_distinct at 100 TB if exactness is
-    not required), then one row per column is exploded from the 1-row
+    distincts), then one row per column is exploded from the 1-row
     result.  Nothing but the stats row ever moves.
+
+    ``approx_rsd`` is the 100 TB switch: when set, n_distinct uses
+    HyperLogLog++ (approx_count_distinct at that relative standard
+    deviation) — the EXPAND disappears, each column carries a
+    fixed-size sketch through the partial aggregate, and the plan
+    stays one pass with no per-distinct-value shuffle growth.  Counts
+    become approximate (only n_distinct; nulls/min/max stay exact),
+    so the oracle-gated catalog entry keeps the exact default.
     """
+
+    def n_distinct(c):
+        if approx_rsd is not None:
+            return F.approx_count_distinct(c, rsd=approx_rsd)
+        return F.countDistinct(c)
+
     aggs = []
     names = []
     for name, expr in long_cols.items():
         c = expr.cast("long")
         aggs += [
             F.sum(c.isNull().cast("long")).alias(f"__nn_{name}"),
-            F.countDistinct(c).alias(f"__nd_{name}"),
+            n_distinct(c).alias(f"__nd_{name}"),
             F.min(c).cast("string").alias(f"__mn_{name}"),
             F.max(c).cast("string").alias(f"__mx_{name}"),
         ]
@@ -106,7 +120,7 @@ def profile_table(
         c = F.col(name)
         aggs += [
             F.sum(c.isNull().cast("long")).alias(f"__nn_{name}"),
-            F.countDistinct(c).alias(f"__nd_{name}"),
+            n_distinct(c).alias(f"__nd_{name}"),
             F.min(c).alias(f"__mn_{name}"),
             F.max(c).alias(f"__mx_{name}"),
         ]
