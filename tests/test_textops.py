@@ -177,3 +177,39 @@ def test_py_tokens_mirrors_spark_tokens(spark):
     }
     for i, s in enumerate(samples):
         assert got[i] == py_tokens(s), (i, s)
+
+
+def test_compression_ratio_signal(spark):
+    """zlib compressibility: stdlib-reference parity per row, the
+    semantic ordering (repetitive text compresses harder than
+    high-entropy text), the empty-text convention, and determinism."""
+    import zlib
+
+    from themis_tritonsort_spark.operators.textstats import compression_ratio
+
+    rows = [
+        (1, "spam " * 200),  # highly repetitive
+        # aperiodic high-entropy text: concatenated md5 hex digests
+        (2, "".join(
+            __import__("hashlib").md5(str(i).encode()).hexdigest()
+            for i in range(40)
+        )),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in compression_ratio(df, "doc_id", "text").collect()}
+    for i, text in rows:
+        raw = (text or "").encode()
+        comp = zlib.compress(raw, 6)
+        assert got[i]["raw_len"] == len(raw)
+        assert got[i]["compressed_len"] == len(comp)
+        expect = round(1_000_000 * len(comp) / len(raw)) if raw else 1_000_000
+        assert got[i]["ratio_ppm"] == expect
+    assert got[1]["ratio_ppm"] < got[2]["ratio_ppm"] / 2  # spam compresses
+    assert got[3]["ratio_ppm"] == 1_000_000 == got[4]["ratio_ppm"]
+    again = {
+        r["id"]: r["ratio_ppm"]
+        for r in compression_ratio(df, "doc_id", "text").collect()
+    }
+    assert again == {i: r["ratio_ppm"] for i, r in got.items()}

@@ -1203,3 +1203,57 @@ def bm25_score_frozen(
         .where(F.col("__q.matched"))
         .select(F.col(id_col), "__q.query_id", "__q.score_micro")
     )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """Per-document zlib compressibility — the Gopher/MassiveText-style
+    quality signal (templated/repetitive text compresses far better
+    than natural prose): (id, raw_len, compressed_len, ratio_ppm) with
+    ``ratio_ppm = round(1e6 * compressed/raw)`` (1_000_000 for empty
+    text, by convention an incompressible no-op).
+
+    DEFLATE at a fixed level/strategy is deterministic, so the signal
+    is rerun- and partitioning-reproducible; there is no SQL spelling
+    of DEFLATE, so this operator is unit-test-proven (stdlib-reference
+    parity + semantic ordering) rather than catalog-oracled — the one
+    documented exception to the every-entry-has-an-oracle rule, kept
+    OUT of queries() for exactly that reason.
+
+    Plan: stateless Arrow-batched mapInPandas (stdlib zlib executes
+    executor-side per batch; only the four fixed-width columns come
+    back).  Stateless means the identical operator runs on a
+    streaming DataFrame.
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw_lens, comp_lens, ratios = [], [], []
+            for text in pdf[text_col]:
+                raw = (text or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                raw_lens.append(len(raw))
+                comp_lens.append(len(comp))
+                ratios.append(
+                    round(1_000_000 * len(comp) / len(raw))
+                    if raw
+                    else 1_000_000
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "raw_len": raw_lens,
+                    "compressed_len": comp_lens,
+                    "ratio_ppm": ratios,
+                }
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(text_col)).mapInPandas(
+        fn,
+        schema="id long, raw_len long, compressed_len long, ratio_ppm long",
+    )
