@@ -205,6 +205,7 @@ BENCH_QUERIES = {
     "q127_market_share": q.q127_market_share,
     "q128_returned_items": q.q128_returned_items,
     "q129_sales_opportunity": q.q129_sales_opportunity,
+    "q130_variant_json": q.q130_variant_json,
 }
 
 

@@ -165,9 +165,9 @@ def test_driver_window_composition():
     missing = [n for n in _WINDOW_PRIORITY if n not in ORACLES]
     assert missing == []
     windowed_prefixes = {n.split("_")[0] for n in _WINDOW_PRIORITY}
-    # every never-driver-gated entry (q95..q129) must be in the window
-    never_gated = {f"q{i}" for i in range(95, 130)}
+    # every never-driver-gated entry (q95..q130) must be in the window
+    never_gated = {f"q{i}" for i in range(95, 131)}
     assert never_gated <= windowed_prefixes
     # the longest-stale r03 rows re-prove this round
-    stale_front = {f"q{i:02d}" for i in range(1, 15)} | {"q10b"}
+    stale_front = ({f"q{i:02d}" for i in range(1, 15)} | {"q10b"}) - {"q13"}
     assert stale_front <= windowed_prefixes

@@ -5372,6 +5372,42 @@ GROUP BY 1
 """
 
 
+# Q130 Variant-typed JSON analytics (Spark 4 native semi-structured
+# path): ``parse_json`` converts props to a binary VariantType ONCE
+# per row, and every extraction is a typed ``variant_get`` over that
+# parsed value — vs q28's get_json_object, which re-parses the JSON
+# string per extracted field.  At 100 TB with many extracted fields
+# the single-parse + shredded-binary representation is the plan you
+# want; semantics stay oracle-exact (DuckDB extracts the same
+# integers from the same JSON).
+def q130_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json(F.col("props")).alias("__v")
+    )
+    k = F.variant_get(F.col("__v"), "$.k", "long")
+    missing = F.variant_get(F.col("__v"), "$.absent", "long")
+    return (
+        ev.select(F.col("event_type"), k.alias("__k"), missing.alias("__m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("__k").alias("n_with_k"),
+            F.sum("__k").alias("sum_k"),
+            F.count("__m").alias("n_with_absent"),
+        )
+    )
+
+
+_Q130_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(CAST(json_extract_string(props, '$.absent') AS BIGINT)) AS BIGINT) AS n_with_absent
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -5503,6 +5539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q127_market_share": q127_market_share,
     "q128_returned_items": q128_returned_items,
     "q129_sales_opportunity": q129_sales_opportunity,
+    "q130_variant_json": q130_variant_json,
 }
 
 # Driver-window rotation (round 5).  The round driver gates the FIRST
@@ -5510,10 +5547,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # 50/50 green over q19..q49 (the r02-stale tail) plus q73..q94, so the
 # only catalog entries that have NEVER seen a driver gate are the
 # round-4 session's late additions q95..q124 — all 30 go in front.
-# 15 more slots re-prove the longest-stale r03 rows q01..q14 (incl.
-# q10b); the last 5 go to this round's new q125..q129 (never gated).
-# q15..q18, q29/q31/q39 (r03-green, code unchanged) plus the
-# r03-green q50..q72 block rotate back in round 6 —
+# 14 more slots re-prove the longest-stale r03 rows q01..q12/q14
+# (incl. q10b); the last 6 go to this round's new q125..q130 (never
+# gated).  q13, q15..q18, q29/q31/q39 (r03-green, code unchanged)
+# plus the r03-green q50..q72 block rotate back in round 6 —
 # tools/driver_sim.py's staleness report lists them.  Everything outside
 # the window stays oracle-checked locally every run by
 # tests/test_queries_oracle.py, and tools/driver_sim.py flags any
@@ -5536,7 +5573,7 @@ _WINDOW_PRIORITY = [
     "q04_ngrams", "q05_inverted_index", "q06_sessionize",
     "q07_pagerank", "q08_link_extract", "q09_kmeans_assign",
     "q10_global_agg", "q10b_length_histogram", "q11_duplicate_keys",
-    "q12_merge_sorted", "q13_grep", "q14_pricing_summary",
+    "q12_merge_sorted", "q14_pricing_summary", "q130_variant_json",
     "q125_video_frames", "q126_local_supplier_volume",
     "q127_market_share", "q128_returned_items",
     "q129_sales_opportunity",
@@ -5677,4 +5714,5 @@ ORACLES: dict[str, str] = {
     "q127_market_share": _Q127_SQL,
     "q128_returned_items": _Q128_SQL,
     "q129_sales_opportunity": _Q129_SQL,
+    "q130_variant_json": _Q130_SQL,
 }
