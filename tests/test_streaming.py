@@ -813,3 +813,75 @@ def test_media_decode_streams_match_batch(spark, stream_dir):
         ).collect()
     }
     assert got == want and len(got) == 20 * 2  # frames 0, 2 per doc
+
+
+def test_ewma_tws_matches_v1_and_batch(spark, stream_dir):
+    """The Spark 4 transformWithStateInPandas EWMA (state-store v2,
+    RocksDB provider) emits exactly what the v1 applyInPandasWithState
+    twin and the batch operator produce — including the HALF_UP .5-tie
+    row.  Skipped where the protobuf package (pyspark's v2 state
+    protocol) is unavailable; the ImportError contract is asserted
+    instead so the gate itself stays tested."""
+    pytest.importorskip("google.protobuf")
+    from themis_tritonsort_spark.operators.temporal import ewma_halving
+    from themis_tritonsort_spark.streaming.temporal import ewma_stream_tws
+
+    src = os.path.join(stream_dir, "src")
+    rows = [
+        (1, 10, 100, 8), (1, 20, 101, 4), (1, 30, 102, 10),
+        (1, 40, 103, 3), (2, 5, 200, 7), (2, 6, 201, 7),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, value_cents long"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(
+            "user_id long, ts_us long, event_id long, value_cents long"
+        ).parquet(src)
+        _run_to_memory(ewma_stream_tws(stream), "ewma_tws", mode="append")
+        got = {
+            r["event_id"]: r["ewma_micro"]
+            for r in spark.sql("SELECT * FROM ewma_tws").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    batch = ewma_halving(
+        spark.read.parquet(src), "user_id", "ts_us", "event_id", "value_cents"
+    )
+    exp = {r["event_id"]: r["ewma_micro"] for r in batch.collect()}
+    assert got == exp
+    assert exp[103] == 5_500_000  # the HALF_UP tie
+
+
+def test_ewma_tws_import_gate_without_protobuf(spark):
+    """In containers without protobuf, the v2 operator must fail FAST
+    with a message pointing at the v1 twin — not crash the streaming
+    python runner mid-query."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present: the v2 path runs for real")
+    except ImportError:
+        pass
+    from themis_tritonsort_spark.streaming.temporal import ewma_stream_tws
+
+    df = spark.createDataFrame(
+        [], "user_id long, ts_us long, event_id long, value_cents long"
+    )
+    with pytest.raises(ImportError, match="ewma_stream"):
+        ewma_stream_tws(df)
