@@ -169,5 +169,8 @@ def test_driver_window_composition():
     never_gated = {f"q{i}" for i in range(95, 131)}
     assert never_gated <= windowed_prefixes
     # the longest-stale r03 rows re-prove this round
-    stale_front = ({f"q{i:02d}" for i in range(1, 15)} | {"q10b"}) - {"q13"}
+    stale_front = {f"q{i:02d}" for i in range(1, 11)} | {"q14"}
     assert stale_front <= windowed_prefixes
+    # entries whose OUTPUT changed this round (LSH bucket cap,
+    # semdedup cluster cap) re-gate regardless of their last row
+    assert {"q19", "q46", "q79"} <= windowed_prefixes

@@ -611,11 +611,20 @@ WHERE inter_size >= 0.6 * (sa.sz + sb.sz - inter_size)
 
 
 # Q19 MinHash-LSH candidate pairs (banded signatures, md5 min-hash).
+# The hot-bucket cap is ACTIVE at the oracle scales: the synthetic
+# vocabulary is tiny, so unigram band buckets routinely exceed 64
+# docs — the driver gate therefore proves the guarded semantics
+# (oversized buckets dropped BEFORE the pair join), not just the
+# uncapped demonstration.  Production near-dup uses n-gram shingles
+# (bench) where the cap is a no-op on healthy data.
+LSH_MAX_BUCKET = 64
+
+
 def q19_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sig = minhash_signature(docs, "doc_id", "text", n=1, num_hashes=16)
     buckets = lsh_band_buckets(sig, bands=4, num_hashes=16)
-    return lsh_candidate_pairs(buckets)
+    return lsh_candidate_pairs(buckets, max_bucket=LSH_MAX_BUCKET)
 
 
 _Q19_SQL = f"""
@@ -632,10 +641,16 @@ comp AS (
   FROM hx CROSS JOIN (SELECT unnest(range(16)) AS i)
   GROUP BY doc, i
 ),
-band AS (
+band0 AS (
   SELECT doc, h // 4 AS band,
          md5(string_agg(lpad(h::VARCHAR, 2, '0') || ':' || mh::VARCHAR, '|' ORDER BY h)) AS band_sig
   FROM comp GROUP BY doc, h // 4
+),
+band AS (
+  SELECT doc, band, band_sig FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, band_sig) AS bsz
+    FROM band0
+  ) WHERE bsz <= {LSH_MAX_BUCKET}
 )
 SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
 FROM band a JOIN band b
@@ -1274,7 +1289,10 @@ def q46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     sig = minhash_signature(docs, "doc_id", "text", n=1, num_hashes=16)
-    pairs = lsh_candidate_pairs(lsh_band_buckets(sig, bands=4, num_hashes=16))
+    pairs = lsh_candidate_pairs(
+        lsh_band_buckets(sig, bands=4, num_hashes=16),
+        max_bucket=LSH_MAX_BUCKET,
+    )
     return dedup_clusters(pairs, id_a="doc_a", id_b="doc_b")
 
 
@@ -5547,10 +5565,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # 50/50 green over q19..q49 (the r02-stale tail) plus q73..q94, so the
 # only catalog entries that have NEVER seen a driver gate are the
 # round-4 session's late additions q95..q124 — all 30 go in front.
-# 14 more slots re-prove the longest-stale r03 rows q01..q12/q14
-# (incl. q10b); the last 6 go to this round's new q125..q130 (never
-# gated).  q13, q15..q18, q29/q31/q39 (r03-green, code unchanged)
-# plus the r03-green q50..q72 block rotate back in round 6 —
+# 11 more slots re-prove the longest-stale r03 rows q01..q10 and
+# q14; 6 go to this round's new q125..q130 (never gated); the last 3
+# re-gate q19/q46/q79, whose OUTPUT changed this round (the LSH
+# hot-bucket cap and the semdedup cluster cap are now active in the
+# catalog entries, so their r04 rows no longer attest current code).
+# q10b..q13, q15..q18, q29/q31/q39 (r03-green, code unchanged) plus
+# the r03-green q50..q72 block rotate back in round 6 —
 # tools/driver_sim.py's staleness report lists them.  Everything outside
 # the window stays oracle-checked locally every run by
 # tests/test_queries_oracle.py, and tools/driver_sim.py flags any
@@ -5568,15 +5589,16 @@ _WINDOW_PRIORITY = [
     "q117_promo_share", "q118_top_supplier", "q119_histogram_quantiles",
     "q120_lineno_gaps", "q121_orphan_audit", "q122_event_paths",
     "q123_segment_mode", "q124_spend_deciles",
-    # longest-stale (last driver proof r03) — 20 of the 22 candidates
+    # longest-stale r03 rows (11) + this round's output-changed
+    # re-gates (3) + the round's new entries (6)
     "q01_sort_events", "q02_sort_lineitem", "q03_wordcount",
     "q04_ngrams", "q05_inverted_index", "q06_sessionize",
     "q07_pagerank", "q08_link_extract", "q09_kmeans_assign",
-    "q10_global_agg", "q10b_length_histogram", "q11_duplicate_keys",
-    "q12_merge_sorted", "q14_pricing_summary", "q130_variant_json",
+    "q10_global_agg", "q14_pricing_summary",
+    "q19_minhash_lsh", "q46_dedup_clusters", "q79_semdedup",
     "q125_video_frames", "q126_local_supplier_volume",
     "q127_market_share", "q128_returned_items",
-    "q129_sales_opportunity",
+    "q129_sales_opportunity", "q130_variant_json",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
