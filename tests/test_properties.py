@@ -266,3 +266,64 @@ def test_jpeg_roundtrip_error_bound_on_blockwise_constant(grays, subsample):
     arr = decode_jpeg(encode_jpeg(img, subsample=subsample))
     assert arr is not None and arr.shape == img.shape
     assert np.abs(arr.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_histogram_sketch_brackets_exact_percentiles(spark):
+    """Random-data bracket contract: for every group and percentile,
+    the sketch's upper bound must (a) be >= the exact percentile_disc
+    value and (b) overshoot it by at most one bin width (or saturate
+    at the overflow cap) — the whole point of a deterministic binned
+    sketch.  Deterministic multi-seed sweep instead of @given: one
+    Spark job per seed batch keeps JVM round-trips sane."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from themis_tritonsort_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    bin_w, n_bins = 16, 32
+    cap = bin_w * n_bins
+    rows = []
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(1, 400)
+        dist = rng.choice(["uniform", "clumped", "overflow"])
+        for _ in range(n):
+            if dist == "uniform":
+                v = rng.randint(0, cap - 1)
+            elif dist == "clumped":
+                v = rng.choice([3, 3, 3, 100, 101, 499])
+            else:
+                v = rng.randint(0, 2 * cap)  # exercises saturation
+            rows.append((f"g{seed}", v))
+    df = spark.createDataFrame(rows, "g string, v long")
+    sketch = {
+        r["g"]: r
+        for r in histogram_quantiles(
+            df, ["g"], "v", bin_w, n_bins, percents=[50, 95, 99]
+        ).collect()
+    }
+    exact = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_disc({p / 100}) WITHIN GROUP (ORDER BY v)"
+                ).alias(f"p{p}")
+                for p in (50, 95, 99)
+            ]
+        )
+        .collect()
+    }
+    assert set(sketch) == set(exact)
+    for g, row in sketch.items():
+        for p in (50, 95, 99):
+            ub, ex = row[f"p{p}_ub"], exact[g][f"p{p}"]
+            assert ub >= min(ex, cap), (g, p, ub, ex)
+            if ex < cap:
+                assert ub - ex <= bin_w, (g, p, ub, ex)
+            else:
+                assert ub == cap  # saturation value
