@@ -885,3 +885,30 @@ def test_ewma_tws_import_gate_without_protobuf(spark):
     )
     with pytest.raises(ImportError, match="ewma_stream"):
         ewma_stream_tws(df)
+
+
+def test_compression_ratio_streams_match_batch(spark, stream_dir):
+    """The zlib compressibility signal is stateless mapInPandas, so
+    the identical operator scores a stream and matches batch rows."""
+    from themis_tritonsort_spark.operators.textstats import compression_ratio
+
+    src = os.path.join(stream_dir, "src")
+    spark.createDataFrame(
+        [(1, "spam " * 50), (2, "the quick brown fox"), (3, "")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    _run_to_memory(
+        compression_ratio(stream, "doc_id", "text"), "stream_zratio"
+    )
+    got = {
+        r["id"]: (r["raw_len"], r["compressed_len"], r["ratio_ppm"])
+        for r in spark.sql("SELECT * FROM stream_zratio").collect()
+    }
+    want = {
+        r["id"]: (r["raw_len"], r["compressed_len"], r["ratio_ppm"])
+        for r in compression_ratio(
+            spark.read.parquet(src), "doc_id", "text"
+        ).collect()
+    }
+    assert got == want and len(got) == 3
