@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Diff two bench captures: per-query ratios, regressions, movers.
+
+Accepts either a raw ``bench.py`` JSON line (``{"metric": ...,
+"queries": {...}}``) or a driver ``BENCH_r{N}.json`` record (whose
+``tail`` field holds a possibly-truncated fragment of that line —
+queries are recovered with a tolerant regex).  Per-query values may be
+a scalar or a [samples...] list; lists compare by median.
+
+Usage:
+  python tools/bench_diff.py BENCH_r04.json BENCH_r05.json
+  python tools/bench_diff.py BENCH_r04.json - < fresh_bench_line.json
+
+Prints a summary plus any query slower than REGRESSION_X (default
+1.5x, override with --threshold) and the five biggest improvements.
+Exits nonzero when regressions exist, so it can gate automation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+
+_PAIR = re.compile(r'"(q[\w]+)":\s*(\[[\d.,\s]+\]|\d+(?:\.\d+)?)')
+
+
+def load_queries(path: str) -> dict[str, float]:
+    """Query -> median seconds from any supported capture format."""
+    text = sys.stdin.read() if path == "-" else open(path).read()
+    try:
+        data = json.loads(text)
+    except json.JSONDecodeError:
+        data = None
+    if isinstance(data, dict):
+        if isinstance(data.get("queries"), dict):  # raw bench line
+            return {k: _median(v) for k, v in data["queries"].items()}
+        if isinstance(data.get("tail"), str):  # driver record
+            text = data["tail"]
+    # tolerant fragment scan (truncated tails lose the JSON head)
+    out: dict[str, float] = {}
+    for m in _PAIR.finditer(text):
+        try:
+            out[m.group(1)] = _median(json.loads(m.group(2)))
+        except json.JSONDecodeError:
+            continue
+    return out
+
+
+def _median(v) -> float:
+    if isinstance(v, (int, float)):
+        return float(v)
+    s = sorted(float(x) for x in v)
+    return s[len(s) // 2]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("before")
+    ap.add_argument("after")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument(
+        "--min-sec",
+        type=float,
+        default=0.5,
+        help="ignore regressions on queries faster than this (noise)",
+    )
+    args = ap.parse_args()
+    before = load_queries(args.before)
+    after = load_queries(args.after)
+    overlap = sorted(set(before) & set(after))
+    if not overlap:
+        print("no overlapping queries between the two captures")
+        return 2
+    tb = sum(before[k] for k in overlap)
+    ta = sum(after[k] for k in overlap)
+    print(
+        f"overlap {len(overlap)} queries: {tb:.1f}s -> {ta:.1f}s "
+        f"({ta / tb:.2f}x)"
+    )
+    only_b = sorted(set(before) - set(after))
+    only_a = sorted(set(after) - set(before))
+    if only_b:
+        print(f"dropped ({len(only_b)}): {', '.join(only_b[:8])}"
+              + (" ..." if len(only_b) > 8 else ""))
+    if only_a:
+        print(f"added ({len(only_a)}): {', '.join(only_a[:8])}"
+              + (" ..." if len(only_a) > 8 else ""))
+    regs = [
+        k
+        for k in overlap
+        if after[k] > args.threshold * before[k] and after[k] > args.min_sec
+    ]
+    for k in sorted(regs, key=lambda k: -after[k] / before[k]):
+        print(
+            f"REGRESSION {k}: {before[k]:.2f}s -> {after[k]:.2f}s "
+            f"({after[k] / before[k]:.2f}x)"
+        )
+    movers = sorted(overlap, key=lambda k: after[k] - before[k])[:5]
+    for k in movers:
+        if after[k] < before[k]:
+            print(
+                f"improved {k}: {before[k]:.2f}s -> {after[k]:.2f}s "
+                f"({after[k] / before[k]:.2f}x)"
+            )
+    print(f"{len(regs)} regression(s) above {args.threshold}x")
+    return 1 if regs else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
