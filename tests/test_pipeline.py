@@ -1,0 +1,118 @@
+"""Resumable staged pipeline tests (plans/pipeline.py): fingerprint
+skip/recompute semantics, suffix invalidation, DAG validation, and
+crash-safety of the atomic rename."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from themis_tritonsort_spark.data import table
+from themis_tritonsort_spark.plans.pipeline import (
+    MANIFEST,
+    Stage,
+    run_pipeline,
+)
+
+from .conftest import SF_SMOKE
+
+SCRATCH = os.path.join(os.path.dirname(__file__), "..", "scratch", "pipe")
+
+
+@pytest.fixture()
+def pipe_root():
+    d = os.path.join(SCRATCH, uuid.uuid4().hex)
+    os.makedirs(d, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _stages(spark, ran: list[str], quality_version: str = "1"):
+    from themis_tritonsort_spark.operators.textstats import (
+        chunk_documents,
+        text_quality,
+    )
+
+    def src(s, _):
+        ran.append("src")
+        return table(s, SF_SMOKE, "documents").select("doc_id", "text")
+
+    def quality(s, inp):
+        ran.append("quality")
+        scored = text_quality(inp["src"], "doc_id", "text", keep=("text",))
+        return scored.where(F.col("quality_pct") >= 40).select(
+            "doc_id", "text"
+        )
+
+    def chunks(s, inp):
+        ran.append("chunks")
+        return chunk_documents(inp["quality"], "doc_id", "text", 64, 8)
+
+    return [
+        Stage("src", src),
+        Stage("quality", quality, inputs=["src"], version=quality_version),
+        Stage("chunks", chunks, inputs=["quality"]),
+    ]
+
+
+def test_pipeline_runs_resumes_and_invalidates(spark, pipe_root):
+    ran: list[str] = []
+    paths = run_pipeline(spark, _stages(spark, ran), pipe_root)
+    assert ran == ["src", "quality", "chunks"]
+    n_chunks = spark.read.parquet(paths["chunks"]).count()
+    assert n_chunks > 0
+
+    # fresh re-run: nothing recomputes, outputs unchanged
+    ran.clear()
+    paths2 = run_pipeline(spark, _stages(spark, ran), pipe_root)
+    assert ran == []
+    assert paths2 == paths
+    assert spark.read.parquet(paths2["chunks"]).count() == n_chunks
+
+    # bumping a mid-stage version recomputes that stage AND its
+    # downstream, but never the untouched upstream
+    ran.clear()
+    run_pipeline(
+        spark, _stages(spark, ran, quality_version="2"), pipe_root
+    )
+    assert ran == ["quality", "chunks"]
+
+
+def test_pipeline_resumes_after_torn_write(spark, pipe_root):
+    """A stage directory without a valid manifest (killed mid-write,
+    or a stray tmp dir) must be recomputed, never trusted."""
+    ran: list[str] = []
+    paths = run_pipeline(spark, _stages(spark, ran), pipe_root)
+    # simulate a crash that corrupted the final stage's manifest
+    os.remove(os.path.join(paths["chunks"], MANIFEST))
+    ran.clear()
+    run_pipeline(spark, _stages(spark, ran), pipe_root)
+    assert ran == ["chunks"]
+    # a garbage manifest is equally untrusted — but ONLY that stage
+    # recomputes: its fingerprint is unchanged (same logic, same
+    # upstream), so the recomputed output is contract-identical and
+    # downstream checkpoints stay valid
+    with open(os.path.join(paths["quality"], MANIFEST), "w") as f:
+        f.write("{not json")
+    ran.clear()
+    run_pipeline(spark, _stages(spark, ran), pipe_root)
+    assert ran == ["quality"]
+
+
+def test_pipeline_validates_dag(spark, pipe_root):
+    def noop(s, _):
+        return s.range(1)
+
+    with pytest.raises(ValueError, match="duplicate"):
+        run_pipeline(
+            spark, [Stage("a", noop), Stage("a", noop)], pipe_root
+        )
+    with pytest.raises(ValueError, match="not .*defined earlier"):
+        run_pipeline(
+            spark, [Stage("b", noop, inputs=["missing"])], pipe_root
+        )
