@@ -116,3 +116,76 @@ def test_pipeline_validates_dag(spark, pipe_root):
         run_pipeline(
             spark, [Stage("b", noop, inputs=["missing"])], pipe_root
         )
+
+
+def test_staged_curation_equals_monolithic_q77(spark, pipe_root):
+    """Decompose the flagship single-scan curation query into
+    resumable pipeline stages (filter -> survivors -> chunks -> pack)
+    and assert the staged run reproduces the monolithic q77 result
+    row-for-row — checkpointing must never change semantics."""
+    from themis_tritonsort_spark import queries as q
+    from themis_tritonsort_spark.operators.dedup import exact_duplicates
+    from themis_tritonsort_spark.operators.textstats import (
+        chunk_documents,
+        contamination,
+        pack_sequences,
+        repetition_stats,
+        text_quality,
+    )
+    from themis_tritonsort_spark.operators.textstats import lang_id
+
+    def src(s, _):
+        return table(s, SF_SMOKE, "documents").select("doc_id", "text")
+
+    def survivors(s, inp):
+        docs = inp["src"]
+        tr = docs.where(F.col("doc_id") % 100 != 0)
+        ev = docs.where(F.col("doc_id") % 100 == 0)
+        scored = text_quality(tr, "doc_id", "text", keep=("text",)).select(
+            "doc_id", "text", "quality_pct"
+        )
+        scored = lang_id(scored, "doc_id", "text", keep=("text", "quality_pct"))
+        scored = repetition_stats(
+            scored, "doc_id", "text", keep=("text", "quality_pct", "pred_lang")
+        )
+        dupes = exact_duplicates(docs, "doc_id", "text").where(
+            F.col("doc_id") != F.col("canonical_id")
+        ).select("doc_id")
+        contam = contamination(tr, ev, "doc_id", "text", n=4).select("doc_id")
+        return (
+            scored.join(dupes, "doc_id", "left_anti")
+            .join(contam, "doc_id", "left_anti")
+            .where(
+                (F.col("pred_lang") == "en")
+                & (F.col("quality_pct") >= 40)
+                & (F.col("dup_ngram_ppm") <= 100000)
+                & (F.col("top_ngram_ppm") <= 60000)
+            )
+            .select("doc_id", "text")
+        )
+
+    def chunks(s, inp):
+        return chunk_documents(inp["survivors"], "doc_id", "text", 64, 8)
+
+    def packed(s, inp):
+        return pack_sequences(
+            inp["chunks"], "doc_id", "chunk_idx", "n_chunk_tokens", budget=256
+        )
+
+    paths = run_pipeline(
+        spark,
+        [
+            Stage("src", src),
+            Stage("survivors", survivors, inputs=["src"]),
+            Stage("chunks", chunks, inputs=["survivors"]),
+            Stage("packed", packed, inputs=["chunks"]),
+        ],
+        pipe_root,
+    )
+    staged = sorted(
+        tuple(r) for r in spark.read.parquet(paths["packed"]).collect()
+    )
+    mono = sorted(
+        tuple(r) for r in q.q77_full_curation(spark, SF_SMOKE).collect()
+    )
+    assert staged == mono and len(staged) > 0
