@@ -206,6 +206,7 @@ BENCH_QUERIES = {
     "q128_returned_items": q.q128_returned_items,
     "q129_sales_opportunity": q.q129_sales_opportunity,
     "q130_variant_json": q.q130_variant_json,
+    "q131_k_anonymity": q.q131_k_anonymity,
 }
 
 

@@ -165,7 +165,10 @@ def test_driver_window_composition():
     missing = [n for n in _WINDOW_PRIORITY if n not in ORACLES]
     assert missing == []
     windowed_prefixes = {n.split("_")[0] for n in _WINDOW_PRIORITY}
-    # every never-driver-gated entry (q95..q130) must be in the window
+    # every round-4-era never-driver-gated entry (q95..q124) plus the
+    # round-5 additions through q130 must be in the window; entries
+    # added after the window filled (q131+) are first in line for the
+    # next rotation and show up in driver_sim's staleness report
     never_gated = {f"q{i}" for i in range(95, 131)}
     assert never_gated <= windowed_prefixes
     # the longest-stale r03 rows re-prove this round

@@ -5426,6 +5426,53 @@ FROM events GROUP BY event_type
 """
 
 
+# Q131 k-anonymity suppression (privacy-side curation, with q62's PII
+# scrub): release only customers whose quasi-identifier combination
+# (nation, market segment) is shared by >= k rows, and report how
+# much each released group generalizes — the suppression step of a
+# k-anonymous data release.  One window count over the
+# quasi-identifier key (the same partitioning the release itself
+# groups by); account balances leave as exact cents.  Rows in
+# too-small groups are SUPPRESSED (dropped), the standard fallback
+# when generalization hierarchies aren't defined.
+_KANON_K = 5
+
+
+def q131_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cu = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment")
+    return (
+        cu.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .where(F.col("group_size") >= _KANON_K)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("group_size").cast("long").alias("group_size"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias(
+                "acctbal_cents"
+            ),
+        )
+    )
+
+
+_Q131_SQL = f"""
+SELECT c_custkey, c_nationkey, c_mktsegment,
+       CAST(group_size AS BIGINT) AS group_size,
+       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM (
+  SELECT *, count(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+              AS group_size
+  FROM customer
+)
+WHERE group_size >= {_KANON_K}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -5558,6 +5605,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q128_returned_items": q128_returned_items,
     "q129_sales_opportunity": q129_sales_opportunity,
     "q130_variant_json": q130_variant_json,
+    "q131_k_anonymity": q131_k_anonymity,
 }
 
 # Driver-window rotation (round 5).  The round driver gates the FIRST
@@ -5737,4 +5785,5 @@ ORACLES: dict[str, str] = {
     "q128_returned_items": _Q128_SQL,
     "q129_sales_opportunity": _Q129_SQL,
     "q130_variant_json": _Q130_SQL,
+    "q131_k_anonymity": _Q131_SQL,
 }
