@@ -5428,35 +5428,38 @@ FROM events GROUP BY event_type
 
 # Q131 k-anonymity suppression (privacy-side curation, with q62's PII
 # scrub): release only customers whose quasi-identifier combination
-# (nation, market segment) is shared by >= k rows, and report how
-# much each released group generalizes — the suppression step of a
-# k-anonymous data release.  One window count over the
-# quasi-identifier key (the same partitioning the release itself
-# groups by); account balances leave as exact cents.  Rows in
-# too-small groups are SUPPRESSED (dropped), the standard fallback
-# when generalization hierarchies aren't defined.
+# (nation, market segment) is shared by >= k rows, and report each
+# released group's size — the suppression step of a k-anonymous data
+# release.  Rows in too-small groups are SUPPRESSED (dropped), the
+# standard fallback when generalization hierarchies aren't defined.
+# Plan shape: the group sizes come from a partial-aggregated groupBy
+# (quasi-identifier cardinality is tiny by definition — that is WHY
+# the groups are k-anonymous), broadcast back onto the fact rows — a
+# window count over the same key would funnel every member of a
+# quasi-group through one task, the classic skew trap when a group
+# holds a corpus-scale share of rows.
 _KANON_K = 5
 
 
 def q131_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     cu = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
     )
-    w = Window.partitionBy("c_nationkey", "c_mktsegment")
-    return (
-        cu.withColumn("group_size", F.count(F.lit(1)).over(w))
+    sizes = (
+        cu.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
         .where(F.col("group_size") >= _KANON_K)
-        .select(
-            "c_custkey",
-            "c_nationkey",
-            "c_mktsegment",
-            F.col("group_size").cast("long").alias("group_size"),
-            F.round(F.col("c_acctbal") * 100).cast("long").alias(
-                "acctbal_cents"
-            ),
-        )
+    )
+    return cu.join(
+        F.broadcast(sizes), ["c_nationkey", "c_mktsegment"]
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias(
+            "acctbal_cents"
+        ),
     )
 
 
