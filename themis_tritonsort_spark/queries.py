@@ -5616,13 +5616,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # 50/50 green over q19..q49 (the r02-stale tail) plus q73..q94, so the
 # only catalog entries that have NEVER seen a driver gate are the
 # round-4 session's late additions q95..q124 — all 30 go in front.
-# 11 more slots re-prove the longest-stale r03 rows q01..q10 and
-# q14; 6 go to this round's new q125..q130 (never gated); the last 3
-# re-gate q19/q46/q79, whose OUTPUT changed this round (the LSH
-# hot-bucket cap and the semdedup cluster cap are now active in the
-# catalog entries, so their r04 rows no longer attest current code).
-# q10b..q13, q15..q18, q29/q31/q39 (r03-green, code unchanged) plus
-# the r03-green q50..q72 block rotate back in round 6 —
+# 10 more slots re-prove the longest-stale r03 rows q01..q09 and
+# q14; 7 go to this round's new q125..q131 (never gated — gating new
+# code outranks re-proving unchanged r03-green code, so q10 rotates
+# to round 6 instead); the last 3 re-gate q19/q46/q79, whose OUTPUT
+# changed this round (the LSH hot-bucket cap and the semdedup cluster
+# cap are now active in the catalog entries, so their r04 rows no
+# longer attest current code).
+# q10, q10b..q13, q15..q18, q29/q31/q39 (r03-green, code unchanged)
+# plus the r03-green q50..q72 block rotate back in round 6 —
 # tools/driver_sim.py's staleness report lists them.  Everything outside
 # the window stays oracle-checked locally every run by
 # tests/test_queries_oracle.py, and tools/driver_sim.py flags any
@@ -5645,11 +5647,12 @@ _WINDOW_PRIORITY = [
     "q01_sort_events", "q02_sort_lineitem", "q03_wordcount",
     "q04_ngrams", "q05_inverted_index", "q06_sessionize",
     "q07_pagerank", "q08_link_extract", "q09_kmeans_assign",
-    "q10_global_agg", "q14_pricing_summary",
+    "q14_pricing_summary",
     "q19_minhash_lsh", "q46_dedup_clusters", "q79_semdedup",
     "q125_video_frames", "q126_local_supplier_volume",
     "q127_market_share", "q128_returned_items",
     "q129_sales_opportunity", "q130_variant_json",
+    "q131_k_anonymity",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
