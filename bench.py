@@ -207,6 +207,9 @@ BENCH_QUERIES = {
     "q129_sales_opportunity": q.q129_sales_opportunity,
     "q130_variant_json": q.q130_variant_json,
     "q131_k_anonymity": q.q131_k_anonymity,
+    "q132_hard_negatives": q.q132_hard_negatives,
+    "q133_kcenter_sample": q.q133_kcenter_sample,
+    "q134_keep_best": q.q134_keep_best,
 }
 
 

@@ -461,3 +461,55 @@ def bloom_hits_join(
     return joined.groupBy(id_col).agg(
         (F.count("__set") == k).cast("long").alias(out_col)
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+    cluster_col: str = "canonical_id",
+    member_col: str = "vid",
+) -> DataFrame:
+    """Canonical-document selection — the step AFTER near-dup
+    clustering in a curation pipeline: within each duplicate cluster,
+    keep the single highest-quality member (ties to the smallest id)
+    instead of the arbitrary min-id canonical, so dedup removes the
+    WORST copies, not random ones.
+
+    ``clusters`` is (member_col, cluster_col) as produced by
+    dedup_clusters; ``scored`` is (id_col, score_col) e.g. from
+    text_quality.  Returns one row per cluster:
+    (cluster_id, kept_id, n_members, kept_score).
+
+    Plan shape: one equi-join member->score (the score side is the
+    corpus — this is a co-partitioned hash join on the id, no
+    broadcast of big data), then a single groupBy(cluster) with
+    max_by-style selection via a struct-max partial aggregate: the
+    per-cluster argmax composes map-side, so a hot cluster costs one
+    combiner row per map task, never a single-task window funnel.
+    """
+    j = clusters.join(
+        scored.select(
+            F.col(id_col).alias(member_col), F.col(score_col).alias("__score")
+        ),
+        member_col,
+    )
+    # argmax as a max over (score, -id) structs: partial-aggregatable,
+    # deterministic (score desc, id asc)
+    pick = F.max(
+        F.struct(
+            F.col("__score").cast("long").alias("s"),
+            (-F.col(member_col)).alias("neg_id"),
+        )
+    ).alias("__pick")
+    return (
+        j.groupBy(F.col(cluster_col).alias("cluster_id"))
+        .agg(pick, F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "cluster_id",
+            (-F.col("__pick.neg_id")).cast("long").alias("kept_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("__pick.s").cast("long").alias("kept_score"),
+        )
+    )

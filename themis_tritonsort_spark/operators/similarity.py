@@ -60,6 +60,113 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training:
+    for each query (anchor), the top-k most-cosine-similar corpus items
+    whose label DIFFERS from the anchor's — the negatives that sit
+    closest to the decision boundary and carry the most gradient
+    signal (the standard mining step behind dense retrievers and
+    contrastive encoders).
+
+    Returns (query_id, neighbor_id, rank, cos_ppm), rank 1..k by
+    descending cosine, ties by ascending neighbor id.  Same plan shape
+    as brute_force_topk — the anchor set broadcasts (it is small by
+    construction: you mine for a training batch, not the corpus), the
+    corpus streams with no shuffle, and the per-anchor top-k is a
+    partial window aggregate.  The label inequality prunes BEFORE the
+    cosine is computed, so same-label pairs cost a comparison, not a
+    fold."""
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlab"),
+    )
+    joined = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
+            F.col(label_col).alias("__clab"),
+        )
+        .crossJoin(F.broadcast(q))
+        .where(F.col("__clab") != F.col("__qlab"))
+    )
+    scored = joined.withColumn("__cos", cosine(F.col("__cvec"), F.col("__qvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("__cos") * 1e6).cast("long").alias("cos_ppm"),
+        )
+    )
+
+
+def kcenter_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Greedy k-center / farthest-point traversal (Gonzalez 1985) —
+    the diverse-subset selection step of a training-data pipeline:
+    pick the item farthest (min squared-L2 distance to the already
+    chosen set, maximized) from the current selection, k times,
+    seeded with the smallest id.  A 2-approximation to the k-center
+    objective and the standard coreset/diversity heuristic.
+
+    Returns (sel_rank, id, dist_micro): selection order 1..k and the
+    row's min squared distance to the prior selection at the moment it
+    was chosen (micro-units; 0 for the seed).
+
+    Scale shape: k passes over the corpus, each a narrow projection
+    (squared-L2 to ONE new center, literal-folded into codegen like
+    k-means assignment) plus a 1-row argmax reduce — no shuffle of the
+    corpus, driver state is k centers (the same centers-sized collect
+    budget as Lloyd iterations).  Distances are quantized to integer
+    micros BEFORE the argmax so the selection is reproducible across
+    engines (ties broken by ascending id), making the whole greedy
+    trajectory oracle-checkable."""
+    from ..functions.vectors import l2_sq
+
+    base = df.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    ).where(F.col("__v").isNotNull())
+    base = base.persist()
+    first = base.orderBy("__id").limit(1).collect()[0]
+    chosen = [(1, int(first["__id"]), 0)]
+    center = first["__v"]
+
+    cur = base.withColumn("__md", F.lit(None).cast("long"))
+    for step in range(2, k + 1):
+        lit_c = F.array(*[F.lit(float(x)) for x in center])
+        d_new = F.round(l2_sq(F.col("__v"), lit_c) * 1e6).cast("long")
+        cur = cur.withColumn("__md", F.least(F.coalesce("__md", d_new), d_new))
+        cur = cur.where(~F.col("__id").isin([c[1] for c in chosen[-1:]]))
+        # lineage stays k-deep (k is small); localCheckpoint if k grows
+        top = cur.orderBy(F.col("__md").desc(), F.col("__id").asc()).limit(1).collect()[0]
+        chosen.append((step, int(top["__id"]), int(top["__md"])))
+        center = top["__v"]
+    base.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        chosen, schema="sel_rank long, id long, dist_micro long"
+    )
+
+
 def sq8_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -5476,6 +5476,162 @@ WHERE group_size >= {_KANON_K}
 """
 
 
+# Q132 Hard-negative mining over the labeled embeddings: for each
+# anchor, the top-k most-cosine-similar vectors with a DIFFERENT label
+# — the contrastive-training mining step.  The anchor set broadcasts;
+# the corpus streams with no shuffle.  See
+# operators/similarity.py: hard_negative_topk.
+_HARDNEG_K = 5
+
+
+def q132_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import hard_negative_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 8)
+    return hard_negative_topk(
+        emb, anchors, id_col="vec_id", vec_col="embedding",
+        label_col="label", k=_HARDNEG_K,
+    )
+
+
+_Q132_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, label AS ql FROM e WHERE vec_id < 8),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM e CROSS JOIN q
+  WHERE e.label <> q.ql
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+       CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_ppm
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM s
+)
+WHERE rnk <= {_HARDNEG_K}
+"""
+
+
+# Q133 Greedy k-center diverse-subset selection (farthest-point
+# traversal) over the embeddings — the diversity-sampling step of a
+# curation pipeline.  k corpus passes, 1-row argmax reduce each,
+# distances quantized to integer micros before the argmax so the
+# greedy trajectory is engine-reproducible.  See
+# operators/similarity.py: kcenter_select.
+_KCENTER_K = 8
+
+
+def q133_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kcenter_select
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, id_col="vec_id", vec_col="embedding",
+                          k=_KCENTER_K)
+
+
+def _kcenter_sql(k: int) -> str:
+    """Unrolled greedy trajectory: stage i picks the argmax of the
+    running integer-micro min-distance, then folds the new center into
+    the running distance with LEAST — the same zip-fold squared-L2 and
+    the same (md DESC, id ASC) tie-break as the Spark operator."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        "sel1 AS (SELECT 1 AS sel_rank, vec_id, CAST(0 AS BIGINT)"
+        " AS dist_micro FROM c1)",
+        "m1 AS (SELECT e.vec_id, e.v, CAST(ROUND("
+        + d2("e.v", "c.v")
+        + " * 1000000) AS BIGINT) AS md FROM e, c1 c)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"c{i} AS (SELECT vec_id, v, md FROM m{i - 1} "
+            f"WHERE vec_id NOT IN (SELECT vec_id FROM sel{i - 1}) "
+            f"ORDER BY md DESC, vec_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL "
+            f"SELECT {i}, vec_id, md FROM c{i})"
+        )
+        if i < k:
+            parts.append(
+                f"m{i} AS (SELECT m.vec_id, m.v, LEAST(m.md, CAST(ROUND("
+                + d2("m.v", "c.v")
+                + f" * 1000000) AS BIGINT)) AS md FROM m{i - 1} m, c{i} c)"
+            )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(sel_rank AS BIGINT) AS sel_rank,"
+        f" CAST(vec_id AS BIGINT) AS id, dist_micro FROM sel{k}"
+    )
+
+
+_Q133_SQL = _kcenter_sql(_KCENTER_K)
+
+
+# Q134 Canonical-document selection: near-dup clusters (the q46 LSH
+# machinery) keep their single highest-quality member (q21's score),
+# ties to the smallest id — dedup that removes the WORST copies.  The
+# per-cluster argmax is a struct-max partial aggregate, not a window
+# funnel.  See operators/dedup.py: keep_best_per_cluster.
+def q134_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import dedup_clusters
+    from .operators.dedup import keep_best_per_cluster
+
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", n=1, num_hashes=16)
+    pairs = lsh_candidate_pairs(
+        lsh_band_buckets(sig, bands=4, num_hashes=16),
+        max_bucket=LSH_MAX_BUCKET,
+    )
+    clusters = dedup_clusters(pairs, id_a="doc_a", id_b="doc_b")
+    quality = text_quality(docs, "doc_id", "text")
+    return keep_best_per_cluster(
+        clusters, quality, id_col="doc_id", score_col="quality_pct"
+    )
+
+
+_Q134_SQL = f"""
+WITH RECURSIVE pairs AS ({_Q19_SQL}),
+eu AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+v AS (SELECT DISTINCT src AS vid FROM eu),
+r AS (
+  SELECT vid, vid AS label FROM v
+  UNION
+  SELECT e.dst AS vid, r.label FROM r JOIN eu e ON e.src = r.vid
+),
+clusters AS (
+  SELECT vid, CAST(min(label) AS BIGINT) AS canonical_id
+  FROM r GROUP BY vid
+),
+q AS ({_Q21_SQL}),
+j AS (
+  SELECT c.canonical_id AS cluster_id, c.vid, q.quality_pct
+  FROM clusters c JOIN q ON q.doc_id = c.vid
+)
+SELECT cluster_id,
+       CAST((list(vid ORDER BY quality_pct DESC, vid ASC))[1] AS BIGINT) AS kept_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(quality_pct) AS BIGINT) AS kept_score
+FROM j GROUP BY cluster_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -5609,6 +5765,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q129_sales_opportunity": q129_sales_opportunity,
     "q130_variant_json": q130_variant_json,
     "q131_k_anonymity": q131_k_anonymity,
+    "q132_hard_negatives": q132_hard_negatives,
+    "q133_kcenter_sample": q133_kcenter_sample,
+    "q134_keep_best": q134_keep_best,
 }
 
 # Driver-window rotation (round 5).  The round driver gates the FIRST
@@ -5792,4 +5951,7 @@ ORACLES: dict[str, str] = {
     "q129_sales_opportunity": _Q129_SQL,
     "q130_variant_json": _Q130_SQL,
     "q131_k_anonymity": _Q131_SQL,
+    "q132_hard_negatives": _Q132_SQL,
+    "q133_kcenter_sample": _Q133_SQL,
+    "q134_keep_best": _Q134_SQL,
 }
