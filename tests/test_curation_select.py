@@ -85,3 +85,67 @@ def test_keep_best_per_cluster_tiebreak(spark):
     got = {r.cluster_id: (r.kept_id, r.n_members, r.kept_score) for r in out}
     # cluster 1: 2 and 3 tie at 50 -> smaller id; cluster 7: tie -> 7
     assert got == {1: (2, 3, 50), 7: (7, 2, 5)}
+
+
+def _kcenter_reference(points: dict[int, list[float]], k: int):
+    """Pure-python greedy farthest-point with the operator's exact
+    contract: integer-micro distances, (md desc, id asc) argmax."""
+    ids = sorted(points)
+    chosen = [(1, ids[0], 0)]
+    md = {i: None for i in ids}
+    for step in range(2, k + 1):
+        cx = points[chosen[-1][1]]
+        for i in ids:
+            d = round(sum((a - b) * (a - b) for a, b in zip(points[i], cx)) * 1e6)
+            md[i] = d if md[i] is None else min(md[i], d)
+        cand = [i for i in ids if i not in {c[1] for c in chosen}]
+        best = max(cand, key=lambda i: (md[i], -i))
+        chosen.append((step, best, md[best]))
+    return chosen
+
+
+def test_kcenter_matches_reference_on_random_data(spark):
+    import random
+
+    rng = random.Random(7)
+    points = {
+        i: [round(rng.uniform(-1, 1), 6) for _ in range(8)] for i in range(40)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in points.items()],
+        "vec_id long, embedding array<double>",
+    )
+    out = kcenter_select(df, id_col="vec_id", vec_col="embedding", k=6).collect()
+    got = sorted(((r.sel_rank, r.id, r.dist_micro) for r in out))
+    assert got == _kcenter_reference(points, 6)
+    # greedy max-min distances weakly decrease after the seed
+    dists = [d for _, _, d in got[1:]]
+    assert dists == sorted(dists, reverse=True)
+
+
+def test_hard_negatives_match_numpy_reference(spark):
+    import numpy as np
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], rng.randrange(3))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    k = 4
+    out = hard_negative_topk(
+        df, df.where(F.col("vec_id") < 3),
+        id_col="vec_id", vec_col="embedding", label_col="label", k=k,
+    ).collect()
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out}
+    m = np.asarray([r[1] for r in rows])
+    u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    labels = [r[2] for r in rows]
+    for qi in range(3):
+        cos = u @ u[qi]
+        cand = [
+            (-(cos[j]), j) for j in range(60) if labels[j] != labels[qi]
+        ]
+        expect = [j for _, j in sorted(cand)[:k]]
+        assert [got[(qi, r)] for r in range(1, k + 1)] == expect

@@ -85,14 +85,18 @@ def replicate_events(ev, copies: int):
 
 
 def probes(spark, sf_dir: str, copies: int):
+    from themis_tritonsort_spark.operators.components import dedup_clusters
     from themis_tritonsort_spark.operators.dedup import (
         exact_duplicates,
+        keep_best_per_cluster,
         lsh_band_buckets,
         lsh_candidate_pairs,
         minhash_signature,
     )
+    from themis_tritonsort_spark.operators.textstats import text_quality
     from themis_tritonsort_spark.operators.sampling import token_budget_sample
     from themis_tritonsort_spark.operators.similarity import (
+        hard_negative_topk,
         pq_codebook,
         pq_topk,
         semdedup,
@@ -153,6 +157,19 @@ def probes(spark, sf_dir: str, copies: int):
             emb, "vec_id", "embedding", centers, 0.99, max_cluster=200
         ),
         "pq_ann": lambda: pq_topk(emb, queries, "vec_id", "embedding", cb, 10),
+        # anchor set fixed: the corpus streams against a broadcast, so
+        # the mining pass is one linear scan regardless of copies
+        "hard_negatives": lambda: hard_negative_topk(
+            emb, queries, "vec_id", "embedding", "label", 10
+        ),
+        # components-bound: candidate pairs from capped LSH grow
+        # linearly (per-copy text prefixes), the argmax is a partial agg
+        "keep_best": lambda: keep_best_per_cluster(
+            dedup_clusters(lsh(docs), id_a="doc_a", id_b="doc_b"),
+            text_quality(docs, "doc_id", "text"),
+            id_col="doc_id",
+            score_col="quality_pct",
+        ),
         # vocab-bound: per-copy text prefixes add c{i} words, so the
         # vocab grows ~linearly and the rounds stay vocab-sized
         "bpe_train": lambda: bpe_train(docs, merges=3)[1],
