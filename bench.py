@@ -210,6 +210,7 @@ BENCH_QUERIES = {
     "q132_hard_negatives": q.q132_hard_negatives,
     "q133_kcenter_sample": q.q133_kcenter_sample,
     "q134_keep_best": q.q134_keep_best,
+    "q135_incremental_neardup": q.q135_incremental_neardup,
 }
 
 

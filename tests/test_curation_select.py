@@ -149,3 +149,35 @@ def test_hard_negatives_match_numpy_reference(spark):
         ]
         expect = [j for _, j in sorted(cand)[:k]]
         assert [got[(qi, r)] for r in range(1, k + 1)] == expect
+
+
+def test_kcenter_k_exceeding_corpus_stops_early(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [3.0])], "vec_id long, embedding array<double>"
+    )
+    out = kcenter_select(df, id_col="vec_id", vec_col="embedding", k=5).collect()
+    got = sorted((r.sel_rank, r.id, r.dist_micro) for r in out)
+    assert got == [(1, 1, 0), (2, 2, 9_000_000)]
+
+
+def test_kcenter_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert kcenter_select(df, id_col="vec_id", vec_col="embedding", k=3).count() == 0
+
+
+def test_lsh_probe_caps_index_side_only(spark):
+    from themis_tritonsort_spark.operators.dedup import lsh_probe_candidates
+
+    # index bucket b1 holds 3 docs (over cap 2 -> dropped); b2 holds 1.
+    index = spark.createDataFrame(
+        [(1, 0, "b1"), (2, 0, "b1"), (3, 0, "b1"), (4, 0, "b2")],
+        "doc long, band long, band_sig string",
+    )
+    # probe bucket sizes must NOT be capped: three probes in b2 all hit.
+    probe = spark.createDataFrame(
+        [(10, 0, "b1"), (11, 0, "b2"), (12, 0, "b2"), (13, 0, "b2")],
+        "doc long, band long, band_sig string",
+    )
+    out = lsh_probe_candidates(index, probe, max_bucket=2).collect()
+    got = sorted((r.doc_new, r.doc_old) for r in out)
+    assert got == [(11, 4), (12, 4), (13, 4)]

@@ -297,6 +297,49 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_probe_candidates(
+    index_buckets: DataFrame,
+    probe_buckets: DataFrame,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup: probe a batch of NEW documents' band
+    buckets against a prebuilt historical index — the production shape
+    when a corpus grows in shards and each shard must be deduped
+    against everything already ingested, without re-pairing the
+    historical corpus with itself.
+
+    Both inputs are (doc, band, band_sig) as produced by
+    lsh_band_buckets (the index side is typically materialized once as
+    a table, bucketed on (band, band_sig), and reused across incoming
+    shards).  Returns distinct (doc_new, doc_old).
+
+    ``max_bucket`` caps the INDEX-side bucket size: a degenerate
+    historical bucket (boilerplate cluster) would otherwise hand every
+    probe that lands in it the whole bucket as candidates.  Capped
+    buckets belong to exact dedup, same contract as
+    lsh_candidate_pairs.  The count runs over the index's own
+    (band, band_sig) partitioning — no extra shuffle; the probe side
+    is never windowed (a shard is small relative to the index)."""
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_sig")
+        index_buckets = (
+            index_buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+    i = index_buckets.alias("i")
+    p = probe_buckets.alias("p")
+    return (
+        p.join(
+            i,
+            (F.col("p.band") == F.col("i.band"))
+            & (F.col("p.band_sig") == F.col("i.band_sig")),
+        )
+        .select(F.col("p.doc").alias("doc_new"), F.col("i.doc").alias("doc_old"))
+        .distinct()
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str, text_col: str, hasher: str = "md5"
 ) -> DataFrame:

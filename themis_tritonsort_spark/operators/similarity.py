@@ -146,9 +146,14 @@ def kcenter_select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
     ).where(F.col("__v").isNotNull())
     base = base.persist()
-    first = base.orderBy("__id").limit(1).collect()[0]
-    chosen = [(1, int(first["__id"]), 0)]
-    center = first["__v"]
+    seed = base.orderBy("__id").limit(1).collect()
+    if not seed:
+        base.unpersist()
+        return df.sparkSession.createDataFrame(
+            [], schema="sel_rank long, id long, dist_micro long"
+        )
+    chosen = [(1, int(seed[0]["__id"]), 0)]
+    center = seed[0]["__v"]
 
     cur = base.withColumn("__md", F.lit(None).cast("long"))
     for step in range(2, k + 1):
@@ -157,9 +162,11 @@ def kcenter_select(
         cur = cur.withColumn("__md", F.least(F.coalesce("__md", d_new), d_new))
         cur = cur.where(~F.col("__id").isin([c[1] for c in chosen[-1:]]))
         # lineage stays k-deep (k is small); localCheckpoint if k grows
-        top = cur.orderBy(F.col("__md").desc(), F.col("__id").asc()).limit(1).collect()[0]
-        chosen.append((step, int(top["__id"]), int(top["__md"])))
-        center = top["__v"]
+        top = cur.orderBy(F.col("__md").desc(), F.col("__id").asc()).limit(1).collect()
+        if not top:
+            break  # fewer than k rows: the whole corpus is selected
+        chosen.append((step, int(top[0]["__id"]), int(top[0]["__md"])))
+        center = top[0]["__v"]
     base.unpersist()
     spark = df.sparkSession
     return spark.createDataFrame(

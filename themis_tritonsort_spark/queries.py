@@ -5632,6 +5632,54 @@ FROM j GROUP BY cluster_id
 """
 
 
+# Q135 Incremental near-dup: probe the incoming shard (doc_id % 10 ==
+# 0) against the historical LSH index (the other 90 %) — the
+# grows-in-shards production shape: new docs pair only with the index,
+# the historical corpus is never re-paired with itself.  Index-side
+# hot buckets are capped.  See operators/dedup.py: lsh_probe_candidates.
+def q135_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import lsh_probe_candidates
+
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", n=1, num_hashes=16)
+    buckets = lsh_band_buckets(sig, bands=4, num_hashes=16)
+    index = buckets.where(F.col("doc") % 10 != 0)
+    probe = buckets.where(F.col("doc") % 10 == 0)
+    return lsh_probe_candidates(index, probe, max_bucket=LSH_MAX_BUCKET)
+
+
+_Q135_SQL = f"""
+WITH s AS (
+  SELECT doc_id AS doc, unnest(list_distinct({_TOK.format(col='text')})) AS shingle
+  FROM documents
+),
+hx AS (
+  SELECT doc, (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 2147483647 AS x
+  FROM s
+),
+comp AS (
+  SELECT doc, i AS h, min(((2*i + 1) * x + 7919*i) % 2147483647) AS mh
+  FROM hx CROSS JOIN (SELECT unnest(range(16)) AS i)
+  GROUP BY doc, i
+),
+band0 AS (
+  SELECT doc, h // 4 AS band,
+         md5(string_agg(lpad(h::VARCHAR, 2, '0') || ':' || mh::VARCHAR, '|' ORDER BY h)) AS band_sig
+  FROM comp GROUP BY doc, h // 4
+),
+idx AS (
+  SELECT doc, band, band_sig FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, band_sig) AS bsz
+    FROM band0 WHERE doc % 10 <> 0
+  ) WHERE bsz <= {LSH_MAX_BUCKET}
+),
+prb AS (SELECT * FROM band0 WHERE doc % 10 = 0)
+SELECT DISTINCT p.doc AS doc_new, i.doc AS doc_old
+FROM prb p JOIN idx i
+  ON p.band = i.band AND p.band_sig = i.band_sig
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -5768,6 +5816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q132_hard_negatives": q132_hard_negatives,
     "q133_kcenter_sample": q133_kcenter_sample,
     "q134_keep_best": q134_keep_best,
+    "q135_incremental_neardup": q135_incremental_neardup,
 }
 
 # Driver-window rotation (round 5).  The round driver gates the FIRST
@@ -5954,4 +6003,5 @@ ORACLES: dict[str, str] = {
     "q132_hard_negatives": _Q132_SQL,
     "q133_kcenter_sample": _Q133_SQL,
     "q134_keep_best": _Q134_SQL,
+    "q135_incremental_neardup": _Q135_SQL,
 }
