@@ -5850,17 +5850,19 @@ _WINDOW_PRIORITY = [
     "q117_promo_share", "q118_top_supplier", "q119_histogram_quantiles",
     "q120_lineno_gaps", "q121_orphan_audit", "q122_event_paths",
     "q123_segment_mode", "q124_spend_deciles",
-    # longest-stale r03 rows (11) + this round's output-changed
-    # re-gates (3) + the round's new entries (6)
+    # longest-stale r03 rows (6) + this round's output-changed
+    # re-gates (3) + the round's new entries (11: q125-q135 —
+    # q04/q05/q08/q09 yield their stale-re-proof slots to the
+    # never-gated q132-q135 and rotate back in round 6)
     "q01_sort_events", "q02_sort_lineitem", "q03_wordcount",
-    "q04_ngrams", "q05_inverted_index", "q06_sessionize",
-    "q07_pagerank", "q08_link_extract", "q09_kmeans_assign",
-    "q14_pricing_summary",
+    "q06_sessionize", "q07_pagerank", "q14_pricing_summary",
     "q19_minhash_lsh", "q46_dedup_clusters", "q79_semdedup",
     "q125_video_frames", "q126_local_supplier_volume",
     "q127_market_share", "q128_returned_items",
     "q129_sales_opportunity", "q130_variant_json",
-    "q131_k_anonymity",
+    "q131_k_anonymity", "q132_hard_negatives",
+    "q133_kcenter_sample", "q134_keep_best",
+    "q135_incremental_neardup",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
