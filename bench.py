@@ -211,6 +211,9 @@ BENCH_QUERIES = {
     "q133_kcenter_sample": q.q133_kcenter_sample,
     "q134_keep_best": q.q134_keep_best,
     "q135_incremental_neardup": q.q135_incremental_neardup,
+    "q136_leakage_safe_split": q.q136_leakage_safe_split,
+    "q137_trained_classifier": q.q137_trained_classifier,
+    "q138_importance_resample": q.q138_importance_resample,
 }
 
 

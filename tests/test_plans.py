@@ -351,3 +351,40 @@ def test_q115_predicates_reach_scan(spark):
     pushed = plan.split("PushedFilters", 1)[1].splitlines()[0]
     assert "l_shipdate" in pushed and "l_quantity" in pushed and "l_discount" in pushed
     assert "Join" not in plan
+
+
+def test_q137_weight_table_broadcasts(spark):
+    # trained-classifier scoring must join the corpus to the weight
+    # table via BroadcastHashJoin (buckets-sized build side), never a
+    # shuffled SMJ of the corpus, and stay UDF-free
+    plan = _plan(q.q137_trained_classifier(spark, SF_SMOKE), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    # the ONLY nested-loop is the 1-row prior riding in as a broadcast
+    # literal (Cross build of a global aggregate) — never an Inner NLJ
+    # over data-sized sides
+    import re
+
+    nljs = re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan)
+    assert all("Cross" in n for n in nljs) and len(nljs) <= 1
+    assert "Cartesian" not in plan
+    assert "Python" not in plan  # no python UDF in the hot path
+
+
+def test_q138_budget_walk_has_no_global_window(spark):
+    # the budget cumsum is the distributed prefix sum: no
+    # single-partition window over the corpus (the only window runs
+    # per spark_partition_id), and the ratio table broadcasts
+    plan = _plan(q.q138_importance_resample(spark, SF_SMOKE), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        # every Window node must be partitioned (arg 2 non-empty)
+        assert m.group(1).strip(), f"global window in plan: {m.group(0)}"
+
+
+def test_q136_split_is_map_side_after_anchor_join(spark):
+    # the split expression itself adds no shuffle beyond the anchor
+    # join: no NLJ/cartesian anywhere in the leakage-safe split plan
+    plan = _plan(q.q136_leakage_safe_split(spark, SF_SMOKE), mode="simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

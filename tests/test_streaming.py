@@ -912,3 +912,52 @@ def test_compression_ratio_streams_match_batch(spark, stream_dir):
         ).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_nb_frozen_scoring_stream_matches_batch(spark, stream_dir):
+    from themis_tritonsort_spark.operators.textstats import (
+        nb_freeze_weights,
+        nb_score_frozen,
+        nb_token_classifier,
+    )
+
+    rows = [(i, "aaa bbb aaa", True) for i in range(6)]
+    rows += [(i + 6, "ccc ddd ccc", False) for i in range(6)]
+    rows += [(20, "aaa ccc bbb ddd aaa", True)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    weights = nb_freeze_weights(docs, "doc_id", "text", "y", buckets=64)
+    assert len(weights) == 64 and any(w != 0 for w in weights)
+
+    # frozen scorer over the TRAINING corpus == the batch classifier
+    # (every training token's bucket is in the weight table)
+    frozen = {
+        r.doc_id: (r.score_micro, r.n_tokens, r.pred_label)
+        for r in nb_score_frozen(docs, "doc_id", "text", weights).collect()
+    }
+    batch = {
+        r.doc_id: (r.score_micro, r.n_tokens, r.pred_label)
+        for r in nb_token_classifier(
+            docs, "doc_id", "text", "y", buckets=64
+        ).collect()
+    }
+    assert frozen == batch
+
+    # a never-trained token scores the neutral 0 on new data
+    new = spark.createDataFrame(
+        [(100, "aaa zzz-never-trained aaa")], "doc_id long, text string"
+    )
+    [r] = nb_score_frozen(new, "doc_id", "text", weights).collect()
+    assert r.n_tokens == 3
+
+    # and the identical expression scores a STREAM statelessly
+    src = os.path.join(stream_dir, "nb_src")
+    docs.select("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    _run_to_memory(
+        nb_score_frozen(stream, "doc_id", "text", weights), "nb_stream"
+    )
+    got = {
+        r.doc_id: (r.score_micro, r.n_tokens, r.pred_label)
+        for r in spark.sql("select * from nb_stream").collect()
+    }
+    assert got == batch

@@ -1257,3 +1257,170 @@ def compression_ratio(
         fn,
         schema="id long, raw_len long, compressed_len long, ratio_ppm long",
     )
+
+
+def nb_token_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    buckets: int = 512,
+) -> DataFrame:
+    """TRAINED hashed bag-of-words classifier (the quality-classifier
+    step of an LLM data pipeline — fasttext-shaped, Naive-Bayes-style):
+    unlike ``hashed_linear_score``'s fixed surrogate weights, the
+    weights here are LEARNED from the corpus itself.  Token occurrences
+    hash into ``buckets`` feature buckets; each bucket's weight is its
+    smoothed in-class occurrence rate minus the global prior, in
+    integer micro units:
+
+        w(b) = ((n_label(b)+1)*1e6) div (n(b)+2)
+             - ((n_label+1)*1e6) div (n+2)
+
+    so a bucket whose tokens skew toward the labeled class gets a
+    positive weight.  Every document is then scored as the sum of its
+    tokens' bucket weights: (id, score_micro, n_tokens, pred_label =
+    score_micro > 0).  Integer ``div`` end to end — no log/float, so
+    the score is bit-reproducible by any engine (the module's md5
+    discipline; a real log-likelihood model swaps in as the same
+    ``buckets``-row broadcast join without changing the plan).
+
+    Scale: training is ONE token-bucket aggregate (map-side partial,
+    ``buckets`` rows out); the global prior is a second aggregate OVER
+    THE BUCKET TABLE (buckets rows, not the corpus); scoring joins the
+    corpus to the broadcast weight table and sums per doc.  The
+    tokenized frame is persisted so train + score read the corpus
+    once.  No shuffle is corpus-wide except the per-doc score
+    aggregate, which partial-aggregates map-side.
+    """
+    tb, weights = _nb_weight_frames(df, id_col, text_col, label_col, buckets)
+    return (
+        tb.join(F.broadcast(weights), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__w").cast("long").alias("score_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col(id_col),
+            "score_micro",
+            "n_tokens",
+            (F.col("score_micro") > 0).alias("pred_label"),
+        )
+    )
+
+
+def _nb_bucket(col, buckets: int):
+    """md5 feature bucket in [0, buckets) — the module's oracle-
+    reproducible hash family (same recipe as hashed_linear_score)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % buckets
+    )
+
+
+def _nb_weight_frames(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    buckets: int,
+):
+    """Shared trainer for the NB-style classifier: returns
+    (token-bucket frame persisted, weight frame (__b, __w)) — the
+    batch classifier joins the weights back, the freezer collects
+    them (buckets rows, centers-sized)."""
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    from pyspark import StorageLevel
+
+    scale = 1_000_000
+    tb = (
+        df.select(
+            F.col(id_col),
+            F.col(label_col).cast("boolean").alias("__y"),
+            F.explode(tokens(F.col(text_col))).alias("__word"),
+        )
+        .select(
+            F.col(id_col), "__y", _nb_bucket(F.col("__word"), buckets).alias("__b")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # persisted: the bucket table feeds BOTH the weights and the prior,
+    # so the corpus-wide aggregate runs once (buckets rows cached)
+    counts = tb.groupBy("__b").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__np"),
+        F.count(F.lit(1)).alias("__n"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    prior = counts.agg(
+        F.sum("__np").alias("__gp"), F.sum("__n").alias("__gn")
+    )
+    weights = counts.crossJoin(F.broadcast(prior)).select(
+        "__b",
+        (
+            F.expr(f"((__np + 1) * {scale}) div (__n + 2)")
+            - F.expr(f"((__gp + 1) * {scale}) div (__gn + 2)")
+        ).cast("long").alias("__w"),
+    )
+    return tb, weights
+
+
+def nb_freeze_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    buckets: int = 512,
+) -> list[int]:
+    """Driver-side frozen weight vector for the trained NB-style
+    classifier: ``buckets`` integers (the k-means-centers collect
+    discipline — model-sized, never corpus-sized).  Buckets no
+    training token hashed into get the prior-neutral weight 0.  The
+    vector is what makes map-side scoring of a STREAM possible: it
+    rides as a plan literal, no join, no state (the frozen-snapshot
+    discipline of bm25_freeze_stats / the Bloom decontaminator)."""
+    _, weights = _nb_weight_frames(df, id_col, text_col, label_col, buckets)
+    got = {int(r["__b"]): int(r["__w"]) for r in weights.collect()}
+    return [got.get(b, 0) for b in range(buckets)]
+
+
+def nb_score_frozen(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[int],
+) -> DataFrame:
+    """Score documents against a frozen trained-classifier weight
+    vector ENTIRELY map-side: (id, score_micro, n_tokens, pred_label).
+    The weight vector folds into the plan as a literal array and each
+    token's weight is one element_at — no join, no aggregation, no
+    state, so the identical expression scores a STREAMING DataFrame.
+
+    Over the training corpus itself the scores equal
+    ``nb_token_classifier`` exactly (every training token's bucket is
+    in the table by construction — pinned by test).  On NEW data the
+    frozen scorer additionally counts never-trained buckets at the
+    neutral weight 0, where the batch operator's inner join would
+    have dropped them; 0 is the smoothed no-evidence weight, so this
+    is the semantics a deployed filter wants.  Empty documents (no
+    tokens) are dropped, matching the batch operator."""
+    buckets = len(weights)
+    if buckets <= 0:
+        raise ValueError("weights must be non-empty")
+    arr = F.array(*[F.lit(int(w)) for w in weights])
+    toks = tokens(F.col(text_col))
+    per_tok = F.transform(
+        toks,
+        lambda w: F.element_at(arr, _nb_bucket(w, buckets).cast("int") + 1),
+    )
+    score = F.aggregate(
+        per_tok, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            score.alias("score_micro"),
+            F.size(toks).cast("long").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn("pred_label", F.col("score_micro") > 0)
+    )

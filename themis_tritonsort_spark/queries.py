@@ -5680,6 +5680,155 @@ FROM prb p JOIN idx i
 """
 
 
+# Q136 Leakage-safe split (operators/sampling.py: leakage_safe_split):
+# near-dup LSH pairs (q19's capped construction) -> connected
+# components -> whole component assigned to one split by md5 of the
+# group anchor.  The oracle recomputes the components with q46's
+# recursive CTE and the split with q61's md5 bucket — over the GROUP
+# id, which is the entire point.
+def q136_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import leakage_safe_split
+
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", n=1, num_hashes=16)
+    pairs = lsh_candidate_pairs(
+        lsh_band_buckets(sig, bands=4, num_hashes=16),
+        max_bucket=LSH_MAX_BUCKET,
+    )
+    return leakage_safe_split(
+        docs,
+        pairs,
+        "doc_id",
+        [("train", 0.9), ("validation", 0.05), ("test", 0.05)],
+    )
+
+
+_Q136_SQL = f"""
+WITH RECURSIVE pairs AS ({_Q19_SQL}),
+eu AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+v AS (SELECT DISTINCT src AS vid FROM eu),
+r AS (
+  SELECT vid, vid AS label FROM v
+  UNION
+  SELECT e.dst AS vid, r.label FROM r JOIN eu e ON e.src = r.vid
+),
+comp AS (SELECT vid, min(label) AS canonical_id FROM r GROUP BY vid),
+g AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.canonical_id, d.doc_id) AS BIGINT) AS group_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.vid
+)
+SELECT doc_id, group_id,
+       CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'validation'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, group_id,
+         ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS b
+  FROM g
+)
+"""
+
+
+# Q137 Trained hashed NB-style classifier (operators/textstats.py:
+# nb_token_classifier): weights LEARNED from the corpus (per-bucket
+# smoothed en-rate minus global prior, integer micro), then every doc
+# scored against them — unlike q104's fixed surrogate weights.
+def q137_trained_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import nb_token_classifier
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "__is_en", F.col("lang") == "en"
+    )
+    return nb_token_classifier(docs, "doc_id", "text", "__is_en", buckets=512)
+
+
+_Q137_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, y,
+         (('0x' || substr(md5(tok), 1, 15))::BIGINT % 512) AS b
+  FROM (
+    SELECT doc_id, lang = 'en' AS y,
+           unnest({_TOK.format(col='text')}) AS tok
+    FROM documents
+  )
+),
+counts AS (
+  SELECT b, sum(CASE WHEN y THEN 1 ELSE 0 END) AS np, count(*) AS n
+  FROM toks GROUP BY b
+),
+prior AS (SELECT sum(np) AS gp, sum(n) AS gn FROM counts),
+weights AS (
+  SELECT b, ((np + 1) * 1000000) // (n + 2)
+            - ((gp + 1) * 1000000) // (gn + 2) AS w
+  FROM counts, prior
+)
+SELECT t.doc_id,
+       CAST(sum(w.w) AS BIGINT) AS score_micro,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       sum(w.w) > 0 AS pred_label
+FROM toks t JOIN weights w ON t.b = w.b
+GROUP BY t.doc_id
+"""
+
+
+# Q138 DSIR-shaped importance resampling (operators/sampling.py:
+# importance_resample): target = docs from sources src0-src3; every
+# doc ranked by mean hashed-unigram target-affinity (integer ratio,
+# no log), admitted in importance order under a token budget.
+_Q138_BUDGET = 5_000
+
+
+def q138_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import importance_resample
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "__target", F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    return importance_resample(
+        docs, "doc_id", "text", "__target", budget_tokens=_Q138_BUDGET,
+        buckets=512,
+    )
+
+
+_Q138_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t,
+         (('0x' || substr(md5(tok), 1, 15))::BIGINT % 512) AS b
+  FROM (
+    SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3') AS t,
+           unnest({_TOK.format(col='text')}) AS tok
+    FROM documents
+  )
+),
+ratio AS (
+  SELECT b, ((sum(CASE WHEN t THEN 1 ELSE 0 END) + 1) * 1000000)
+            // (count(*) + 512) AS r
+  FROM toks GROUP BY b
+),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(r) // count(*) AS BIGINT) AS score_micro,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks JOIN ratio USING (b)
+  GROUP BY doc_id
+),
+cum AS (
+  SELECT doc_id, score_micro, n_tokens,
+         sum(n_tokens) OVER (ORDER BY score_micro DESC, doc_id)
+           AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, score_micro, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens - n_tokens < {_Q138_BUDGET}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -5817,6 +5966,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q133_kcenter_sample": q133_kcenter_sample,
     "q134_keep_best": q134_keep_best,
     "q135_incremental_neardup": q135_incremental_neardup,
+    "q136_leakage_safe_split": q136_leakage_safe_split,
+    "q137_trained_classifier": q137_trained_classifier,
+    "q138_importance_resample": q138_importance_resample,
 }
 
 # Driver-window rotation (round 5).  The round driver gates the FIRST
@@ -5850,19 +6002,19 @@ _WINDOW_PRIORITY = [
     "q117_promo_share", "q118_top_supplier", "q119_histogram_quantiles",
     "q120_lineno_gaps", "q121_orphan_audit", "q122_event_paths",
     "q123_segment_mode", "q124_spend_deciles",
-    # longest-stale r03 rows (6) + this round's output-changed
-    # re-gates (3) + the round's new entries (11: q125-q135 —
-    # q04/q05/q08/q09 yield their stale-re-proof slots to the
-    # never-gated q132-q135 and rotate back in round 6)
-    "q01_sort_events", "q02_sort_lineitem", "q03_wordcount",
-    "q06_sessionize", "q07_pagerank", "q14_pricing_summary",
+    # longest-stale r03 rows (3) + this round's output-changed
+    # re-gates (3) + the round's new entries (14: q125-q138 —
+    # q02-q06/q08/q09 yield their stale-re-proof slots to the
+    # never-gated q132-q138 and rotate back in round 6)
+    "q01_sort_events", "q07_pagerank", "q14_pricing_summary",
     "q19_minhash_lsh", "q46_dedup_clusters", "q79_semdedup",
     "q125_video_frames", "q126_local_supplier_volume",
     "q127_market_share", "q128_returned_items",
     "q129_sales_opportunity", "q130_variant_json",
     "q131_k_anonymity", "q132_hard_negatives",
     "q133_kcenter_sample", "q134_keep_best",
-    "q135_incremental_neardup",
+    "q135_incremental_neardup", "q136_leakage_safe_split",
+    "q137_trained_classifier", "q138_importance_resample",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
@@ -6006,4 +6158,7 @@ ORACLES: dict[str, str] = {
     "q133_kcenter_sample": _Q133_SQL,
     "q134_keep_best": _Q134_SQL,
     "q135_incremental_neardup": _Q135_SQL,
+    "q136_leakage_safe_split": _Q136_SQL,
+    "q137_trained_classifier": _Q137_SQL,
+    "q138_importance_resample": _Q138_SQL,
 }

@@ -94,7 +94,12 @@ def probes(spark, sf_dir: str, copies: int):
         minhash_signature,
     )
     from themis_tritonsort_spark.operators.textstats import text_quality
-    from themis_tritonsort_spark.operators.sampling import token_budget_sample
+    from themis_tritonsort_spark.operators.sampling import (
+        importance_resample,
+        leakage_safe_split,
+        token_budget_sample,
+    )
+    from themis_tritonsort_spark.operators.textstats import nb_token_classifier
     from themis_tritonsort_spark.operators.similarity import (
         hard_negative_topk,
         pq_codebook,
@@ -188,6 +193,33 @@ def probes(spark, sf_dir: str, copies: int):
             "query_id",
             "term",
             k=20,
+        ),
+        # weight table fixed at `buckets` rows however big the corpus:
+        # train is one partial agg, scoring a broadcast join
+        "nb_classifier": lambda: nb_token_classifier(
+            docs.withColumn("__y", F.col("lang") == "en"),
+            "doc_id",
+            "text",
+            "__y",
+        ),
+        # ratio table bucket-bound + distributed prefix sum for the
+        # budget walk (budget grows with copies so kept rows scale too)
+        "importance_resample": lambda: importance_resample(
+            docs.withColumn(
+                "__t", F.col("source").isin("src0", "src1", "src2", "src3")
+            ),
+            "doc_id",
+            "text",
+            "__t",
+            budget_tokens=600 * copies,
+        ),
+        # components-bound like keep_best; the anchor join is the only
+        # corpus-wide shuffle, the split itself is map-side
+        "leakage_split": lambda: leakage_safe_split(
+            docs,
+            lsh(docs),
+            "doc_id",
+            [("train", 0.9), ("validation", 0.05), ("test", 0.05)],
         ),
         # counter-bound: at most n_bins rows per group shuffle
         "histogram_quantiles": lambda: histogram_quantiles(
