@@ -214,6 +214,8 @@ BENCH_QUERIES = {
     "q136_leakage_safe_split": q.q136_leakage_safe_split,
     "q137_trained_classifier": q.q137_trained_classifier,
     "q138_importance_resample": q.q138_importance_resample,
+    "q139_dup_substrings": q.q139_dup_substrings,
+    "q140_substring_scrub": q.q140_substring_scrub,
 }
 
 

@@ -166,14 +166,14 @@ def test_driver_window_composition():
     assert missing == []
     windowed_prefixes = {n.split("_")[0] for n in _WINDOW_PRIORITY}
     # every round-4-era never-driver-gated entry (q95..q124) plus ALL
-    # round-5 additions (q125..q135) must be in the window — after r05
+    # round-5 additions (q125..q140) must be in the window — after r05
     # nothing in the catalog is never-driver-gated
-    never_gated = {f"q{i}" for i in range(95, 139)}
+    never_gated = {f"q{i}" for i in range(95, 141)}
     assert never_gated <= windowed_prefixes
-    # the longest-stale r03 rows re-prove this round (q02-q06/q08/q09
-    # yield their slots to the never-gated q132-q138 and rotate back
+    # the longest-stale r03 row re-proves this round (q02-q09/q14
+    # yield their slots to the never-gated additions and rotate back
     # in round 6)
-    stale_front = {"q01", "q07", "q14"}
+    stale_front = {"q01"}
     assert stale_front <= windowed_prefixes
     # entries whose OUTPUT changed this round (LSH bucket cap,
     # semdedup cluster cap) re-gate regardless of their last row

@@ -556,3 +556,132 @@ def keep_best_per_cluster(
             F.col("__pick.s").cast("long").alias("kept_score"),
         )
     )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 16,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    sliding window of ``window_tokens`` consecutive tokens is
+    fingerprinted, a window whose text occurs more than once in the
+    CORPUS (across documents or repeated inside one document) is
+    "duplicated", and per document the overlapping/adjacent duplicated
+    windows merge into maximal spans.  Returns one row per merged span:
+    (id, span_start, span_end, n_windows) with 0-based token offsets,
+    end exclusive — integer-exact, so the DuckDB oracle reproduces it
+    bit-for-bit.
+
+    This is the sliding-window complement of ``textstats.dedup_spans``
+    (fixed non-overlapping blocks): blocks miss duplicates that
+    straddle a block boundary; the sliding window catches every
+    duplicated run of >= window_tokens tokens at the cost of w rows
+    per token position.  The reference suffix-array formulation is a
+    single-node algorithm; corpus-wide rolling fingerprints + a
+    count-per-fingerprint shuffle is the standard distributed
+    re-expression.
+
+    Scale: one exchange keyed by the window fingerprint (count > 1
+    decision, partial-aggregated map-side), one keyed by doc id (the
+    interval merge).  A boilerplate window shared by millions of docs
+    is a hot fingerprint, but its groupBy payload is a count, and the
+    dup rows return to their OWN documents' partitions for the merge —
+    no pair explosion anywhere (unlike pairwise dedup, the output is
+    per-document, not per-pair).  The merge window sorts only each
+    document's duplicated positions (<= its token count).
+    """
+    if window_tokens <= 0:
+        raise ValueError(f"window_tokens must be positive, got {window_tokens}")
+    w = window_tokens
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).where(F.size("__toks") >= w)
+    wins = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - w),
+                lambda i: F.array_join(F.slice("__toks", i + 1, w), " "),
+            )
+        ).alias("pos", "__wt"),
+    ).select(F.col(id_col), "pos", F.md5("__wt").alias("__fp"))
+    # fingerprint multiplicity: groupBy + semi-join back (both sides
+    # partial-aggregate; a window-function count would materialize
+    # every hot fingerprint's rows in one task)
+    dup_fps = (
+        wins.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .select("__fp")
+    )
+    dup = wins.join(dup_fps, "__fp", "left_semi").select(F.col(id_col), "pos")
+    # interval merge: positions are window STARTS covering [pos, pos+w);
+    # a new span begins when the gap to the previous start exceeds w
+    # (strictly: pos > prev_pos + w means [prev) and [pos) are disjoint
+    # AND non-adjacent; pos == prev_pos + w is adjacent -> merge)
+    ww = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup.withColumn(
+        "__brk",
+        F.when(
+            F.lag("pos").over(ww).isNull()
+            | (F.col("pos") - F.lag("pos").over(ww) > w),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__g",
+        F.sum("__brk").over(
+            ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy(F.col(id_col), F.col("__g")).agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + w).cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+    ).select(id_col, "span_start", "span_end", "n_windows")
+
+
+def scrub_duplicate_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 16,
+) -> DataFrame:
+    """Apply ``duplicate_substring_spans`` as a filter: drop every
+    token inside a duplicated span and reassemble the survivors in
+    order.  Returns (id, n_tokens, n_removed, clean_text); documents
+    with no duplicated span pass through with n_removed = 0.
+
+    Scale: the span list rides a left join keyed on the doc id (spans
+    are per-document and few); the token drop is a map-side
+    array-filter against the doc's own collected span array.
+    """
+    w = window_tokens
+    spans = (
+        duplicate_substring_spans(df, id_col, text_col, w)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+        )
+    )
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    joined = toks.join(spans, id_col, "left")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    kept = F.when(
+        F.col("__spans").isNull(), F.col("__toks")
+    ).otherwise(
+        F.filter(F.col("__toks"), lambda t, i: ~covered(i))
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -5829,6 +5829,103 @@ FROM cum WHERE cum_tokens - n_tokens < {_Q138_BUDGET}
 """
 
 
+# Q139/Q140 ExactSubstr dedup (operators/dedup.duplicate_substring_spans):
+# sliding rolling-window duplicated-substring detection — the Lee et
+# al. 2021 suffix-array recipe re-expressed as a fingerprint-count
+# shuffle — and its scrubbing application.  Every 12-token window that
+# occurs >1 time in the corpus marks its positions; overlapping marks
+# merge into maximal spans (q139); q140 drops the covered tokens and
+# reassembles the survivors.  Integer span offsets / exact strings, so
+# DuckDB reproduces both bit-for-bit.  The shared spans CTE is the
+# q139 oracle's body.
+_Q139_W = 12
+
+_Q139_SPANS_CTE = f"""
+toks AS (SELECT doc_id, {_TOK.format(col='text')} AS t FROM documents),
+nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= {_Q139_W}),
+wins AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, n - {_Q139_W} + 1)) AS s
+  FROM nz
+),
+wtext AS (
+  SELECT doc_id, s - 1 AS pos,
+         md5(array_to_string(t[s:s+{_Q139_W}-1], ' ')) AS fp
+  FROM wins
+),
+dup AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY fp) AS c FROM wtext)
+  WHERE c > 1
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_Q139_W}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + {_Q139_W} AS BIGINT) AS span_end,
+         CAST(count(*) AS BIGINT) AS n_windows
+  FROM grp GROUP BY doc_id, g
+)"""
+
+
+def q139_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import duplicate_substring_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicate_substring_spans(docs, "doc_id", "text", _Q139_W)
+
+
+_Q139_SQL = f"""
+WITH {_Q139_SPANS_CTE}
+SELECT doc_id, span_start, span_end, n_windows FROM spans
+"""
+
+
+def q140_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import scrub_duplicate_substrings
+
+    docs = table(spark, sf_dir, "documents")
+    return scrub_duplicate_substrings(docs, "doc_id", "text", _Q139_W)
+
+
+_Q140_SQL = f"""
+WITH {_Q139_SPANS_CTE},
+tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+kept AS (
+  SELECT doc_id, w, i FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tok.doc_id
+      AND tok.i - 1 >= s.span_start AND tok.i - 1 < s.span_end
+  )
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         array_to_string(list(w ORDER BY i), ' ') AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -5969,6 +6066,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q136_leakage_safe_split": q136_leakage_safe_split,
     "q137_trained_classifier": q137_trained_classifier,
     "q138_importance_resample": q138_importance_resample,
+    "q139_dup_substrings": q139_dup_substrings,
+    "q140_substring_scrub": q140_substring_scrub,
 }
 
 # Driver-window rotation (round 5).  The round driver gates the FIRST
@@ -5976,15 +6075,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # 50/50 green over q19..q49 (the r02-stale tail) plus q73..q94, so the
 # only catalog entries that have NEVER seen a driver gate are the
 # round-4 session's late additions q95..q124 — all 30 go in front.
-# 10 more slots re-prove the longest-stale r03 rows q01..q09 and
-# q14; 7 go to this round's new q125..q131 (never gated — gating new
-# code outranks re-proving unchanged r03-green code, so q10 rotates
-# to round 6 instead); the last 3 re-gate q19/q46/q79, whose OUTPUT
-# changed this round (the LSH hot-bucket cap and the semdedup cluster
-# cap are now active in the catalog entries, so their r04 rows no
-# longer attest current code).
-# q10, q10b..q13, q15..q18, q29/q31/q39 (r03-green, code unchanged)
-# plus the r03-green q50..q72 block rotate back in round 6 —
+# The remaining 20 slots: 16 to this round's new never-gated entries
+# q125..q140 (gating new code outranks re-proving unchanged r03-green
+# code), 3 to re-gates of q19/q46/q79, whose OUTPUT changed this round
+# (the LSH hot-bucket cap and the semdedup cluster cap are now active
+# in the catalog entries, so their r04 rows no longer attest current
+# code), and 1 to the longest-stale r03 row q01 (the entry() flagship).
+# q02..q18 (incl. q10b), q29/q31/q39 (r03-green, code unchanged) plus
+# the r03-green q50..q72 block rotate back in round 6 —
 # tools/driver_sim.py's staleness report lists them.  Everything outside
 # the window stays oracle-checked locally every run by
 # tests/test_queries_oracle.py, and tools/driver_sim.py flags any
@@ -6003,11 +6101,12 @@ _WINDOW_PRIORITY = [
     "q120_lineno_gaps", "q121_orphan_audit", "q122_event_paths",
     "q123_segment_mode", "q124_spend_deciles",
     # longest-stale r03 rows (3) + this round's output-changed
-    # re-gates (3) + the round's new entries (14: q125-q138 —
-    # q02-q06/q08/q09 yield their stale-re-proof slots to the
-    # never-gated q132-q138 and rotate back in round 6)
-    "q01_sort_events", "q07_pagerank", "q14_pricing_summary",
+    # re-gates (3) + the round's new entries (16: q125-q140 —
+    # q02-q09/q14 yield their stale-re-proof slots to the
+    # never-gated additions and rotate back in round 6)
+    "q01_sort_events",
     "q19_minhash_lsh", "q46_dedup_clusters", "q79_semdedup",
+    "q139_dup_substrings", "q140_substring_scrub",
     "q125_video_frames", "q126_local_supplier_volume",
     "q127_market_share", "q128_returned_items",
     "q129_sales_opportunity", "q130_variant_json",
@@ -6161,4 +6260,6 @@ ORACLES: dict[str, str] = {
     "q136_leakage_safe_split": _Q136_SQL,
     "q137_trained_classifier": _Q137_SQL,
     "q138_importance_resample": _Q138_SQL,
+    "q139_dup_substrings": _Q139_SQL,
+    "q140_substring_scrub": _Q140_SQL,
 }
