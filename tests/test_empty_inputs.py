@@ -208,3 +208,25 @@ def test_round5_additions_total_over_empty_inputs(spark):
 
     assert decode_jpeg(b"") is None
     assert decode_jpeg(b"\xff\xd8") is None  # SOI only
+
+
+def test_substring_dedup_total_over_empty_and_short(spark):
+    from themis_tritonsort_spark.operators.dedup import (
+        duplicate_substring_spans,
+        scrub_duplicate_substrings,
+    )
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert (
+        duplicate_substring_spans(no_docs, "doc_id", "text", 4).count() == 0
+    )
+    assert scrub_duplicate_substrings(no_docs, "doc_id", "text", 4).count() == 0
+    # all-short corpus: no window fits anywhere, scrub passes through
+    short = spark.createDataFrame([(1, "a b"), (2, "")], "doc_id long, text string")
+    assert duplicate_substring_spans(short, "doc_id", "text", 4).count() == 0
+    rows = {
+        r["doc_id"]: r
+        for r in scrub_duplicate_substrings(short, "doc_id", "text", 4).collect()
+    }
+    assert rows[1]["n_removed"] == 0 and rows[1]["clean_text"] == "a b"
+    assert rows[2]["n_tokens"] == 0 and rows[2]["clean_text"] == ""

@@ -388,3 +388,23 @@ def test_q136_split_is_map_side_after_anchor_join(spark):
     # join: no NLJ/cartesian anywhere in the leakage-safe split plan
     plan = _plan(q.q136_leakage_safe_split(spark, SF_SMOKE), mode="simple")
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q139_dup_decision_is_aggregate_semi_join(spark):
+    # the fingerprint-multiplicity decision must be an aggregate +
+    # LeftSemi hash join — never a per-pair product (BNLJ/cartesian)
+    # and never a window count that funnels a hot fingerprint's rows
+    # into one task
+    plan = _plan(q.q139_dup_substrings(spark, SF_SMOKE), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q140_scrub_spans_ride_a_doc_keyed_join(spark):
+    # the span list joins back on the doc id only; the token drop is
+    # map-side array math (no second corpus-wide shuffle, no python)
+    plan = _plan(q.q140_substring_scrub(spark, SF_SMOKE), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -87,6 +87,7 @@ def replicate_events(ev, copies: int):
 def probes(spark, sf_dir: str, copies: int):
     from themis_tritonsort_spark.operators.components import dedup_clusters
     from themis_tritonsort_spark.operators.dedup import (
+        duplicate_substring_spans,
         exact_duplicates,
         keep_best_per_cluster,
         lsh_band_buckets,
@@ -228,6 +229,13 @@ def probes(spark, sf_dir: str, copies: int):
             "n_chars",
             bin_width=64,
             n_bins=128,
+        ),
+        # worst case by construction: every replica shares all interior
+        # windows with its siblings, so at 64x nearly every window is a
+        # hot duplicated fingerprint — the count shuffle and the
+        # per-document interval merge must both stay linear
+        "dup_substrings": lambda: duplicate_substring_spans(
+            docs, "doc_id", "text", window_tokens=12
         ),
     }
 
