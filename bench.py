@@ -216,6 +216,7 @@ BENCH_QUERIES = {
     "q138_importance_resample": q.q138_importance_resample,
     "q139_dup_substrings": q.q139_dup_substrings,
     "q140_substring_scrub": q.q140_substring_scrub,
+    "q141_margin_pairs": q.q141_margin_pairs,
 }
 
 

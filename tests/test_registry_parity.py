@@ -166,15 +166,12 @@ def test_driver_window_composition():
     assert missing == []
     windowed_prefixes = {n.split("_")[0] for n in _WINDOW_PRIORITY}
     # every round-4-era never-driver-gated entry (q95..q124) plus ALL
-    # round-5 additions (q125..q140) must be in the window — after r05
-    # nothing in the catalog is never-driver-gated
-    never_gated = {f"q{i}" for i in range(95, 141)}
+    # round-5 additions (q125..q141) must be in the window — after r05
+    # nothing in the catalog is never-driver-gated (the stale-but-green
+    # r03 rows q01..q18 etc. rotate back in round 6; gating new code
+    # outranks re-proving unchanged green code)
+    never_gated = {f"q{i}" for i in range(95, 142)}
     assert never_gated <= windowed_prefixes
-    # the longest-stale r03 row re-proves this round (q02-q09/q14
-    # yield their slots to the never-gated additions and rotate back
-    # in round 6)
-    stale_front = {"q01"}
-    assert stale_front <= windowed_prefixes
     # entries whose OUTPUT changed this round (LSH bucket cap,
     # semdedup cluster cap) re-gate regardless of their last row
     assert {"q19", "q46", "q79"} <= windowed_prefixes

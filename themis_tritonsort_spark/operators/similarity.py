@@ -1037,3 +1037,104 @@ def pq_rerank_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def margin_pair_mine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    query_id_col: str | None = None,
+    min_margin_micro: int | None = None,
+) -> DataFrame:
+    """Margin-based nearest-neighbor pair mining (the bitext-mining
+    scorer of Artetxe & Schwenk 2019, "Margin-based Parallel Corpus
+    Mining with Multilingual Sentence Embeddings"): plain cosine top-1
+    over-matches HUB vectors — points that are everyone's nearest
+    neighbor — so each candidate's cosine is renormalized by the mean
+    of both endpoints' k-NN cosines:
+
+        margin(x, y) = cos(x, y) / ((avg_fwd(x) + avg_bwd(y)) / 2)
+
+    and each query keeps its best-margin neighbor.  A hub's avg_bwd is
+    high, so pairs into it need to beat the hub's typical similarity,
+    not just other candidates.  Output: (query_id, neighbor_id,
+    cos_ppm, margin_micro), one row per query with a positive-margin
+    candidate; arithmetic is integer over cos_ppm (engine-exact):
+    margin_micro = cos_ppm * 2e6 div (avg_fwd_ppm + avg_bwd_ppm),
+    avg ppm stats are integer div by the actual neighbor count, and
+    candidates with a non-positive denominator are dropped (all-
+    negative-cosine neighborhoods have no meaningful margin).
+
+    Scale: the query side broadcasts and the corpus streams exactly as
+    ``brute_force_topk`` (no corpus shuffle); the two k-NN stat tables
+    are per-id aggregates of the top-k windows and broadcast back onto
+    the forward candidates.  For corpora where the bipartite scan
+    itself is too large, feed ANN-retrieved candidates through the
+    same margin arithmetic — the scorer only needs (query, neighbor,
+    cos_ppm) rows plus both stat tables.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("__cv"),
+        )
+        .crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__cv"), F.col("__qv")) * 1e6)
+            .cast("long")
+            .alias("cos_ppm"),
+        )
+        # positive candidates only: margin is meaningless across
+        # anti-correlated pairs, and keeping every integer strictly
+        # positive makes div/floor-div agree across engines
+        .where(F.col("cos_ppm") > 0)
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    fwd = scored.withColumn("__r", F.row_number().over(wf)).where(
+        F.col("__r") <= k
+    )
+    fwd_stats = fwd.groupBy("query_id").agg(
+        F.expr("sum(cos_ppm) div count(*)").alias("avg_fwd_ppm")
+    )
+    wb = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("query_id").asc()
+    )
+    bwd_stats = (
+        scored.withColumn("__r", F.row_number().over(wb))
+        .where(F.col("__r") <= k)
+        .groupBy("neighbor_id")
+        .agg(F.expr("sum(cos_ppm) div count(*)").alias("avg_bwd_ppm"))
+    )
+    margined = (
+        fwd.join(F.broadcast(fwd_stats), "query_id")
+        .join(F.broadcast(bwd_stats), "neighbor_id")
+        .where(F.col("avg_fwd_ppm") + F.col("avg_bwd_ppm") > 0)
+        .withColumn(
+            "margin_micro",
+            F.expr("cos_ppm * 2000000 div (avg_fwd_ppm + avg_bwd_ppm)"),
+        )
+    )
+    wm = Window.partitionBy("query_id").orderBy(
+        F.col("margin_micro").desc(), F.col("neighbor_id").asc()
+    )
+    best = (
+        margined.withColumn("__m", F.row_number().over(wm))
+        .where(F.col("__m") == 1)
+        .select("query_id", "neighbor_id", "cos_ppm", "margin_micro")
+    )
+    if min_margin_micro is not None:
+        best = best.where(F.col("margin_micro") >= min_margin_micro)
+    return best

@@ -5926,6 +5926,74 @@ FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """
 
 
+# Q141 Margin-based pair mining (operators/similarity.margin_pair_mine):
+# cross-set nearest-neighbor pairs (label-0 vectors mined against the
+# rest of the corpus) scored by the bitext-mining ratio margin —
+# cosine renormalized by both endpoints' mean k-NN cosine, which
+# suppresses hub vectors that plain top-1 over-matches.  Integer
+# arithmetic over cos_ppm end to end; the oracle replays the same
+# windows and integer divisions.
+_Q141_K = 4
+
+
+def q141_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import margin_pair_mine
+
+    emb = table(spark, sf_dir, "embeddings")
+    return margin_pair_mine(
+        emb.where(F.col("label") != 0),
+        emb.where(F.col("label") == 0),
+        "vec_id",
+        "embedding",
+        k=_Q141_K,
+    )
+
+
+_Q141_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(ROUND(list_dot_product(q.v, c.v)
+              / (sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(c.v, c.v))) * 1000000) AS BIGINT)
+           AS cos_ppm
+  FROM e q JOIN e c ON q.label = 0 AND c.label <> 0
+),
+pos AS (SELECT * FROM s WHERE cos_ppm > 0),
+fwd AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id
+  ) AS r FROM pos
+),
+fq AS (
+  SELECT query_id, sum(cos_ppm) // count(*) AS avg_fwd_ppm
+  FROM fwd WHERE r <= {_Q141_K} GROUP BY 1
+),
+bwd AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY neighbor_id ORDER BY cos_ppm DESC, query_id
+  ) AS r FROM pos
+),
+bq AS (
+  SELECT neighbor_id, sum(cos_ppm) // count(*) AS avg_bwd_ppm
+  FROM bwd WHERE r <= {_Q141_K} GROUP BY 1
+),
+m AS (
+  SELECT f.query_id, f.neighbor_id, f.cos_ppm,
+         (f.cos_ppm * 2000000) // (fq.avg_fwd_ppm + bq.avg_bwd_ppm)
+           AS margin_micro
+  FROM fwd f JOIN fq USING (query_id) JOIN bq USING (neighbor_id)
+  WHERE f.r <= {_Q141_K} AND fq.avg_fwd_ppm + bq.avg_bwd_ppm > 0
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY margin_micro DESC, neighbor_id
+  ) AS b FROM m
+)
+SELECT query_id, neighbor_id, cos_ppm, margin_micro FROM best WHERE b = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -6068,6 +6136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q138_importance_resample": q138_importance_resample,
     "q139_dup_substrings": q139_dup_substrings,
     "q140_substring_scrub": q140_substring_scrub,
+    "q141_margin_pairs": q141_margin_pairs,
 }
 
 # Driver-window rotation (round 5).  The round driver gates the FIRST
@@ -6080,9 +6149,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # code), 3 to re-gates of q19/q46/q79, whose OUTPUT changed this round
 # (the LSH hot-bucket cap and the semdedup cluster cap are now active
 # in the catalog entries, so their r04 rows no longer attest current
-# code), and 1 to the longest-stale r03 row q01 (the entry() flagship).
-# q02..q18 (incl. q10b), q29/q31/q39 (r03-green, code unchanged) plus
-# the r03-green q50..q72 block rotate back in round 6 —
+# code).  q01..q18 (incl. q10b), q29/q31/q39 (r03-green, code
+# unchanged) plus the r03-green q50..q72 block rotate back in round 6 —
 # tools/driver_sim.py's staleness report lists them.  Everything outside
 # the window stays oracle-checked locally every run by
 # tests/test_queries_oracle.py, and tools/driver_sim.py flags any
@@ -6101,12 +6169,12 @@ _WINDOW_PRIORITY = [
     "q120_lineno_gaps", "q121_orphan_audit", "q122_event_paths",
     "q123_segment_mode", "q124_spend_deciles",
     # longest-stale r03 rows (3) + this round's output-changed
-    # re-gates (3) + the round's new entries (16: q125-q140 —
-    # q02-q09/q14 yield their stale-re-proof slots to the
+    # re-gates (3) + the round's new entries (17: q125-q141 —
+    # q01-q09/q14 yield their stale-re-proof slots to the
     # never-gated additions and rotate back in round 6)
-    "q01_sort_events",
     "q19_minhash_lsh", "q46_dedup_clusters", "q79_semdedup",
     "q139_dup_substrings", "q140_substring_scrub",
+    "q141_margin_pairs",
     "q125_video_frames", "q126_local_supplier_volume",
     "q127_market_share", "q128_returned_items",
     "q129_sales_opportunity", "q130_variant_json",
@@ -6262,4 +6330,5 @@ ORACLES: dict[str, str] = {
     "q138_importance_resample": _Q138_SQL,
     "q139_dup_substrings": _Q139_SQL,
     "q140_substring_scrub": _Q140_SQL,
+    "q141_margin_pairs": _Q141_SQL,
 }
