@@ -402,6 +402,38 @@ def test_q139_dup_decision_is_aggregate_semi_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_q142_ann_margin_has_no_bipartite_product(spark):
+    # the ANN-fed margin path must never cross the corpus with the
+    # query set: candidates come from a hash join on (band, bucket)
+    # against the BROADCAST query band rows, re-scoring is equi-keyed,
+    # and the margin joins broadcast only the ~k-rows-per-query side
+    plan = _plan(q.q142_ann_margin_pairs(spark, SF_SMOKE), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_margin_select_streams_backward_stats(spark):
+    # the corpus-cardinality bwd_stats side must NOT be the broadcast
+    # build of the margin join (ADVICE r05): the hinted side is the
+    # fwd+fwd_stats table (~k rows per query)
+    from themis_tritonsort_spark.operators.similarity import margin_pair_mine
+
+    emb = q.table(spark, SF_SMOKE, "embeddings")
+    from pyspark.sql import functions as F
+
+    df = margin_pair_mine(
+        emb.where(F.col("label") != 0),
+        emb.where(F.col("label") == 0),
+        "vec_id",
+        "embedding",
+        k=4,
+    )
+    plan = _plan(df, mode="simple")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_q140_scrub_spans_ride_a_doc_keyed_join(spark):
     # the span list joins back on the doc id only; the token drop is
     # map-side array math (no second corpus-wide shuffle, no python)

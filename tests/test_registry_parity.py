@@ -150,10 +150,11 @@ def test_pagerank_two_iterations_via_job_chain(spark):
 
 def test_driver_window_composition():
     """The round driver gates the FIRST 50 entries of queries() — pin
-    that the window is exactly the rotation plan (round-5: all 30
-    never-driver-gated entries q95..q124 plus the 20 longest-stale
-    r03-era rows), every windowed entry has an oracle, and nothing
-    outside the window lacks local oracle coverage."""
+    that the window is exactly the rotation plan (round-6: the full
+    45-entry r03-stale block, q141's first gate, the new q142, and the
+    three integer-cosine output-changed re-gates), every windowed
+    entry has an oracle, and nothing outside the window lacks local
+    oracle coverage."""
     from themis_tritonsort_spark.queries import (
         _WINDOW_PRIORITY,
         ORACLES,
@@ -165,13 +166,16 @@ def test_driver_window_composition():
     missing = [n for n in _WINDOW_PRIORITY if n not in ORACLES]
     assert missing == []
     windowed_prefixes = {n.split("_")[0] for n in _WINDOW_PRIORITY}
-    # every round-4-era never-driver-gated entry (q95..q124) plus ALL
-    # round-5 additions (q125..q141) must be in the window — after r05
-    # nothing in the catalog is never-driver-gated (the stale-but-green
-    # r03 rows q01..q18 etc. rotate back in round 6; gating new code
-    # outranks re-proving unchanged green code)
-    never_gated = {f"q{i}" for i in range(95, 142)}
-    assert never_gated <= windowed_prefixes
-    # entries whose OUTPUT changed this round (LSH bucket cap,
-    # semdedup cluster cap) re-gate regardless of their last row
-    assert {"q19", "q46", "q79"} <= windowed_prefixes
+    # the 45 entries whose newest driver row was r03 (3 rounds old
+    # after r05) all rotate in: q01..q18 (incl q10b), q29/q31/q39,
+    # q50..q72
+    stale_r03 = (
+        {f"q{i:02d}" for i in range(1, 19)}
+        | {"q10b", "q29", "q31", "q39"}
+        | {f"q{i}" for i in range(50, 73)}
+    )
+    assert stale_r03 <= windowed_prefixes
+    # entries whose OUTPUT changed this round (micro-quantized
+    # integer-exact cos_ppm) re-gate regardless of their last row,
+    # plus q141's first-ever gate and the new ANN-fed q142
+    assert {"q20", "q38", "q132", "q141", "q142"} <= windowed_prefixes

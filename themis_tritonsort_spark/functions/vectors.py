@@ -75,3 +75,45 @@ def idot(a: Column, b: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def micro_quantize(a: Column) -> Column:
+    """Fixed-point micro-unit quantization: ``q_i = floor(1e6 * v_i +
+    0.5)`` (round-half-up).  Unlike ``sq8_quantize`` the scale is a
+    global constant, so no per-vector max pass and ~6 decimal digits
+    of fidelity — effectively lossless for float32 embeddings.
+
+    This is the engine-exactness discipline for similarity scores: an
+    integer dot product is associative, so its value cannot depend on
+    an engine's summation order — the failure class that float
+    ``aggregate`` folds vs DuckDB's ``list_dot_product`` hit (their
+    accumulation orders are implementation details, and a +-1 ppm
+    rounding flip is enough to reorder a rank or move a threshold).
+    Per-component floor(mul) is order-free, so both engines quantize
+    bit-identically.
+
+    Overflow bounds: components |v| <= ~1 quantize to ~1e6; squares
+    ~1e12; a dim-1024 norm is ~1e15 — still an exact long AND exactly
+    representable as a double (< 2^53 up to dim ~4000 for unit-ish
+    embeddings)."""
+    return F.transform(
+        as_double(a), lambda x: F.floor(F.lit(1e6) * x + F.lit(0.5))
+    )
+
+
+def icos_ppm(qa: Column, na: Column, qb: Column, nb: Column) -> Column:
+    """Engine-exact cosine in ppm over micro-quantized vectors:
+    ``floor(1e6 * idot(qa, qb) / (sqrt(na) * sqrt(nb)) + 0.5)`` with
+    ``na``/``nb`` the precomputed integer self-dots.
+
+    Every step is deterministic across IEEE-754 engines: the integer
+    dot is exact; long->double casts of values < 2^53 are exact;
+    sqrt / * / / are single correctly-rounded IEEE ops (identical on
+    the JVM and in DuckDB); floor is exact.  No summation of doubles
+    happens anywhere, so there is no order to disagree on."""
+    return F.floor(
+        F.lit(1e6)
+        * idot(qa, qb).cast("double")
+        / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+        + F.lit(0.5)
+    ).cast("long")

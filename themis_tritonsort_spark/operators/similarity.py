@@ -33,23 +33,37 @@ def brute_force_topk(
     k: int,
     query_id_col: str | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k for each query vector.
+    """Brute-force cosine top-k for each query vector.
 
     Returns (query_id, neighbor_id, rank) with rank 1..k by descending
     cosine, ties broken by ascending neighbor id.  The query side is
     broadcast (it is small by construction); the corpus side streams —
     no shuffle of the corpus at all, and the per-query top-k heap is the
     window aggregate, which AQE executes partially per partition.
+
+    The ranking cosine is the ENGINE-EXACT micro-quantized cos_ppm
+    (functions.vectors.micro_quantize / icos_ppm — exact integer dots,
+    one deterministic IEEE division): a float fold's last ppm depends
+    on summation order across engines, and a rank is exactly the kind
+    of output a 1-ppm flip silently reorders.  ppm resolution tie
+    groups are broken by the ascending-id rule, so the ranking is
+    bit-reproducible by any SQL engine.  Zero-norm vectors (no
+    direction) are excluded from both sides.
     """
+    from ..functions.vectors import icos_ppm
+
     qid = query_id_col or id_col
-    q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+    q = _micro_sided(queries, qid, vec_col, "query_id").withColumnsRenamed(
+        {"__q": "__qq", "__n": "__qn"}
     )
-    joined = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    ).crossJoin(F.broadcast(q))
+    joined = _micro_sided(corpus, id_col, vec_col, "neighbor_id").crossJoin(
+        F.broadcast(q)
+    )
     joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.withColumn("__cos", cosine(F.col("__cvec"), F.col("__qvec")))
+    scored = joined.withColumn(
+        "__cos",
+        icos_ppm(F.col("__q"), F.col("__n"), F.col("__qq"), F.col("__qn")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col("neighbor_id").asc()
     )
@@ -83,23 +97,39 @@ def hard_negative_topk(
     corpus streams with no shuffle, and the per-anchor top-k is a
     partial window aggregate.  The label inequality prunes BEFORE the
     cosine is computed, so same-label pairs cost a comparison, not a
-    fold."""
+    fold.
+
+    cos_ppm is the engine-exact micro-quantized cosine (see
+    brute_force_topk) — both the emitted value and the rank it orders
+    are bit-reproducible across engines.  Zero-norm vectors are
+    excluded from both sides."""
+    from ..functions.vectors import icos_ppm, idot, micro_quantize
+
     qid = query_id_col or id_col
-    q = queries.select(
-        F.col(qid).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        F.col(label_col).alias("__qlab"),
+    q = (
+        queries.select(
+            F.col(qid).alias("query_id"),
+            micro_quantize(F.col(vec_col)).alias("__qq"),
+            F.col(label_col).alias("__qlab"),
+        )
+        .withColumn("__qn", idot(F.col("__qq"), F.col("__qq")))
+        .where(F.col("__qn") > 0)
     )
     joined = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cvec"),
+            micro_quantize(F.col(vec_col)).alias("__q"),
             F.col(label_col).alias("__clab"),
         )
+        .withColumn("__n", idot(F.col("__q"), F.col("__q")))
+        .where(F.col("__n") > 0)
         .crossJoin(F.broadcast(q))
         .where(F.col("__clab") != F.col("__qlab"))
     )
-    scored = joined.withColumn("__cos", cosine(F.col("__cvec"), F.col("__qvec")))
+    scored = joined.withColumn(
+        "__cos",
+        icos_ppm(F.col("__q"), F.col("__n"), F.col("__qq"), F.col("__qn")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col("neighbor_id").asc()
     )
@@ -110,7 +140,7 @@ def hard_negative_topk(
             "query_id",
             "neighbor_id",
             F.col("rank").cast("long").alias("rank"),
-            F.round(F.col("__cos") * 1e6).cast("long").alias("cos_ppm"),
+            F.col("__cos").alias("cos_ppm"),
         )
     )
 
@@ -284,7 +314,16 @@ def ivf_topk(
     ``cell_col`` names a pre-computed cell-assignment column on the
     corpus (e.g. the partition column of an IVF storage table); when
     absent, cells are assigned in-plan from the centroid literals.
+
+    The within-cell ranking cosine is the engine-exact micro-quantized
+    cos_ppm (see brute_force_topk); cell assignment / probe selection
+    keep the literal-fold float L2 of assign_clusters (both engines
+    replay the identical expression, and an argmin over well-separated
+    centroid distances is far from rounding boundaries — unlike a
+    ppm-rounded rank).  Zero-norm corpus vectors are excluded.
     """
+    from ..functions.vectors import icos_ppm, idot, micro_quantize
+
     qid = query_id_col or id_col
     if cell_col is None:
         assigned = assign_clusters(corpus, vec_col, centroids, out_col="cell")
@@ -292,18 +331,31 @@ def ivf_topk(
     else:
         assigned = corpus
         cell_src = cell_col
-    cells = assigned.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        F.col(cell_src).alias("cell"),
+    cells = (
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            micro_quantize(F.col(vec_col)).alias("__q"),
+            F.col(cell_src).alias("cell"),
+        )
+        .withColumn("__n", idot(F.col("__q"), F.col("__q")))
+        .where(F.col("__n") > 0)
     )
 
-    probed = _probed_cells(queries, qid, vec_col, centroids, nprobe)
+    probed = _probed_cells(queries, qid, vec_col, centroids, nprobe).select(
+        "query_id",
+        "cell",
+        micro_quantize(F.col("__qvec")).alias("__qq"),
+    ).withColumn("__qn", idot(F.col("__qq"), F.col("__qq"))).where(
+        F.col("__qn") > 0
+    )
 
     joined = cells.join(F.broadcast(probed), "cell").where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = joined.withColumn("__cos", cosine(F.col("__cvec"), F.col("__qvec")))
+    scored = joined.withColumn(
+        "__cos",
+        icos_ppm(F.col("__q"), F.col("__n"), F.col("__qq"), F.col("__qn")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col("neighbor_id").asc()
     )
@@ -333,16 +385,22 @@ def cosine_neardup_pairs(
     shuffle), and each (p, q) group computes its cross-block cosine
     matrix with ONE Arrow-batched numpy matmul instead of a codegen'd
     per-pair array fold — on dim-64 vectors this is ~100x less
-    per-pair overhead.  The matmul is a PREFILTER with 1e-9 slack;
-    survivors (a tiny fraction by construction — they are the
-    near-duplicates) are re-scored with the deterministic JVM
-    left-fold ``dot`` so the emitted cos_ppm is bit-identical to the
-    sequential-fold oracle regardless of BLAS summation order.
+    per-pair overhead.  The matmul is a PREFILTER with 1e-3 slack
+    (covers the float-vs-quantized gap); survivors (a tiny fraction by
+    construction — they are the near-duplicates) are re-scored with
+    the ENGINE-EXACT micro-quantized integer cosine
+    (functions.vectors.icos_ppm), and the threshold is applied to the
+    integer cos_ppm — so both the emitted values and the boundary
+    pairs are bit-identical on any engine (a float fold's last ppm
+    depends on summation order, and a threshold is exactly where that
+    flips a row in or out).
 
     Each unordered pair is scored exactly once: a cross-block pair
     {x, y} lands in the single group (min_blk, max_blk), and
     same-block pairs take the index upper triangle.
     """
+    from ..functions.vectors import icos_ppm, idot, micro_quantize
+
     sided = df.select(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__v"),
@@ -366,7 +424,10 @@ def cosine_neardup_pairs(
         .withColumn("__pq", F.explode(membership))
         .select("__id", "__v", "__blk", F.col("__pq.p").alias("p"), F.col("__pq.q").alias("q"))
     )
-    slack = float(threshold) - 1e-9
+    # prefilter slack: micro-quantization moves a cosine by at most
+    # ~1e-5 on unit-ish embeddings; 1e-3 is comfortably past it and
+    # still admits only a sliver of extra candidates to the rescore
+    slack = float(threshold) - 1e-3
 
     def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         p, q = key
@@ -395,22 +456,33 @@ def cosine_neardup_pairs(
     cand = blocked.groupBy("p", "q").applyInPandas(
         block_pairs, schema="id_a long, id_b long"
     )
-    va = sided.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    vb = sided.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
-    exact_cos = dot(F.col("__va"), F.col("__vb")) / (
-        F.sqrt(dot(F.col("__va"), F.col("__va")))
-        * F.sqrt(dot(F.col("__vb"), F.col("__vb")))
+    quant = sided.select(
+        "__id", micro_quantize(F.col("__v")).alias("__q")
+    ).withColumn("__n", idot(F.col("__q"), F.col("__q"))).where(
+        F.col("__n") > 0
     )
+    va = quant.select(
+        F.col("__id").alias("id_a"),
+        F.col("__q").alias("__qa"),
+        F.col("__n").alias("__na"),
+    )
+    vb = quant.select(
+        F.col("__id").alias("id_b"),
+        F.col("__q").alias("__qb"),
+        F.col("__n").alias("__nb"),
+    )
+    ppm_threshold = int(round(float(threshold) * 1e6))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("__cos", exact_cos)
-        .where(F.col("__cos") >= threshold)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("__cos") * 1e6).cast("long").alias("cos_ppm"),
+        .withColumn(
+            "cos_ppm",
+            icos_ppm(
+                F.col("__qa"), F.col("__na"), F.col("__qb"), F.col("__nb")
+            ),
         )
+        .where(F.col("cos_ppm") >= ppm_threshold)
+        .select("id_a", "id_b", "cos_ppm")
     )
 
 
@@ -571,13 +643,14 @@ def hyperplane_lsh_neardup(
     sanctioned Pandas-UDF exception for genuinely numeric kernels.
 
     ``verify`` selects the exact-cosine arithmetic for the candidate
-    verification step: "numpy" (default) uses the Arrow-batched einsum
-    kernel — the throughput path; "fold" uses the same sequential JVM
-    fold as cosine_neardup_pairs, making every surviving pair's
-    cos_ppm BIT-IDENTICAL to the exact baseline's (the oracle-parity
-    path: summation order differs between einsum's pairwise reduction
-    and the fold, so ppm roundings near a .5 boundary could otherwise
-    disagree).
+    verification step: "numpy" (default) uses an Arrow-batched INTEGER
+    einsum kernel — the throughput path; "fold" uses the JVM
+    integer fold (functions.vectors.icos_ppm).  Both paths compute
+    the identical micro-quantized integer cosine — exact int64 dots,
+    then the same single IEEE sqrt/div/floor — so their cos_ppm is
+    BIT-IDENTICAL to each other AND to cosine_neardup_pairs (float
+    summation order, the one thing that used to distinguish them, no
+    longer exists anywhere in the arithmetic).
 
     ``max_bucket`` is the hot-bucket skew guard (same failure mode and
     same fix as the MinHash path, operators/dedup.py
@@ -605,13 +678,21 @@ def hyperplane_lsh_neardup(
         packed = bits.reshape(len(m), bands, rows_per_band) @ weights
         return pd.Series(list(packed))
 
-    @F.pandas_udf("double")
-    def cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.asarray(a.tolist(), dtype=np.float64)
-        mb = np.asarray(b.tolist(), dtype=np.float64)
-        num = np.einsum("ij,ij->i", ma, mb)
-        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        return pd.Series(num / den)
+    @F.pandas_udf("long")
+    def icos_batch(
+        qa: pd.Series, na: pd.Series, qb: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        # integer einsum over the quantized vectors: exact int64 dots
+        # (per-term <= ~4e11, dim-bounded sums far from overflow), then
+        # the same single IEEE sqrt/mul/div/floor as icos_ppm — the
+        # numpy result is bit-identical to the JVM fold's
+        ma = np.asarray(qa.tolist(), dtype=np.int64)
+        mb = np.asarray(qb.tolist(), dtype=np.int64)
+        d = np.einsum("ij,ij->i", ma, mb).astype(np.float64)
+        den = np.sqrt(na.to_numpy().astype(np.float64)) * np.sqrt(
+            nb.to_numpy().astype(np.float64)
+        )
+        return pd.Series(np.floor(1e6 * d / den + 0.5).astype(np.int64))
 
     sided = df.select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
@@ -637,34 +718,38 @@ def hyperplane_lsh_neardup(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = sided.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    vb = sided.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    from ..functions.vectors import icos_ppm, idot, micro_quantize
+
+    quant = sided.select(
+        "__id", micro_quantize(F.col("__v")).alias("__q")
+    ).withColumn("__n", idot(F.col("__q"), F.col("__q"))).where(
+        F.col("__n") > 0
+    )
+    va = quant.select(
+        F.col("__id").alias("id_a"),
+        F.col("__q").alias("__qa"),
+        F.col("__n").alias("__na"),
+    )
+    vb = quant.select(
+        F.col("__id").alias("id_b"),
+        F.col("__q").alias("__qb"),
+        F.col("__n").alias("__nb"),
+    )
     fetched = cand.join(va, "id_a").join(vb, "id_b")
+    ppm_threshold = int(round(float(threshold) * 1e6))
     if verify == "fold":
-        exact_cos = (
-            dot(F.col("__va"), F.col("__vb"))
-            / (
-                F.sqrt(dot(F.col("__va"), F.col("__va")))
-                * F.sqrt(dot(F.col("__vb"), F.col("__vb")))
-            )
+        scored = fetched.withColumn(
+            "cos_ppm",
+            icos_ppm(
+                F.col("__qa"), F.col("__na"), F.col("__qb"), F.col("__nb")
+            ),
         )
-        return (
-            fetched.withColumn("__cos", exact_cos)
-            .where(F.col("__cos") >= threshold)
-            .select(
-                "id_a",
-                "id_b",
-                F.round(F.col("__cos") * 1e6).cast("long").alias("cos_ppm"),
-            )
+    else:
+        scored = fetched.withColumn(
+            "cos_ppm", icos_batch("__qa", "__na", "__qb", "__nb")
         )
-    return (
-        fetched.withColumn("__cos", cos_batch("__va", "__vb"))
-        .where(F.col("__cos") >= threshold)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("__cos") * 1e6).cast("long").alias("cos_ppm"),
-        )
+    return scored.where(F.col("cos_ppm") >= ppm_threshold).select(
+        "id_a", "id_b", "cos_ppm"
     )
 
 
@@ -1039,6 +1124,105 @@ def pq_rerank_topk(
     )
 
 
+def _micro_sided(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """(out_id, __q, __n): micro-quantized vector + integer self-dot,
+    zero-norm rows dropped (a zero vector has no direction; dividing
+    by its norm is NULL in Spark but engine-dependent elsewhere —
+    excluding it map-side keeps every downstream value engine-exact)."""
+    from ..functions.vectors import idot, micro_quantize
+
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            micro_quantize(F.col(vec_col)).alias("__q"),
+        )
+        .withColumn("__n", idot(F.col("__q"), F.col("__q")))
+        .where(F.col("__n") > 0)
+    )
+
+
+def margin_select(
+    scored: DataFrame,
+    k: int = 4,
+    min_margin_micro: int | None = None,
+) -> DataFrame:
+    """The margin arithmetic of ``margin_pair_mine`` over an
+    already-scored candidate table (query_id, neighbor_id, cos_ppm) —
+    the seam that lets ANY candidate generator (brute bipartite scan,
+    sign-LSH buckets, a PQ shortlist) feed the same selection:
+
+        margin_micro = cos_ppm * 2e6 div (avg_fwd_ppm + avg_bwd_ppm)
+
+    with avg_fwd over each query's top-k candidates and avg_bwd over
+    each neighbor's top-k candidates; each query keeps its best-margin
+    neighbor (ties by ascending neighbor_id).  All arithmetic is
+    integer over cos_ppm, so the selection is engine-exact given
+    engine-exact cos_ppm inputs.
+
+    Scale shape: the candidate table is persisted (it feeds the
+    forward window, the backward window, and the final join); fwd and
+    fwd_stats are ~k rows per query — the broadcast-sized side — while
+    bwd_stats is neighbor-cardinality and therefore STREAMS through a
+    hash join (never broadcast: at corpus scale it cannot fit)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark import StorageLevel
+
+    # positive candidates only: margin is meaningless across
+    # anti-correlated pairs, and keeping every integer strictly
+    # positive makes div/floor-div agree across engines
+    scored = scored.where(F.col("cos_ppm") > 0)
+    # persisted: three consumers (forward ranks, backward stats, the
+    # margin join) — without the cache the scoring scan executes once
+    # per consumer (measured 18.5 s -> ~6 s at sf0.1 on the brute
+    # path).  Three longs per candidate pair, tiny next to the vectors.
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    fwd = scored.withColumn("__r", F.row_number().over(wf)).where(
+        F.col("__r") <= k
+    )
+    fwd_stats = fwd.groupBy("query_id").agg(
+        F.expr("sum(cos_ppm) div count(*)").alias("avg_fwd_ppm")
+    )
+    wb = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("query_id").asc()
+    )
+    bwd_stats = (
+        scored.withColumn("__r", F.row_number().over(wb))
+        .where(F.col("__r") <= k)
+        .groupBy("neighbor_id")
+        .agg(F.expr("sum(cos_ppm) div count(*)").alias("avg_bwd_ppm"))
+    )
+    # fwd (+ its per-query stats) is the ~k-rows-per-query side and
+    # broadcasts; bwd_stats has one row per corpus vector with any
+    # positive candidate and must NOT be broadcast at scale — the
+    # hinted build side of this join is the small one.
+    margined = (
+        F.broadcast(fwd.join(F.broadcast(fwd_stats), "query_id"))
+        .join(bwd_stats, "neighbor_id")
+        .where(F.col("avg_fwd_ppm") + F.col("avg_bwd_ppm") > 0)
+        .withColumn(
+            "margin_micro",
+            F.expr("cos_ppm * 2000000 div (avg_fwd_ppm + avg_bwd_ppm)"),
+        )
+    )
+    wm = Window.partitionBy("query_id").orderBy(
+        F.col("margin_micro").desc(), F.col("neighbor_id").asc()
+    )
+    best = (
+        margined.withColumn("__m", F.row_number().over(wm))
+        .where(F.col("__m") == 1)
+        .select("query_id", "neighbor_id", "cos_ppm", "margin_micro")
+    )
+    if min_margin_micro is not None:
+        best = best.where(F.col("margin_micro") >= min_margin_micro)
+    return best
+
+
 def margin_pair_mine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1061,88 +1245,168 @@ def margin_pair_mine(
     high, so pairs into it need to beat the hub's typical similarity,
     not just other candidates.  Output: (query_id, neighbor_id,
     cos_ppm, margin_micro), one row per query with a positive-margin
-    candidate; arithmetic is integer over cos_ppm (engine-exact):
-    margin_micro = cos_ppm * 2e6 div (avg_fwd_ppm + avg_bwd_ppm),
-    avg ppm stats are integer div by the actual neighbor count, and
-    candidates with a non-positive denominator are dropped (all-
-    negative-cosine neighborhoods have no meaningful margin).
+    candidate.
 
-    Scale: the query side broadcasts and the corpus streams exactly as
-    ``brute_force_topk`` (no corpus shuffle); the two k-NN stat tables
-    are per-id aggregates of the top-k windows and broadcast back onto
-    the forward candidates.  For corpora where the bipartite scan
-    itself is too large, feed ANN-retrieved candidates through the
-    same margin arithmetic — the scorer only needs (query, neighbor,
-    cos_ppm) rows plus both stat tables.
+    Engine-exact END TO END: vectors are micro-quantized map-side
+    (functions.vectors.micro_quantize) so cos_ppm itself is derived
+    from exact integer dot products (icos_ppm) — a float fold here
+    once differed from DuckDB's list_dot_product by 1 ppm on a
+    rounding boundary and the margin division amplified that into a
+    different best neighbor.  Zero-norm vectors are excluded on both
+    sides.  Downstream margin arithmetic is integer over cos_ppm
+    (margin_select).
+
+    Scale: this variant scores the FULL query x corpus bipartite
+    product — the exact small-fixture baseline.  The query side
+    broadcasts and the corpus streams exactly as ``brute_force_topk``
+    (no corpus shuffle), but the scan is O(|Q| * |C|): for real
+    corpora use ``margin_pair_mine_ann``, which feeds sign-LSH
+    candidates through the same ``margin_select`` arithmetic.
     """
-    if k <= 0:
-        raise ValueError(f"k must be positive, got {k}")
+    from ..functions.vectors import icos_ppm
+
     qid = query_id_col or id_col
-    q = queries.select(
-        F.col(qid).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
+    q = _micro_sided(queries, qid, vec_col, "query_id").withColumnsRenamed(
+        {"__q": "__qq", "__n": "__qn"}
     )
     scored = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double(F.col(vec_col)).alias("__cv"),
-        )
+        _micro_sided(corpus, id_col, vec_col, "neighbor_id")
         .crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__cv"), F.col("__qv")) * 1e6)
-            .cast("long")
-            .alias("cos_ppm"),
+            icos_ppm(
+                F.col("__q"), F.col("__n"), F.col("__qq"), F.col("__qn")
+            ).alias("cos_ppm"),
         )
-        # positive candidates only: margin is meaningless across
-        # anti-correlated pairs, and keeping every integer strictly
-        # positive makes div/floor-div agree across engines
-        .where(F.col("cos_ppm") > 0)
     )
-    from pyspark import StorageLevel
+    return margin_select(scored, k=k, min_margin_micro=min_margin_micro)
 
-    # persisted: the scored pair table feeds THREE consumers (forward
-    # ranks, backward stats, the margin join) — without the cache the
-    # bipartite fold-cosine scan executes once per consumer (measured
-    # 18.5 s -> ~6 s at sf0.1).  Three longs per candidate pair, tiny
-    # next to the vectors.
-    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
-    wf = Window.partitionBy("query_id").orderBy(
-        F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
+
+def micro_planes(dim: int, n_planes: int, seed: int) -> list[list[int]]:
+    """Sign-LSH hyperplanes quantized to integer micro-units.  The
+    quantization only perturbs each plane's direction by ~1e-6 — sign
+    LSH tolerates that freely — and buys engine-exactness: a signature
+    bit becomes the sign of an EXACT integer dot product, so any SQL
+    engine given the same integer constants derives bit-identical
+    buckets (a float-dot signature could flip a bit near a hyperplane
+    across engines, silently changing the candidate set)."""
+    return [
+        [int(np.floor(1e6 * x + 0.5)) for x in p]
+        for p in _hyperplanes(dim, n_planes, seed)
+    ]
+
+
+def _iband_rows(
+    sided: DataFrame, id_name: str, planes_micro: list[list[int]], bands: int
+) -> DataFrame:
+    """(id, band, bucket) sign-LSH band rows over micro-quantized
+    vectors: bit_j = [idot(q, plane_j) >= 0], buckets pack
+    n_planes/bands bits per band.  Pure codegen (literal-folded planes,
+    like kmeans centers) — and ONLY the three small columns come out:
+    vectors never enter the candidate shuffle."""
+    from ..functions.vectors import idot
+
+    n_planes = len(planes_micro)
+    if n_planes % bands != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by bands ({bands})"
+        )
+    rpb = n_planes // bands
+    buckets = []
+    for b in range(bands):
+        acc = F.lit(0).cast("long")
+        for j in range(rpb):
+            plane = planes_micro[b * rpb + j]
+            lit_plane = F.array(
+                *[F.lit(int(c)).cast("long") for c in plane]
+            )
+            bit = (idot(F.col("__q"), lit_plane) >= 0).cast("long")
+            acc = acc + bit * F.lit(1 << j)
+        buckets.append(acc)
+    return sided.select(
+        id_name, F.posexplode(F.array(*buckets)).alias("band", "bucket")
     )
-    fwd = scored.withColumn("__r", F.row_number().over(wf)).where(
-        F.col("__r") <= k
+
+
+def margin_pair_mine_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 4,
+    query_id_col: str | None = None,
+    min_margin_micro: int | None = None,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 13,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """``margin_pair_mine`` fed by sign-LSH retrieved candidates — the
+    100 TB path.  The brute variant scores |Q| x |C| pairs, which at
+    100x data is 10,000x work; here candidates come from an integer-
+    exact sign-LSH bucket join, so corpus work is LINEAR: each corpus
+    row computes ``bands`` band rows (id, band, bucket — 3 small
+    columns, vectors never enter the shuffle) and joins the BROADCAST
+    query band rows; only surviving distinct pairs fetch their vectors
+    back for exact icos_ppm re-scoring, and ``margin_select`` runs the
+    identical integer margin arithmetic over them.
+
+    Approximation contract: recall < 1 by design (a true neighbor
+    sharing no band bucket is missed) and the k-NN stat tables
+    (avg_fwd/avg_bwd) aggregate over RETRIEVED candidates, as in
+    production bitext mining — so margins are relative to the
+    candidate pool, exactly the Artetxe-Schwenk setting at scale.
+    Signatures, cosines, and margins are all integer-exact
+    (micro_planes / micro_quantize / icos_ppm), so the whole pipeline
+    — including which candidates exist — is reproducible by any SQL
+    engine given the same plane constants.
+
+    ``max_bucket`` drops hot band buckets before the join (same skew
+    guard and same no-extra-shuffle window as hyperplane_lsh_neardup).
+
+    Tuning mirrors hyperplane_lsh_neardup: the default 16 planes / 4
+    bands (4 bits per band) suits modest corpora; at scale widen to
+    e.g. 64/8 so random pairs collide at 2^-8 per band and the
+    candidate set stays ~linear in the corpus.
+    """
+    from ..functions.vectors import icos_ppm
+
+    qid = query_id_col or id_col
+    planes_micro = micro_planes(dim, n_planes, seed)
+    qsided = _micro_sided(queries, qid, vec_col, "query_id")
+    csided = _micro_sided(corpus, id_col, vec_col, "neighbor_id")
+    qband = _iband_rows(qsided, "query_id", planes_micro, bands)
+    cband = _iband_rows(csided, "neighbor_id", planes_micro, bands)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bucket")
+        cband = (
+            cband.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+    cand = (
+        cband.join(
+            F.broadcast(qband.withColumnsRenamed({"band": "__qb", "bucket": "__qk"})),
+            (F.col("band") == F.col("__qb"))
+            & (F.col("bucket") == F.col("__qk"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    fwd_stats = fwd.groupBy("query_id").agg(
-        F.expr("sum(cos_ppm) div count(*)").alias("avg_fwd_ppm")
-    )
-    wb = Window.partitionBy("neighbor_id").orderBy(
-        F.col("cos_ppm").desc(), F.col("query_id").asc()
-    )
-    bwd_stats = (
-        scored.withColumn("__r", F.row_number().over(wb))
-        .where(F.col("__r") <= k)
-        .groupBy("neighbor_id")
-        .agg(F.expr("sum(cos_ppm) div count(*)").alias("avg_bwd_ppm"))
-    )
-    margined = (
-        fwd.join(F.broadcast(fwd_stats), "query_id")
-        .join(F.broadcast(bwd_stats), "neighbor_id")
-        .where(F.col("avg_fwd_ppm") + F.col("avg_bwd_ppm") > 0)
-        .withColumn(
-            "margin_micro",
-            F.expr("cos_ppm * 2000000 div (avg_fwd_ppm + avg_bwd_ppm)"),
+    qvecs = qsided.withColumnsRenamed({"__q": "__qq", "__n": "__qn"})
+    scored = (
+        cand.join(csided, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            icos_ppm(
+                F.col("__q"), F.col("__n"), F.col("__qq"), F.col("__qn")
+            ).alias("cos_ppm"),
         )
     )
-    wm = Window.partitionBy("query_id").orderBy(
-        F.col("margin_micro").desc(), F.col("neighbor_id").asc()
-    )
-    best = (
-        margined.withColumn("__m", F.row_number().over(wm))
-        .where(F.col("__m") == 1)
-        .select("query_id", "neighbor_id", "cos_ppm", "margin_micro")
-    )
-    if min_margin_micro is not None:
-        best = best.where(F.col("margin_micro") >= min_margin_micro)
-    return best
+    return margin_select(scored, k=k, min_margin_micro=min_margin_micro)

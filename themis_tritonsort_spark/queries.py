@@ -77,6 +77,45 @@ from .operators.textstats import LANG_MARKERS, doc_fingerprints, lang_id, text_q
 # parity — see functions/text.py docstring).
 _TOK = TOKENS_SQL
 
+# DuckDB spelling of the engine-exact cosine discipline
+# (functions/vectors.py: micro_quantize / idot / icos_ppm).  Float
+# vector sums are NOT engine-exact — Spark's sequential aggregate fold
+# and DuckDB's list_dot_product may accumulate in different orders, and
+# a ±1-ppm rounding flip near a .5 boundary reorders ranks (q141's r05
+# driver red).  Integer dots are associative, so these fragments give
+# bit-identical cos_ppm on any engine.
+#   _MICROQ_SQL: fixed-point component quantization to micro-units.
+#   _ISELF_SQL: exact integer self-dot (norm^2) of a quantized list.
+#   _ICOS_PPM_SQL: floor(1e6 * idot / (sqrt(na) * sqrt(nb)) + 0.5) —
+#     every double op is a single correctly-rounded IEEE operation on
+#     exactly-representable integer inputs, hence deterministic.
+_MICROQ_SQL = "list_transform({v}, x -> CAST(floor(1000000.0 * x + 0.5) AS BIGINT))"
+_ISELF_SQL = (
+    "CAST(list_sum(list_transform(range(1, len({q}) + 1),"
+    " i -> {q}[i] * {q}[i])) AS BIGINT)"
+)
+_IDOT_SQL = (
+    "CAST(list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> {a}[i] * {b}[i])) AS BIGINT)"
+)
+_ICOS_PPM_SQL = (
+    "CAST(floor(1000000.0 * CAST(" + _IDOT_SQL + " AS DOUBLE)"
+    " / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+    " + 0.5) AS BIGINT)"
+)
+# Shared CTE text: micro-quantize the embeddings table (with label) and
+# drop zero-norm rows — the map-side prep every integer-cosine oracle
+# starts from.
+_EMB_MICRO_CTE = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+z AS (
+  SELECT vec_id, label, {_MICROQ_SQL.format(v='v')} AS q FROM e
+),
+nz AS (
+  SELECT vec_id, label, q, nn FROM (
+    SELECT vec_id, label, q, {_ISELF_SQL.format(q='q')} AS nn FROM z
+  ) WHERE nn > 0
+)"""
+
 SESSION_THRESHOLD_US = 30_000 * 1_000_000  # 30 000 s, in epoch micros
 
 
@@ -668,20 +707,19 @@ def q20_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q20_SQL = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+_Q20_SQL = f"""
+WITH {_EMB_MICRO_CTE},
+qs AS (SELECT vec_id AS query_id, q AS qq, nn AS qn FROM nz WHERE vec_id < 5),
 s AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_dot_product(e.v, q.qv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
-  FROM e CROSS JOIN q
-  WHERE e.vec_id <> q.query_id
+  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         {_ICOS_PPM_SQL.format(a='c.q', b='qs.qq', na='c.nn', nb='qs.qn')} AS cos_ppm
+  FROM nz c CROSS JOIN qs
+  WHERE c.vec_id <> qs.query_id
 )
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM (
   SELECT query_id, neighbor_id,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id ASC) AS rnk
   FROM s
 )
 WHERE rnk <= 10
@@ -1095,15 +1133,14 @@ def q38_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q38_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH {_EMB_MICRO_CTE},
 s AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_dot_product(a.v, b.v)
-           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         {_ICOS_PPM_SQL.format(a='a.q', b='b.q', na='a.nn', nb='b.nn')} AS cos_ppm
+  FROM nz a JOIN nz b ON a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, CAST(ROUND(c * 1000000) AS BIGINT) AS cos_ppm
-FROM s WHERE c >= {NEARDUP_COS}
+SELECT id_a, id_b, cos_ppm
+FROM s WHERE cos_ppm >= {int(round(NEARDUP_COS * 1e6))}
 """
 
 
@@ -1541,12 +1578,12 @@ def q31_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q31_SQL = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+_Q31_SQL = f"""
+WITH {_EMB_MICRO_CTE},
 c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
 cells AS (
-  SELECT vec_id, v, cid AS cell FROM (
-    SELECT e.vec_id, e.v, c.cid,
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY
              list_sum(list_transform(range(1, len(e.v) + 1),
                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cid) AS rn
@@ -1555,8 +1592,8 @@ cells AS (
 ),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
 probed AS (
-  SELECT query_id, qv, cid AS cell FROM (
-    SELECT q.query_id, q.qv, c.cid,
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, c.cid,
            row_number() OVER (PARTITION BY q.query_id ORDER BY
              list_sum(list_transform(range(1, len(q.qv) + 1),
                       i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cid) AS rn
@@ -1565,15 +1602,17 @@ probed AS (
 ),
 s AS (
   SELECT p.query_id, s.vec_id AS neighbor_id,
-         list_dot_product(s.v, p.qv)
-           / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(p.qv, p.qv))) AS cos
-  FROM probed p JOIN cells s ON p.cell = s.cell
+         {_ICOS_PPM_SQL.format(a='cz.q', b='qz.q', na='cz.nn', nb='qz.nn')} AS cos_ppm
+  FROM probed p
+  JOIN cells s ON p.cell = s.cell
+  JOIN nz cz ON cz.vec_id = s.vec_id
+  JOIN nz qz ON qz.vec_id = p.query_id
   WHERE s.vec_id <> p.query_id
 )
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM (
   SELECT query_id, neighbor_id,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id ASC) AS rnk
   FROM s
 )
 WHERE rnk <= 10
@@ -5496,20 +5535,19 @@ def q132_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q132_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv, label AS ql FROM e WHERE vec_id < 8),
+WITH {_EMB_MICRO_CTE},
+qs AS (SELECT vec_id AS query_id, q AS qq, nn AS qn, label AS ql
+       FROM nz WHERE vec_id < 8),
 s AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_dot_product(e.v, q.qv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
-  FROM e CROSS JOIN q
-  WHERE e.label <> q.ql
+  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         {_ICOS_PPM_SQL.format(a='c.q', b='qs.qq', na='c.nn', nb='qs.qn')} AS cos_ppm
+  FROM nz c CROSS JOIN qs
+  WHERE c.label <> qs.ql
 )
-SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
-       CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_ppm
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cos_ppm
 FROM (
-  SELECT query_id, neighbor_id, cos,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  SELECT query_id, neighbor_id, cos_ppm,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id ASC) AS rnk
   FROM s
 )
 WHERE rnk <= {_HARDNEG_K}
@@ -5931,8 +5969,11 @@ FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 # rest of the corpus) scored by the bitext-mining ratio margin —
 # cosine renormalized by both endpoints' mean k-NN cosine, which
 # suppresses hub vectors that plain top-1 over-matches.  Integer
-# arithmetic over cos_ppm end to end; the oracle replays the same
-# windows and integer divisions.
+# arithmetic END TO END: cos_ppm itself comes from micro-quantized
+# integer dot products (the r05 driver red was a float-fold cos_ppm
+# whose last ppm depended on the engine's summation order, amplified
+# by the margin division into a different best neighbor); the oracle
+# replays the quantization, the windows, and the integer divisions.
 _Q141_K = 4
 
 
@@ -5950,14 +5991,12 @@ def q141_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q141_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+WITH {_EMB_MICRO_CTE},
 s AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CAST(ROUND(list_dot_product(q.v, c.v)
-              / (sqrt(list_dot_product(q.v, q.v))
-                 * sqrt(list_dot_product(c.v, c.v))) * 1000000) AS BIGINT)
+  SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+         {_ICOS_PPM_SQL.format(a='cs.q', b='qs.q', na='cs.nn', nb='qs.nn')}
            AS cos_ppm
-  FROM e q JOIN e c ON q.label = 0 AND c.label <> 0
+  FROM nz qs JOIN nz cs ON qs.label = 0 AND cs.label <> 0
 ),
 pos AS (SELECT * FROM s WHERE cos_ppm > 0),
 fwd AS (
@@ -5992,6 +6031,128 @@ best AS (
 )
 SELECT query_id, neighbor_id, cos_ppm, margin_micro FROM best WHERE b = 1
 """
+
+
+# Q142 ANN-fed margin mining (operators/similarity.margin_pair_mine_ann):
+# the 100 TB composition the brute q141 scan cannot be — sign-LSH
+# bucket candidates (integer-exact signatures: micro-quantized planes,
+# integer dots) -> exact icos_ppm re-score -> the same margin_select
+# arithmetic.  Corpus work is linear (bands rows per vector into a
+# bucket join against the BROADCAST query bands; no bipartite product
+# anywhere — pinned by tests/test_plans.py).  The oracle re-derives
+# the identical candidate set from the same integer plane constants,
+# so recall is part of the gated contract, not a hidden approximation.
+_Q142_K = 4
+_Q142_DIM = 64
+_Q142_PLANES = 32
+_Q142_BANDS = 4
+
+
+def q142_ann_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import margin_pair_mine_ann
+
+    emb = table(spark, sf_dir, "embeddings")
+    return margin_pair_mine_ann(
+        emb.where(F.col("label") != 0),
+        emb.where(F.col("label") == 0),
+        "vec_id",
+        "embedding",
+        dim=_Q142_DIM,
+        k=_Q142_K,
+        n_planes=_Q142_PLANES,
+        bands=_Q142_BANDS,
+    )
+
+
+def _iband_sig_sql(planes_micro: list[list[int]], bands: int) -> str:
+    """DuckDB list-of-buckets expression mirroring similarity._iband_rows
+    over a quantized list column ``q``: the same integer plane constants
+    are interpolated as literals, so bucket values are bit-identical to
+    the Spark side's."""
+    rpb = len(planes_micro) // bands
+    band_exprs = []
+    for b in range(bands):
+        bits = []
+        for j in range(rpb):
+            lits = "[" + ", ".join(
+                str(c) for c in planes_micro[b * rpb + j]
+            ) + "]"
+            bit = (
+                "(CASE WHEN list_sum(list_transform(range(1, len(q) + 1),"
+                f" i -> q[i] * {lits}[i])) >= 0 THEN 1 ELSE 0 END)"
+            )
+            bits.append(f"{bit} * {1 << j}")
+        band_exprs.append("(" + "\n   + ".join(bits) + ")")
+    return "[\n  " + ",\n  ".join(band_exprs) + "\n]"
+
+
+def _q142_sql() -> str:
+    from .operators.similarity import micro_planes
+
+    planes = micro_planes(_Q142_DIM, _Q142_PLANES, seed=13)
+    sig = _iband_sig_sql(planes, _Q142_BANDS)
+    return f"""
+WITH {_EMB_MICRO_CTE},
+sig AS (SELECT vec_id, label, q, nn, {sig} AS buckets FROM nz),
+qb AS (
+  SELECT vec_id, unnest(buckets) AS bucket,
+         generate_subscripts(buckets, 1) AS band
+  FROM sig WHERE label = 0
+),
+cb AS (
+  SELECT vec_id, unnest(buckets) AS bucket,
+         generate_subscripts(buckets, 1) AS band
+  FROM sig WHERE label <> 0
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM qb JOIN cb USING (band, bucket)
+  WHERE qb.vec_id <> cb.vec_id
+),
+s AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_ICOS_PPM_SQL.format(a='cs.q', b='qs.q', na='cs.nn', nb='qs.nn')}
+           AS cos_ppm
+  FROM cand c
+  JOIN sig cs ON cs.vec_id = c.neighbor_id AND cs.label <> 0
+  JOIN sig qs ON qs.vec_id = c.query_id AND qs.label = 0
+),
+pos AS (SELECT * FROM s WHERE cos_ppm > 0),
+fwd AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id
+  ) AS r FROM pos
+),
+fq AS (
+  SELECT query_id, sum(cos_ppm) // count(*) AS avg_fwd_ppm
+  FROM fwd WHERE r <= {_Q142_K} GROUP BY 1
+),
+bwd AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY neighbor_id ORDER BY cos_ppm DESC, query_id
+  ) AS r FROM pos
+),
+bq AS (
+  SELECT neighbor_id, sum(cos_ppm) // count(*) AS avg_bwd_ppm
+  FROM bwd WHERE r <= {_Q142_K} GROUP BY 1
+),
+m AS (
+  SELECT f.query_id, f.neighbor_id, f.cos_ppm,
+         (f.cos_ppm * 2000000) // (fq.avg_fwd_ppm + bq.avg_bwd_ppm)
+           AS margin_micro
+  FROM fwd f JOIN fq USING (query_id) JOIN bq USING (neighbor_id)
+  WHERE f.r <= {_Q142_K} AND fq.avg_fwd_ppm + bq.avg_bwd_ppm > 0
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY margin_micro DESC, neighbor_id
+  ) AS b FROM m
+)
+SELECT query_id, neighbor_id, cos_ppm, margin_micro FROM best WHERE b = 1
+"""
+
+
+_Q142_SQL = _q142_sql()
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6137,51 +6298,48 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q139_dup_substrings": q139_dup_substrings,
     "q140_substring_scrub": q140_substring_scrub,
     "q141_margin_pairs": q141_margin_pairs,
+    "q142_ann_margin_pairs": q142_ann_margin_pairs,
 }
 
-# Driver-window rotation (round 5).  The round driver gates the FIRST
-# 50 entries of queries() against their oracles.  CORRECTNESS_r04 was
-# 50/50 green over q19..q49 (the r02-stale tail) plus q73..q94, so the
-# only catalog entries that have NEVER seen a driver gate are the
-# round-4 session's late additions q95..q124 — all 30 go in front.
-# The remaining 20 slots: 16 to this round's new never-gated entries
-# q125..q140 (gating new code outranks re-proving unchanged r03-green
-# code), 3 to re-gates of q19/q46/q79, whose OUTPUT changed this round
-# (the LSH hot-bucket cap and the semdedup cluster cap are now active
-# in the catalog entries, so their r04 rows no longer attest current
-# code).  q01..q18 (incl. q10b), q29/q31/q39 (r03-green, code
-# unchanged) plus the r03-green q50..q72 block rotate back in round 6 —
-# tools/driver_sim.py's staleness report lists them.  Everything outside
-# the window stays oracle-checked locally every run by
+# Driver-window rotation (round 6).  The round driver gates the FIRST
+# 50 entries of queries() against their oracles.  After r05, 45
+# entries' newest driver row is r03 (3 rounds old): q01..q18 (incl.
+# q10b), q29/q31/q39, q50..q72 — the full rotation debt VERDICT r05
+# flagged; all 45 go in front (q31's integer-exact IVF rescore and
+# q39's integer-exact verify also changed OUTPUT this round, so their
+# slots double as re-gates).  The remaining 5 slots: q141 (its
+# first-ever driver green — the float-cosine fix), q142 (new: ANN-fed
+# margin mining), and re-gates of q20/q38/q132, whose OUTPUT changed
+# this round (cos_ppm is now micro-quantized integer-exact; their old
+# rows no longer attest current code).  The r04-era block q73..q94
+# (2 rounds old) rotates in round 7.  Everything outside the window
+# stays oracle-checked locally every run by
 # tests/test_queries_oracle.py, and tools/driver_sim.py flags any
 # entry whose newest driver row is ≥2 rounds old.
 _WINDOW_PRIORITY = [
-    # never driver-gated (local-oracle-proven only) — all 30
-    "q95_volume_shipping", "q96_product_profit", "q97_important_parts",
-    "q98_supplier_variety", "q99_large_orders", "q100_bracket_revenue",
-    "q101_excess_suppliers", "q102_waiting_suppliers", "q103_bfs_hops",
-    "q104_hashed_classifier", "q105_concurrency", "q106_bpe_train",
-    "q107_bm25_retrieval", "q108_profile_events",
-    "q109_fuzzy_supplier_match", "q110_attribution", "q111_bm25_multi",
-    "q112_clustering_coeff", "q113_ewma", "q114_markov_transitions",
-    "q115_filtered_revenue", "q116_priority_by_class",
-    "q117_promo_share", "q118_top_supplier", "q119_histogram_quantiles",
-    "q120_lineno_gaps", "q121_orphan_audit", "q122_event_paths",
-    "q123_segment_mode", "q124_spend_deciles",
-    # longest-stale r03 rows (3) + this round's output-changed
-    # re-gates (3) + the round's new entries (17: q125-q141 —
-    # q01-q09/q14 yield their stale-re-proof slots to the
-    # never-gated additions and rotate back in round 6)
-    "q19_minhash_lsh", "q46_dedup_clusters", "q79_semdedup",
-    "q139_dup_substrings", "q140_substring_scrub",
-    "q141_margin_pairs",
-    "q125_video_frames", "q126_local_supplier_volume",
-    "q127_market_share", "q128_returned_items",
-    "q129_sales_opportunity", "q130_variant_json",
-    "q131_k_anonymity", "q132_hard_negatives",
-    "q133_kcenter_sample", "q134_keep_best",
-    "q135_incremental_neardup", "q136_leakage_safe_split",
-    "q137_trained_classifier", "q138_importance_resample",
+    # the 45 r03-stale entries, catalog order
+    "q01_sort_events", "q02_sort_lineitem", "q03_wordcount",
+    "q04_ngrams", "q05_inverted_index", "q06_sessionize",
+    "q07_pagerank", "q08_link_extract", "q09_kmeans_assign",
+    "q10_global_agg", "q10b_length_histogram", "q11_duplicate_keys",
+    "q12_merge_sorted", "q13_grep", "q14_pricing_summary",
+    "q15_revenue_by_nation", "q16_top_customers", "q17_exact_dedup",
+    "q18_jaccard_pairs",
+    "q29_kmeans_full", "q31_ivf_ann", "q39_lsh_neardup",
+    "q50_mixture_sample", "q51_chunk_documents",
+    "q52_small_qty_revenue", "q53_order_count_distribution",
+    "q54_yearly_cohorts", "q55_returnflag_pivot", "q56_rolling_hour",
+    "q57_cube_revenue", "q58_repetition_stats", "q59_decontaminate",
+    "q60_encode_tokens", "q61_train_split", "q62_pii_scrub",
+    "q63_tfidf_topk", "q64_unigram_surprisal", "q65_dedup_spans",
+    "q66_blocklist_filter", "q67_gap_fill", "q68_triangle_counts",
+    "q69_funnel", "q70_cooccurrence_pmi", "q71_retention",
+    "q72_cheapest_supplier",
+    # q141's first driver gate (r05 red -> integer-exact cos_ppm),
+    # the new ANN-fed margin entry, and the three output-changed
+    # integer-cosine re-gates
+    "q141_margin_pairs", "q142_ann_margin_pairs",
+    "q20_ann_topk", "q38_cosine_neardup", "q132_hard_negatives",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
@@ -6331,4 +6489,5 @@ ORACLES: dict[str, str] = {
     "q139_dup_substrings": _Q139_SQL,
     "q140_substring_scrub": _Q140_SQL,
     "q141_margin_pairs": _Q141_SQL,
+    "q142_ann_margin_pairs": _Q142_SQL,
 }
