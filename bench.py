@@ -217,6 +217,7 @@ BENCH_QUERIES = {
     "q139_dup_substrings": q.q139_dup_substrings,
     "q140_substring_scrub": q.q140_substring_scrub,
     "q141_margin_pairs": q.q141_margin_pairs,
+    "q142_ann_margin_pairs": q.q142_ann_margin_pairs,
 }
 
 

@@ -185,6 +185,68 @@ def test_frame_sample_fallback_keeps_null_gray(spark, sf_dir):
     assert rows and all(r["gray_sum"] is None for r in rows)
 
 
+def test_walk_mjpeg_stream_marker_exact():
+    """The MJPEG walk must find exact SOI..EOI boundaries — including
+    with restart markers in the scan — and reject non-JPEG bytes."""
+    import numpy as np
+
+    from themis_tritonsort_spark.operators.jpeg import encode_jpeg
+    from themis_tritonsort_spark.operators.multimodal import (
+        walk_mjpeg_stream,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = [
+        encode_jpeg(rng.randint(0, 256, (16, 16, 3), dtype=np.uint8).astype(np.uint8),
+                    restart_interval=ri)
+        for ri in (0, 1, 2)
+    ]
+    payload = b"".join(frames)
+    walked = walk_mjpeg_stream(payload)
+    assert walked is not None and len(walked) == 3
+    pos = 0
+    for (off, length), fb in zip(walked, frames):
+        assert off == pos and length == len(fb)
+        assert payload[off : off + length] == fb
+        pos += length
+    assert walk_mjpeg_stream(b"not a jpeg") is None
+    assert walk_mjpeg_stream(payload + b"\x00garbage") is None
+
+
+def test_frame_sample_decodes_mjpeg_stream(spark, sf_dir):
+    """A concatenated baseline-JPEG payload is walked at REAL frame
+    boundaries and each sampled frame's gray_sum equals decode_jpeg's
+    integer pixel sum on the same bytes (the decode is lossy, so the
+    pin is the decoder itself, not the pre-encode fixture bytes)."""
+    import hashlib
+
+    import numpy as np
+
+    from themis_tritonsort_spark.operators.jpeg import decode_jpeg
+    from themis_tritonsort_spark.operators.multimodal import (
+        mjpeg_video_from_documents,
+        walk_mjpeg_stream,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(4)
+    media = mjpeg_video_from_documents(
+        docs, width=16, height=16, frames=4, subsample=(2, 2),
+        restart_interval=2,
+    )
+    out = frame_sample(media, frame_step=2).collect()
+    assert len(out) == 4 * 2  # frames 0 and 2 of 4, per doc
+    payloads = {r["id"]: bytes(r["media"]) for r in media.collect()}
+    for r in out:
+        frames = walk_mjpeg_stream(payloads[r["id"]])
+        off, length = frames[r["frame_idx"]]
+        assert r["offset"] == off
+        fb = payloads[r["id"]][off : off + length]
+        assert r["chunk_hash"] == hashlib.md5(fb).hexdigest()
+        arr = decode_jpeg(fb)
+        assert arr is not None and arr.shape == (16, 16, 3)
+        assert r["gray_sum"] == int(arr.astype(np.int64).sum())
+
+
 def test_resize_media_uniform_payloads(spark, sf_dir):
     from themis_tritonsort_spark.operators.multimodal import resize_media
 

@@ -1,11 +1,21 @@
 """Vector math over array<float|double> columns — JVM-side (no Python
 UDF): ``zip_with`` + a left-to-right ``aggregate`` fold, which is
-deterministic and whole-stage-codegen friendly.  At 100 TB this is the
-difference between a codegen'd loop over Arrow-packed arrays and a
-Python round trip per row.
+deterministic WITHIN Spark and whole-stage-codegen friendly.  At
+100 TB this is the difference between a codegen'd loop over
+Arrow-packed arrays and a Python round trip per row.
 
-Everything is computed in double regardless of input element type so
-the DuckDB oracle (``::DOUBLE[]`` casts) produces bit-identical sums.
+Cross-ENGINE exactness needs more than determinism: Spark's
+sequential fold and another engine's dot product (e.g. DuckDB's
+``list_dot_product``) may accumulate doubles in different orders, and
+a last-ulp difference flips a ppm rounding — which is enough to
+reorder a rank or move a threshold (q141's round-5 driver red).  Any
+score that feeds a rank, threshold, or emitted integer therefore goes
+through the INTEGER discipline below: ``micro_quantize`` /
+``sq8_quantize`` map-side, exact ``idot``, and one final
+deterministic IEEE division (``icos_ppm``).  The float ``dot`` /
+``cosine`` / ``l2_sq`` folds remain for scores both engines re-derive
+with the identical fold expression (k-means/IVF cell assignment) and
+for Spark-only internal math.
 """
 
 from __future__ import annotations

@@ -6,12 +6,13 @@ for PPM (P6), BMP (24-bit uncompressed), PNG (8-bit gray/RGB/RGBA,
 all five scanline filters, via stdlib zlib), baseline JPEG (full
 T.81 sequential decode — see operators/jpeg.py) and WAV (PCM via
 stdlib wave), with PIL preferred for any image type when it is
-importable.  Video: concatenated-P6 streams are walked and decoded
-per-frame (frame_sample).  Payloads no decoder can handle fall back
-to a deterministic hash stand-in (or raise, if ``strict``) — the
-seam is still explicit, but it only covers genuinely-unsupported
-codecs (progressive JPEG, MP3, real MP4 containers), not the whole
-decode path.
+importable.  Video: concatenated-P6 streams AND true MJPEG
+(concatenated baseline JPEGs, marker-exact walk) are walked and
+decoded per-frame (frame_sample).  Payloads no decoder can handle
+fall back to a deterministic hash stand-in (or raise, if ``strict``)
+— the seam is still explicit, but it only covers
+genuinely-unsupported codecs (progressive JPEG, MP3, real MP4
+containers), not the whole decode path.
 
 Schema convention for a media table:
     id          long        -- join key back to the source row
@@ -139,6 +140,66 @@ def walk_ppm_stream(payload: bytes) -> list[tuple[int, int]] | None:
         w, h, maxval, data_start = hdr
         end = data_start + w * h * 3
         if maxval != 255 or end > len(payload):
+            return None
+        frames.append((pos, end - pos))
+        pos = end
+    return frames or None
+
+
+def _jpeg_frame_end(payload: bytes, pos: int) -> int | None:
+    """End offset (exclusive) of the baseline JPEG starting at ``pos``
+    (which must point at SOI).  Marker-aware: length-prefixed segments
+    are skipped structurally, and inside entropy-coded scan data 0xFF
+    is only ever followed by 0x00 (byte stuffing), RSTn, or a real
+    marker — so the EOI found this way is the frame's, never a pixel
+    byte that happens to spell FFD9 inside a length-prefixed segment."""
+    n = len(payload)
+    p = pos + 2  # past SOI
+    while p + 2 <= n:
+        if payload[p] != 0xFF:
+            return None
+        marker = payload[p + 1]
+        if marker == 0xD9:  # EOI with no scan — degenerate but well-formed
+            return p + 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: bare
+            p += 2
+            continue
+        if p + 4 > n:
+            return None
+        seg_len = int.from_bytes(payload[p + 2 : p + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker == 0xDA:  # SOS: entropy-coded data follows the header
+            p = p + 2 + seg_len
+            while p < n:
+                if payload[p] != 0xFF:
+                    p += 1
+                    continue
+                if p + 1 >= n:
+                    return None
+                m2 = payload[p + 1]
+                if m2 == 0x00 or 0xD0 <= m2 <= 0xD7:  # stuffing / restart
+                    p += 2
+                    continue
+                if m2 == 0xD9:
+                    return p + 2
+                return None  # multi-scan or garbage: not baseline MJPEG
+            return None
+        p = p + 2 + seg_len
+    return None
+
+
+def walk_mjpeg_stream(payload: bytes) -> list[tuple[int, int]] | None:
+    """Walk a concatenated baseline-JPEG (MJPEG) container: back-to-back
+    SOI..EOI frames, each self-delimiting via marker structure.
+    Returns [(offset, length), ...] or None if the payload is not a
+    well-formed baseline MJPEG stream."""
+    frames, pos, n = [], 0, len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != b"\xff\xd8":
+            return None
+        end = _jpeg_frame_end(payload, pos)
+        if end is None:
             return None
         frames.append((pos, end - pos))
         pos = end
@@ -417,20 +478,25 @@ FRAME_SCHEMA = (
 def frame_sample(
     media: DataFrame, every_n_bytes: int = 1024, frame_step: int = 1
 ) -> DataFrame:
-    """Video frame sampling over a container the engine can REALLY
-    walk: a payload of back-to-back P6 PPM frames (the MJPEG shape,
-    with the codec we ship) is split at exact frame boundaries, every
+    """Video frame sampling over containers the engine can REALLY
+    walk: a payload of back-to-back P6 PPM frames OR back-to-back
+    baseline JPEGs (true MJPEG, via the shipped T.81 decoder —
+    operators/jpeg.py) is split at exact frame boundaries, every
     ``frame_step``-th frame is DECODED, and each sampled frame emits
     (id, frame_idx, offset, gray_sum, chunk_hash) — gray_sum is the
     exact integer sum of the frame's decoded pixel bytes (the
     image_block_sums oracle discipline), chunk_hash the frame-bytes
-    md5.  Payloads that are not a well-formed frame stream (unknown
-    codecs in this container) keep the byte-stride fallback: one row
-    per ``every_n_bytes`` chunk with gray_sum NULL — same plumbing,
-    honest about not decoding.
+    md5.  Payloads that are neither (unknown codecs in this container)
+    keep the byte-stride fallback: one row per ``every_n_bytes`` chunk
+    with gray_sum NULL — same plumbing, honest about not decoding.  A
+    walkable MJPEG frame whose flavor the decoder doesn't support
+    (e.g. progressive) emits its row with gray_sum NULL too: the WALK
+    is structural (marker-exact), the decode is best-effort.
 
     One-to-many mapInPandas: frames never leave the executor; only
     fixed-width sample rows shuffle."""
+    from .jpeg import decode_jpeg
+
     if frame_step <= 0:
         raise ValueError(f"frame_step must be positive, got {frame_step}")
 
@@ -439,16 +505,24 @@ def frame_sample(
             ids, fidxs, offs, sums, hashes = [], [], [], [], []
             for i, m in zip(pdf["id"], pdf["media"]):
                 payload = bytes(m)
+                decode = _decode_ppm
                 frames = walk_ppm_stream(payload)
+                if frames is None:
+                    frames = walk_mjpeg_stream(payload)
+                    decode = decode_jpeg
                 if frames is not None:
                     for fi in range(0, len(frames), frame_step):
                         off, length = frames[fi]
                         fb = payload[off : off + length]
-                        arr = _decode_ppm(fb)
+                        arr = decode(fb)
                         ids.append(i)
                         fidxs.append(fi)
                         offs.append(off)
-                        sums.append(int(arr.astype(np.int64).sum()))
+                        sums.append(
+                            None
+                            if arr is None
+                            else int(arr.astype(np.int64).sum())
+                        )
                         hashes.append(hashlib.md5(fb).hexdigest())
                 else:
                     for ci, off in enumerate(
@@ -512,6 +586,66 @@ def ppm_video_from_documents(
                     "id": pdf[id_col],
                     "media": payloads,
                     "media_type": ["video/x-ppm-stream"] * len(pdf),
+                    "meta": [
+                        {"n_bytes": len(p), "source": "documents"}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def mjpeg_video_from_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 16,
+    height: int = 16,
+    frames: int = 4,
+    subsample: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> DataFrame:
+    """Deterministic REAL MJPEG table: each document becomes a
+    concatenated baseline-JPEG stream of ``frames`` frames, pixel
+    bytes derived from md5(text || '-f' || f || '-' || i) digests
+    exactly like ppm_video_from_documents, then encoded with the
+    shipped T.81 encoder (operators/jpeg.py — Annex K tables, optional
+    chroma subsampling and restart markers).  The encode is lossy, so
+    a SQL oracle cannot re-derive decoded sums — parity is pinned by
+    the unit tests instead (frame walk offsets ARE byte-exact and
+    decode(frame) == decode_jpeg(frame) integer sums)."""
+    from .jpeg import encode_jpeg
+
+    n_bytes = width * height * 3
+    n_digests = (n_bytes + 15) // 16
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                parts = []
+                for f in range(frames):
+                    data = b"".join(
+                        hashlib.md5(f"{text}-f{f}-{i}".encode()).digest()
+                        for i in range(n_digests)
+                    )[:n_bytes]
+                    arr = np.frombuffer(data, np.uint8).reshape(
+                        height, width, 3
+                    )
+                    parts.append(
+                        encode_jpeg(
+                            arr,
+                            subsample=subsample,
+                            restart_interval=restart_interval,
+                        )
+                    )
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "media": payloads,
+                    "media_type": ["video/x-motion-jpeg"] * len(pdf),
                     "meta": [
                         {"n_bytes": len(p), "source": "documents"}
                         for p in payloads

@@ -1303,30 +1303,34 @@ def _iband_rows(
 ) -> DataFrame:
     """(id, band, bucket) sign-LSH band rows over micro-quantized
     vectors: bit_j = [idot(q, plane_j) >= 0], buckets pack
-    n_planes/bands bits per band.  Pure codegen (literal-folded planes,
-    like kmeans centers) — and ONLY the three small columns come out:
-    vectors never enter the candidate shuffle."""
-    from ..functions.vectors import idot
+    n_planes/bands bits per band.  ONLY the three small columns come
+    out: vectors never enter the candidate shuffle.
 
+    The bit kernel is an Arrow-batched int64 matmul (numpy integer
+    arithmetic is exact and associative, so the signs — hence the
+    buckets — are bit-identical to any engine's integer dots; the
+    equivalent literal-folded Catalyst expression was a
+    planes x dim-literal codegen monster that cost seconds to compile
+    per plan).  Same sanctioned Pandas-UDF exception as the float
+    band_buckets kernel in hyperplane_lsh_neardup."""
     n_planes = len(planes_micro)
     if n_planes % bands != 0:
         raise ValueError(
             f"n_planes ({n_planes}) must be divisible by bands ({bands})"
         )
     rpb = n_planes // bands
-    buckets = []
-    for b in range(bands):
-        acc = F.lit(0).cast("long")
-        for j in range(rpb):
-            plane = planes_micro[b * rpb + j]
-            lit_plane = F.array(
-                *[F.lit(int(c)).cast("long") for c in plane]
-            )
-            bit = (idot(F.col("__q"), lit_plane) >= 0).cast("long")
-            acc = acc + bit * F.lit(1 << j)
-        buckets.append(acc)
+    planes_m = np.asarray(planes_micro, dtype=np.int64).T  # dim x n_planes
+    weights = (1 << np.arange(rpb)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def iband_buckets(qs: pd.Series) -> pd.Series:
+        m = np.asarray(qs.tolist(), dtype=np.int64)  # batch x dim
+        bits = (m @ planes_m >= 0).astype(np.int64)  # exact int64 dots
+        packed = bits.reshape(len(m), bands, rpb) @ weights
+        return pd.Series(list(packed))
+
     return sided.select(
-        id_name, F.posexplode(F.array(*buckets)).alias("band", "bucket")
+        id_name, F.posexplode(iband_buckets("__q")).alias("band", "bucket")
     )
 
 

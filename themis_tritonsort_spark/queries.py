@@ -2623,7 +2623,13 @@ def q77_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "text")
     )
-    chunks = chunk_documents(kept, "doc_id", "text", chunk_tokens=64, overlap=8)
+    # persisted: pack's range partitioner SAMPLES its input to pick
+    # boundaries before the shuffle reads it again — uncached, the
+    # whole five-signal funnel above executes twice (same fix as
+    # q138's score table; measured ~7.5 s -> ~5 s at sf0.1)
+    chunks = chunk_documents(
+        kept, "doc_id", "text", chunk_tokens=64, overlap=8
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return pack_sequences(
         chunks, "doc_id", "chunk_idx", "n_chunk_tokens", budget=256
     )

@@ -103,6 +103,7 @@ def probes(spark, sf_dir: str, copies: int):
     from themis_tritonsort_spark.operators.textstats import nb_token_classifier
     from themis_tritonsort_spark.operators.similarity import (
         hard_negative_topk,
+        margin_pair_mine_ann,
         pq_codebook,
         pq_topk,
         semdedup,
@@ -236,6 +237,23 @@ def probes(spark, sf_dir: str, copies: int):
         # per-document interval merge must both stay linear
         "dup_substrings": lambda: duplicate_substring_spans(
             docs, "doc_id", "text", window_tokens=12
+        ),
+        # the ANN-fed margin path (q142): a FIXED query batch's band
+        # rows broadcast, the growing corpus streams bands rows into
+        # the bucket join, and the margin windows run over retrieved
+        # candidates only — corpus work must stay linear (the brute
+        # q141 scan would be alpha ~1 here too since queries are fixed,
+        # but with a 90x bigger constant; the wide 32/4 signature keeps
+        # candidates ~bucket-sparse as the corpus grows)
+        "margin_mine_ann": lambda: margin_pair_mine_ann(
+            emb,
+            emb.where(F.col("vec_id") < 50),
+            "vec_id",
+            "embedding",
+            dim=64,
+            k=4,
+            n_planes=32,
+            bands=4,
         ),
     }
 
