@@ -179,3 +179,21 @@ def test_driver_window_composition():
     # integer-exact cos_ppm) re-gate regardless of their last row,
     # plus q141's first-ever gate and the new ANN-fed q142
     assert {"q20", "q38", "q132", "q141", "q142"} <= windowed_prefixes
+
+
+def test_bench_set_covers_the_catalog():
+    """bench.py times every catalog query (a few via scale-variant
+    stand-ins sharing the qNN prefix — trigram shingles, wide LSH).
+    A catalog addition without a bench row silently shrinks the
+    per-round perf evidence; pin the coverage."""
+    import bench
+
+    from themis_tritonsort_spark.queries import QUERIES
+
+    def prefix(name: str) -> str:
+        return name.split("_")[0]
+
+    benched = {prefix(n) for n in bench.BENCH_QUERIES}
+    catalog = {prefix(n) for n in QUERIES}
+    missing = sorted(catalog - benched)
+    assert missing == [], f"catalog queries without a bench row: {missing}"

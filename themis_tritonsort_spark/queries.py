@@ -697,8 +697,10 @@ FROM band a JOIN band b
 """
 
 
-# Q20 ANN: brute-force cosine top-k (exact baseline; IVF variant in
-# operators.similarity is the approximate scale path).
+# Q20 ANN: brute-force cosine top-k (exhaustive baseline; IVF variant
+# in operators.similarity is the approximate scale path).  Ranks order
+# by the engine-exact micro-quantized cos_ppm — see
+# functions/vectors.py icos_ppm.
 def q20_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -1120,8 +1122,10 @@ GROUP BY r.o_orderkey
 """
 
 
-# Q38 Embedding-cosine near-duplicate pairs (exact baseline; the
-# hyperplane-LSH variant q39 is the approximate scale path).
+# Q38 Embedding-cosine near-duplicate pairs (exhaustive baseline; the
+# hyperplane-LSH variant q39 is the approximate scale path).  The
+# threshold applies to the engine-exact integer cos_ppm, so boundary
+# pairs cannot flip across engines.
 NEARDUP_COS = 0.40
 
 
@@ -1463,13 +1467,15 @@ def q39_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Q39 oracle: the exact near-dup pair set (same SQL as q38).  Sign-LSH
-# candidates are verified with the SAME exact fold cosine as q38
-# (verify="fold"), so the output is a subset of the exact pairs with
-# identical cos_ppm values; the configured signature (16 planes, 8
-# bands of 2 bits) recovers every >=0.40-cosine pair of this corpus
-# (hyperplanes are seeded, so recall is a deterministic property of the
-# data, asserted by the gate itself — a miss would show up as a row
-# diff).  tests/test_temporal_similarity.py keeps the generic
+# candidates are verified with the SAME engine-exact integer cosine as
+# q38 (micro-quantized icos_ppm; verify="fold" selects the JVM fold,
+# which is bit-identical to the Arrow integer kernel), so the output
+# is a subset of the exact pairs with identical cos_ppm values; the
+# configured signature (16 planes, 8 bands of 2 bits) recovers every
+# >=400000-ppm pair of this corpus (hyperplanes are seeded, so recall
+# is a deterministic property of the data, asserted by the gate itself
+# — a miss would show up as a row diff).
+# tests/test_temporal_similarity.py keeps the generic
 # subset+recall-floor guard for configurations where recall < 1.
 _Q39_SQL = _Q38_SQL
 
