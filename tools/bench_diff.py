@@ -1,73 +1,112 @@
 #!/usr/bin/env python
-"""Per-query bench deltas between two BENCH_FULL captures.
+"""Diff two bench captures: per-query ratios, regressions, movers.
 
-The driver's BENCH_r{N}.json keeps only a stdout tail, so round-over-
-round comparisons used to be judge-side archaeology.  bench.py now
-writes the full per-query median map to BENCH_FULL.json every run;
-snapshot it per round (BENCH_FULL_r{N}.json) and diff here:
+Accepts either a raw ``bench.py`` JSON line (``{"metric": ...,
+"queries": {...}}``) or a driver ``BENCH_r{N}.json`` record (whose
+``tail`` field holds a possibly-truncated fragment of that line —
+queries are recovered with a tolerant regex).  Per-query values may be
+a scalar or a [samples...] list; lists compare by median.
 
-    python tools/bench_diff.py BENCH_FULL_r05.json BENCH_FULL.json
+Usage:
+  python tools/bench_diff.py BENCH_r04.json BENCH_r05.json
+  python tools/bench_diff.py BENCH_r04.json - < fresh_bench_line.json
 
-Prints queries sorted by worst regression ratio, flagging anything
-over the --flag threshold (default 1.5x, past this box's ~±20%
-run-to-run noise band) plus queries added/removed between captures.
-Exits 1 if any flagged regression exists (so the round workflow can
-gate on it), 0 otherwise.
+Prints a summary plus any query slower than REGRESSION_X (default
+1.5x, override with --threshold) and the five biggest improvements.
+Exits nonzero when regressions exist, so it can gate automation.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
+
+_PAIR = re.compile(r'"(q[\w]+)":\s*(\[[\d.,\s]+\]|\d+(?:\.\d+)?)')
+
+
+def load_queries(path: str) -> dict[str, float]:
+    """Query -> median seconds from any supported capture format."""
+    text = sys.stdin.read() if path == "-" else open(path).read()
+    try:
+        data = json.loads(text)
+    except json.JSONDecodeError:
+        data = None
+    if isinstance(data, dict):
+        if isinstance(data.get("queries"), dict):  # raw bench line
+            return {k: _median(v) for k, v in data["queries"].items()}
+        if isinstance(data.get("tail"), str):  # driver record
+            text = data["tail"]
+    # tolerant fragment scan (truncated tails lose the JSON head)
+    out: dict[str, float] = {}
+    for m in _PAIR.finditer(text):
+        try:
+            out[m.group(1)] = _median(json.loads(m.group(2)))
+        except json.JSONDecodeError:
+            continue
+    return out
+
+
+def _median(v) -> float:
+    if isinstance(v, (int, float)):
+        return float(v)
+    s = sorted(float(x) for x in v)
+    return s[len(s) // 2]
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("old")
-    ap.add_argument("new")
-    ap.add_argument("--flag", type=float, default=1.5,
-                    help="regression ratio to flag (default 1.5)")
-    ap.add_argument("--min-sec", type=float, default=0.5,
-                    help="ignore queries faster than this in BOTH "
-                         "captures (sub-second noise, default 0.5)")
+    ap.add_argument("before")
+    ap.add_argument("after")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument(
+        "--min-sec",
+        type=float,
+        default=0.5,
+        help="ignore regressions on queries faster than this (noise)",
+    )
     args = ap.parse_args()
-
-    old = json.load(open(args.old))["queries"]
-    new = json.load(open(args.new))["queries"]
-
-    added = sorted(set(new) - set(old))
-    removed = sorted(set(old) - set(new))
-    shared = sorted(set(old) & set(new))
-
-    rows = []
-    for name in shared:
-        o, n = old[name], new[name]
-        if max(o, n) < args.min_sec:
-            continue
-        rows.append((n / o if o else float("inf"), name, o, n))
-    rows.sort(reverse=True)
-
-    flagged = [r for r in rows if r[0] >= args.flag]
-    print(f"old total {sum(old.values()):.1f}s ({len(old)} queries)  ->  "
-          f"new total {sum(new.values()):.1f}s ({len(new)} queries)")
-    if added:
-        print(f"added: {', '.join(added)}")
-    if removed:
-        print(f"removed: {', '.join(removed)}")
-    print()
-    print("| query | old (s) | new (s) | ratio |")
-    print("|---|---|---|---|")
-    for ratio, name, o, n in rows[:15]:
-        mark = "  <-- FLAG" if ratio >= args.flag else ""
-        print(f"| {name} | {o:.2f} | {n:.2f} | {ratio:.2f} |{mark}")
-    if flagged:
-        print(f"\n{len(flagged)} flagged regression(s) >= {args.flag}x — "
-              "re-measure in isolation before believing a suite-run number")
-        return 1
-    print("\nno regressions past the flag threshold")
-    return 0
+    before = load_queries(args.before)
+    after = load_queries(args.after)
+    overlap = sorted(set(before) & set(after))
+    if not overlap:
+        print("no overlapping queries between the two captures")
+        return 2
+    tb = sum(before[k] for k in overlap)
+    ta = sum(after[k] for k in overlap)
+    print(
+        f"overlap {len(overlap)} queries: {tb:.1f}s -> {ta:.1f}s "
+        f"({ta / tb:.2f}x)"
+    )
+    only_b = sorted(set(before) - set(after))
+    only_a = sorted(set(after) - set(before))
+    if only_b:
+        print(f"dropped ({len(only_b)}): {', '.join(only_b[:8])}"
+              + (" ..." if len(only_b) > 8 else ""))
+    if only_a:
+        print(f"added ({len(only_a)}): {', '.join(only_a[:8])}"
+              + (" ..." if len(only_a) > 8 else ""))
+    regs = [
+        k
+        for k in overlap
+        if after[k] > args.threshold * before[k] and after[k] > args.min_sec
+    ]
+    for k in sorted(regs, key=lambda k: -after[k] / before[k]):
+        print(
+            f"REGRESSION {k}: {before[k]:.2f}s -> {after[k]:.2f}s "
+            f"({after[k] / before[k]:.2f}x)"
+        )
+    movers = sorted(overlap, key=lambda k: after[k] - before[k])[:5]
+    for k in movers:
+        if after[k] < before[k]:
+            print(
+                f"improved {k}: {before[k]:.2f}s -> {after[k]:.2f}s "
+                f"({after[k] / before[k]:.2f}x)"
+            )
+    print(f"{len(regs)} regression(s) above {args.threshold}x")
+    return 1 if regs else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    raise SystemExit(main())
