@@ -1,0 +1,44 @@
+"""tools/bench_diff.py loader: every capture format it claims to read.
+
+The bench signal crosses three formats (raw bench lines, BENCH_FULL
+files, truncated driver tails); a loader bug silently produces an
+empty overlap and a useless round comparison, so pin each path.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+from pathlib import Path
+
+spec = importlib.util.spec_from_file_location(
+    "bench_diff", Path(__file__).resolve().parent.parent / "tools" / "bench_diff.py"
+)
+bench_diff = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bench_diff)
+
+
+def test_loads_bench_full_and_raw_line(tmp_path):
+    full = {"metric": "x", "queries": {"q01_a": 1.5, "q02_b": 0.25}}
+    p = tmp_path / "BENCH_FULL.json"
+    p.write_text(json.dumps(full))
+    assert bench_diff.load_queries(str(p)) == {"q01_a": 1.5, "q02_b": 0.25}
+
+
+def test_loads_driver_record_with_truncated_tail(tmp_path):
+    # a driver record whose tail lost the JSON head mid-entry — the
+    # tolerant regex must still recover the complete pairs
+    tail = '3], "q05_x": [1.25, 1.75], "q06_y": 2.0, "q07_z": [0.5'
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps({"n": 1, "tail": tail, "parsed": None}))
+    got = bench_diff.load_queries(str(p))
+    # q05 list -> median (index 1 of the sorted 2-list = max), q06
+    # scalar; q07's value is cut off and must be skipped, not crash
+    assert got["q05_x"] == 1.75
+    assert got["q06_y"] == 2.0
+    assert "q07_z" not in got
+
+
+def test_median_of_sample_lists():
+    assert bench_diff._median(3.0) == 3.0
+    assert bench_diff._median([3.0, 1.0, 2.0]) == 2.0

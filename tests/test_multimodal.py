@@ -213,6 +213,36 @@ def test_walk_mjpeg_stream_marker_exact():
     assert walk_mjpeg_stream(payload + b"\x00garbage") is None
 
 
+def test_walk_mjpeg_stream_rejects_malformed():
+    """Truncation anywhere (mid-segment, mid-scan, missing EOI) must
+    fail the WHOLE walk — a partial frame list would silently drop
+    tail frames instead of falling back to the honest byte-stride."""
+    import numpy as np
+
+    from themis_tritonsort_spark.operators.jpeg import encode_jpeg
+    from themis_tritonsort_spark.operators.multimodal import (
+        walk_mjpeg_stream,
+    )
+
+    rng = np.random.RandomState(11)
+    frame = encode_jpeg(rng.randint(0, 256, (8, 8, 3), dtype=np.uint8).astype(np.uint8))
+    assert walk_mjpeg_stream(frame) == [(0, len(frame))]
+    # missing EOI (chop the last two bytes)
+    assert walk_mjpeg_stream(frame[:-2]) is None
+    # truncated mid-header-segment
+    assert walk_mjpeg_stream(frame[:6]) is None
+    # two good frames then a truncated third
+    assert walk_mjpeg_stream(frame + frame + frame[: len(frame) // 2]) is None
+    # grayscale frames walk too
+    gray = encode_jpeg(
+        rng.randint(0, 256, (8, 8), dtype=np.uint8).astype(np.uint8)
+    )
+    assert walk_mjpeg_stream(gray + gray) == [
+        (0, len(gray)),
+        (len(gray), len(gray)),
+    ]
+
+
 def test_frame_sample_decodes_mjpeg_stream(spark, sf_dir):
     """A concatenated baseline-JPEG payload is walked at REAL frame
     boundaries and each sampled frame's gray_sum equals decode_jpeg's
