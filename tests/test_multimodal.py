@@ -241,6 +241,16 @@ def test_walk_mjpeg_stream_rejects_malformed():
         (0, len(gray)),
         (len(gray), len(gray)),
     ]
+    # T.81 B.1.1.2 fill bytes: extra 0xFF padding before a header
+    # marker and before EOI is legal (libjpeg emits it) and must not
+    # derail the walk or the frame lengths
+    filled = (
+        frame[:2] + b"\xff" + frame[2:-2] + b"\xff\xff" + frame[-2:]
+    )
+    assert walk_mjpeg_stream(filled + frame) == [
+        (0, len(filled)),
+        (len(filled), len(frame)),
+    ]
 
 
 def test_frame_sample_decodes_mjpeg_stream(spark, sf_dir):

@@ -159,6 +159,9 @@ def _jpeg_frame_end(payload: bytes, pos: int) -> int | None:
         if payload[p] != 0xFF:
             return None
         marker = payload[p + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2): any number of
+            p += 1  # 0xFF may pad before a marker
+            continue
         if marker == 0xD9:  # EOI with no scan — degenerate but well-formed
             return p + 2
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: bare
@@ -180,6 +183,9 @@ def _jpeg_frame_end(payload: bytes, pos: int) -> int | None:
                 m2 = payload[p + 1]
                 if m2 == 0x00 or 0xD0 <= m2 <= 0xD7:  # stuffing / restart
                     p += 2
+                    continue
+                if m2 == 0xFF:  # fill byte before a marker
+                    p += 1
                     continue
                 if m2 == 0xD9:
                     return p + 2

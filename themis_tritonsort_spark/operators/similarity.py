@@ -385,26 +385,26 @@ def cosine_neardup_pairs(
     shuffle), and each (p, q) group computes its cross-block cosine
     matrix with ONE Arrow-batched numpy matmul instead of a codegen'd
     per-pair array fold — on dim-64 vectors this is ~100x less
-    per-pair overhead.  The matmul is a PREFILTER with 1e-3 slack
-    (covers the float-vs-quantized gap); survivors (a tiny fraction by
-    construction — they are the near-duplicates) are re-scored with
-    the ENGINE-EXACT micro-quantized integer cosine
-    (functions.vectors.icos_ppm), and the threshold is applied to the
-    integer cos_ppm — so both the emitted values and the boundary
-    pairs are bit-identical on any engine (a float fold's last ppm
-    depends on summation order, and a threshold is exactly where that
-    flips a row in or out).
+    per-pair overhead.  The matmul PREFILTER runs over the SAME
+    micro-quantized vectors the exact rescore uses, so its only gap
+    vs the integer cos_ppm is the final half-up rounding (< 1 ppm)
+    plus float matmul noise — a 2e-6 slack covers it for ANY input
+    norms (a float-vs-quantized slack would depend on the corpus's
+    norm distribution).  Survivors (a tiny fraction by construction —
+    they are the near-duplicates) are re-scored with the ENGINE-EXACT
+    integer cosine (functions.vectors.icos_ppm), and the threshold is
+    applied to the integer cos_ppm — so both the emitted values and
+    the boundary pairs are bit-identical on any engine (a float
+    fold's last ppm depends on summation order, and a threshold is
+    exactly where that flips a row in or out).
 
     Each unordered pair is scored exactly once: a cross-block pair
     {x, y} lands in the single group (min_blk, max_blk), and
     same-block pairs take the index upper triangle.
     """
-    from ..functions.vectors import icos_ppm, idot, micro_quantize
+    from ..functions.vectors import icos_ppm
 
-    sided = df.select(
-        F.col(id_col).alias("__id"),
-        as_double(F.col(vec_col)).alias("__v"),
-    ).where(F.col("__v").isNotNull())
+    quant = _micro_sided(df, id_col, vec_col, "__id")
     b = int(n_blocks)
     # Row with block k joins every pair (p, q), p <= q, with p==k or
     # q==k: (k, q) for q in k..B-1 plus (p, k) for p in 0..k-1.
@@ -420,14 +420,15 @@ def cosine_neardup_pairs(
         f"         s -> s.p < __blk))"
     )
     blocked = (
-        sided.withColumn("__blk", F.pmod(F.xxhash64("__id"), F.lit(b)).cast("int"))
+        quant.withColumn("__blk", F.pmod(F.xxhash64("__id"), F.lit(b)).cast("int"))
         .withColumn("__pq", F.explode(membership))
-        .select("__id", "__v", "__blk", F.col("__pq.p").alias("p"), F.col("__pq.q").alias("q"))
+        .select("__id", "__q", "__blk", F.col("__pq.p").alias("p"), F.col("__pq.q").alias("q"))
     )
-    # prefilter slack: micro-quantization moves a cosine by at most
-    # ~1e-5 on unit-ish embeddings; 1e-3 is comfortably past it and
-    # still admits only a sliver of extra candidates to the rescore
-    slack = float(threshold) - 1e-3
+    # prefilter slack: icos_ppm >= t_ppm iff the quantized cosine is
+    # >= (t_ppm - 0.5) / 1e6, i.e. within 1 ppm of the threshold;
+    # float64 matmul noise on exactly-representable int64 inputs is
+    # orders below that.  2e-6 therefore bounds the gap for any norms.
+    slack = float(threshold) - 2e-6
 
     def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         p, q = key
@@ -436,8 +437,11 @@ def cosine_neardup_pairs(
         if a_side.empty or b_side.empty:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64")})
-        ma = np.asarray(a_side["__v"].tolist(), dtype=np.float64)
-        mb = ma if p == q else np.asarray(b_side["__v"].tolist(), dtype=np.float64)
+        # the quantized ints are exactly representable in float64, so
+        # this is the same cosine the integer rescore computes, up to
+        # matmul rounding noise
+        ma = np.asarray(a_side["__q"].tolist(), dtype=np.float64)
+        mb = ma if p == q else np.asarray(b_side["__q"].tolist(), dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             ua = ma / np.linalg.norm(ma, axis=1, keepdims=True)
             ub = ua if p == q else mb / np.linalg.norm(mb, axis=1, keepdims=True)
@@ -455,11 +459,6 @@ def cosine_neardup_pairs(
 
     cand = blocked.groupBy("p", "q").applyInPandas(
         block_pairs, schema="id_a long, id_b long"
-    )
-    quant = sided.select(
-        "__id", micro_quantize(F.col("__v")).alias("__q")
-    ).withColumn("__n", idot(F.col("__q"), F.col("__q"))).where(
-        F.col("__n") > 0
     )
     va = quant.select(
         F.col("__id").alias("id_a"),
@@ -718,13 +717,9 @@ def hyperplane_lsh_neardup(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    from ..functions.vectors import icos_ppm, idot, micro_quantize
+    from ..functions.vectors import icos_ppm
 
-    quant = sided.select(
-        "__id", micro_quantize(F.col("__v")).alias("__q")
-    ).withColumn("__n", idot(F.col("__q"), F.col("__q"))).where(
-        F.col("__n") > 0
-    )
+    quant = _micro_sided(df, id_col, vec_col, "__id")
     va = quant.select(
         F.col("__id").alias("id_a"),
         F.col("__q").alias("__qa"),
@@ -1266,6 +1261,12 @@ def margin_pair_mine(
     fold's).  Still O(|Q| * |C|) compute: for real corpora use
     ``margin_pair_mine_ann``, which feeds sign-LSH candidates through
     the same ``margin_select`` arithmetic.
+
+    NOTE: collecting the query side makes CONSTRUCTING this DataFrame
+    run a small Spark job (scan + quantize of the query set) — unlike
+    the other catalog operators, whose build is free until an action.
+    The driver-side state is the same batch-sized budget the previous
+    broadcast-join form shipped per executor.
     """
     qid = query_id_col or id_col
     q_local = _micro_sided(queries, qid, vec_col, "query_id").collect()

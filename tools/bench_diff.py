@@ -34,8 +34,19 @@ def load_queries(path: str) -> dict[str, float]:
     except json.JSONDecodeError:
         data = None
     if isinstance(data, dict):
-        if isinstance(data.get("queries"), dict):  # raw bench line
-            return {k: _median(v) for k, v in data["queries"].items()}
+        if isinstance(data.get("queries"), dict):  # bench line / FULL file
+            qs = data["queries"]
+            n = data.get("n_queries")
+            if isinstance(n, int) and n > len(qs):
+                # the compact stdout line carries only the slowest 10;
+                # the complete map lives in BENCH_FULL.json
+                print(
+                    f"WARNING: {path} holds {len(qs)}/{n} queries "
+                    f"(compact line) — diff {data.get('full', 'BENCH_FULL.json')} "
+                    "for full coverage",
+                    file=sys.stderr,
+                )
+            return {k: _median(v) for k, v in qs.items()}
         if isinstance(data.get("tail"), str):  # driver record
             text = data["tail"]
     # tolerant fragment scan (truncated tails lose the JSON head)
