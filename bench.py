@@ -168,6 +168,7 @@ BENCH_QUERIES = {
     "q123_segment_mode": q.q123_segment_mode,
     "q124_spend_deciles": q.q124_spend_deciles,
     "q125_video_frames": q.q125_video_frames,
+    "q125b_mjpeg_frames": q.q125b_mjpeg_frames,
     # round-5 fill: the remaining catalog entries, so the bench set IS
     # the catalog (q18/q19/q39 keep their scale-variant stand-ins
     # above — trigram shingles / 64-plane LSH, the 100 TB settings).

@@ -253,6 +253,28 @@ def test_walk_mjpeg_stream_rejects_malformed():
     ]
 
 
+def test_flat_jpeg_roundtrip_exact_for_all_even_grays():
+    """The q125b oracle contract: a CONSTANT gray frame at any EVEN
+    value decodes back bit-for-bit under every encoder mode (the DCT
+    is DC-only and the even level shift divides the Annex K DC quant
+    exactly), so gray_sum == w*h*3*v is a closed form.  Exhaustive
+    over all 128 even values x {4:4:4, 4:2:0+restart, 4:2:2}."""
+    import numpy as np
+
+    from themis_tritonsort_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for v in range(0, 256, 2):
+        img = np.full((16, 16, 3), v, np.uint8)
+        for sub, ri in [((1, 1), 0), ((2, 2), 2), ((2, 1), 1)]:
+            arr = decode_jpeg(
+                encode_jpeg(img, subsample=sub, restart_interval=ri)
+            )
+            assert arr is not None and (arr == v).all(), (v, sub, ri)
+
+
 def test_frame_sample_decodes_mjpeg_stream(spark, sf_dir):
     """A concatenated baseline-JPEG payload is walked at REAL frame
     boundaries and each sampled frame's gray_sum equals decode_jpeg's

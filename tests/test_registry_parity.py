@@ -150,11 +150,11 @@ def test_pagerank_two_iterations_via_job_chain(spark):
 
 def test_driver_window_composition():
     """The round driver gates the FIRST 50 entries of queries() — pin
-    that the window is exactly the rotation plan (round-6: the full
-    45-entry r03-stale block, q141's first gate, the new q142, and the
-    three integer-cosine output-changed re-gates), every windowed
-    entry has an oracle, and nothing outside the window lacks local
-    oracle coverage."""
+    that the window is exactly the rotation plan (round-7: the full
+    45-entry r04-stale block, the q141/q142 CAST re-gates, the q79
+    output-changed re-gate, the new q125b MJPEG gate, and the oldest
+    r05 entry), every windowed entry has an oracle, and nothing
+    outside the window lacks local oracle coverage."""
     from themis_tritonsort_spark.queries import (
         _WINDOW_PRIORITY,
         ORACLES,
@@ -166,19 +166,24 @@ def test_driver_window_composition():
     missing = [n for n in _WINDOW_PRIORITY if n not in ORACLES]
     assert missing == []
     windowed_prefixes = {n.split("_")[0] for n in _WINDOW_PRIORITY}
-    # the 45 entries whose newest driver row was r03 (3 rounds old
-    # after r05) all rotate in: q01..q18 (incl q10b), q29/q31/q39,
-    # q50..q72
-    stale_r03 = (
-        {f"q{i:02d}" for i in range(1, 19)}
-        | {"q10b", "q29", "q31", "q39"}
-        | {f"q{i}" for i in range(50, 73)}
+    # the 45 entries whose newest driver row was r04 (3 rounds old
+    # after r06) all rotate in: q21..q28, q30, q32..q37, q40..q45,
+    # q47..q49, q73..q78, q80..q94
+    stale_r04 = (
+        {f"q{i}" for i in range(21, 29)}
+        | {"q30"}
+        | {f"q{i}" for i in range(32, 38)}
+        | {f"q{i}" for i in range(40, 46)}
+        | {f"q{i}" for i in range(47, 50)}
+        | {f"q{i}" for i in range(73, 79)}
+        | {f"q{i}" for i in range(80, 95)}
     )
-    assert stale_r03 <= windowed_prefixes
-    # entries whose OUTPUT changed this round (micro-quantized
-    # integer-exact cos_ppm) re-gate regardless of their last row,
-    # plus q141's first-ever gate and the new ANN-fed q142
-    assert {"q20", "q38", "q132", "q141", "q142"} <= windowed_prefixes
+    assert stale_r04 <= windowed_prefixes
+    # the q141/q142 oracle-CAST re-gates (two-round hash-red was
+    # DuckDB HUGEINT -> float64 in the driver's pandas path), the q79
+    # integer-cosine output change, the new MJPEG gate, and the
+    # oldest r05 entry
+    assert {"q141", "q142", "q79", "q125b", "q19"} <= windowed_prefixes
 
 
 def test_bench_set_covers_the_catalog():

@@ -12,10 +12,12 @@ reorder a rank or move a threshold (q141's round-5 driver red).  Any
 score that feeds a rank, threshold, or emitted integer therefore goes
 through the INTEGER discipline below: ``micro_quantize`` /
 ``sq8_quantize`` map-side, exact ``idot``, and one final
-deterministic IEEE division (``icos_ppm``).  The float ``dot`` /
-``cosine`` / ``l2_sq`` folds remain for scores both engines re-derive
-with the identical fold expression (k-means/IVF cell assignment) and
-for Spark-only internal math.
+deterministic IEEE division (``icos_ppm``).  The float ``l2_sq`` fold
+remains for scores both engines re-derive with the identical fold
+expression (k-means/IVF cell assignment); the float ``dot`` /
+``cosine`` folds were REMOVED in round 7 once their last rank-feeding
+call site (pq_rerank_topk) converted — reintroducing a float cosine
+on any emitted rank or threshold recreates the q141 r05 driver red.
 """
 
 from __future__ import annotations
@@ -32,18 +34,6 @@ def as_double(col: Column | str) -> Column:
 def _fold_sum(arr: Column) -> Column:
     # Sequential left fold => deterministic summation order.
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-
-
-def dot(a: Column, b: Column) -> Column:
-    return _fold_sum(F.zip_with(as_double(a), as_double(b), lambda x, y: x * y))
-
-
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
-
-
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
 
 
 def l2_sq(a: Column, b: Column) -> Column:

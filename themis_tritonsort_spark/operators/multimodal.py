@@ -611,6 +611,7 @@ def mjpeg_video_from_documents(
     frames: int = 4,
     subsample: tuple[int, int] = (1, 1),
     restart_interval: int = 0,
+    flat: bool = False,
 ) -> DataFrame:
     """Deterministic REAL MJPEG table: each document becomes a
     concatenated baseline-JPEG stream of ``frames`` frames, pixel
@@ -618,9 +619,23 @@ def mjpeg_video_from_documents(
     exactly like ppm_video_from_documents, then encoded with the
     shipped T.81 encoder (operators/jpeg.py — Annex K tables, optional
     chroma subsampling and restart markers).  The encode is lossy, so
-    a SQL oracle cannot re-derive decoded sums — parity is pinned by
-    the unit tests instead (frame walk offsets ARE byte-exact and
-    decode(frame) == decode_jpeg(frame) integer sums)."""
+    a SQL oracle cannot re-derive decoded sums for noise frames —
+    parity is pinned by the unit tests instead (frame walk offsets ARE
+    byte-exact and decode(frame) == decode_jpeg(frame) integer sums).
+
+    ``flat=True`` makes every frame a CONSTANT gray image at the EVEN
+    value ``v_f = 2 * (first md5(text || '-f' || f) byte % 128)``.
+    A constant block's DCT has only a DC term (AC rounds to exact 0),
+    and with the Annex K luma DC quant of 16 an even level shift
+    ``v - 128`` quantizes and reconstructs without loss, so
+    decode(encode(frame)) == frame bit-for-bit (property-verified for
+    all even v x subsample x restart combinations in
+    tests/test_multimodal.py).  Decoded gray_sum is then the closed
+    form ``width * height * 3 * v_f`` — SQL-derivable, which makes the
+    MJPEG walk + T.81 decode DRIVER-GATEABLE end-to-end (q125b).  Odd
+    values sit on the round-half quantization boundary where the
+    float DCT's ulps decide the outcome — not engine-reproducible,
+    hence the even restriction."""
     from .jpeg import encode_jpeg
 
     n_bytes = width * height * 3
@@ -632,6 +647,20 @@ def mjpeg_video_from_documents(
             for text in pdf[text_col]:
                 parts = []
                 for f in range(frames):
+                    if flat:
+                        v = 2 * (
+                            hashlib.md5(f"{text}-f{f}".encode()).digest()[0]
+                            % 128
+                        )
+                        arr = np.full((height, width, 3), v, np.uint8)
+                        parts.append(
+                            encode_jpeg(
+                                arr,
+                                subsample=subsample,
+                                restart_interval=restart_interval,
+                            )
+                        )
+                        continue
                     data = b"".join(
                         hashlib.md5(f"{text}-f{f}-{i}".encode()).digest()
                         for i in range(n_digests)

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, dot
+from ..functions.vectors import as_double, icos_ppm, idot, micro_quantize
 from .kmeans import assign_clusters
 
 
@@ -534,11 +534,20 @@ def semdedup(
     assigned = assign_clusters(
         df.select(F.col(id_col), F.col(vec_col)), vec_col, centers
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Engine-exact duplicate test: micro-quantize once map-side, carry
+    # the integer self-dot, and compare icos_ppm against the ppm
+    # threshold.  A float cosine here is a cross-engine threshold
+    # hazard (summation-order ulps flip >= at the boundary — the q141
+    # r05 class); integer dots are associative, so both engines agree
+    # bit-for-bit.  Zero-norm vectors have no direction and can never
+    # be duplicates: they are excluded from the pair join below (not
+    # from the output row set).
+    thr_ppm = int(round(threshold * 1e6))
     sided = assigned.select(
         F.col(id_col).alias("__id"),
         F.col("cluster").alias("__cl"),
-        as_double(F.col(vec_col)).alias("__v"),
-    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+        micro_quantize(F.col(vec_col)).alias("__q"),
+    ).withColumn("__n", idot(F.col("__q"), F.col("__q")))
     if max_cluster is not None:
         w = Window.partitionBy("__cl")
         n_splits = F.expr(f"(__csz + {max_cluster - 1}) div {max_cluster}")
@@ -549,23 +558,24 @@ def semdedup(
         )
     else:
         sided = sided.withColumn("__sub", F.lit(0).cast("long"))
-    a = sided.select(
+    nzs = sided.where(F.col("__n") > 0)
+    a = nzs.select(
         F.col("__id").alias("__ida"),
         F.col("__cl").alias("__cla"),
         F.col("__sub").alias("__suba"),
-        F.col("__v").alias("__va"),
+        F.col("__q").alias("__qa"),
         F.col("__n").alias("__na"),
     )
-    b = sided.select(
+    b = nzs.select(
         F.col("__id").alias("__idb"),
         F.col("__cl").alias("__clb"),
         F.col("__sub").alias("__subb"),
-        F.col("__v").alias("__vb"),
+        F.col("__q").alias("__qb"),
         F.col("__n").alias("__nb"),
     )
-    # cos kept in the a.b/(|a||b|) spelling (NOT pre-normalized
-    # vectors) so the division order matches the oracle bit-for-bit.
-    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    cos_ppm = icos_ppm(
+        F.col("__qa"), F.col("__na"), F.col("__qb"), F.col("__nb")
+    )
     dups = (
         a.join(
             b,
@@ -573,7 +583,7 @@ def semdedup(
             & (F.col("__suba") == F.col("__subb"))
             & (F.col("__ida") < F.col("__idb")),
         )
-        .where(cos >= threshold)
+        .where(cos_ppm >= F.lit(thr_ppm))
         .select(F.col("__idb").alias(id_col))
         .distinct()
         .withColumn("__dup", F.lit(1))
@@ -1084,7 +1094,8 @@ def pq_rerank_topk(
 ) -> DataFrame:
     """Two-tier PQ search — the deployable shape: pq_topk produces a
     ``shortlist`` of candidates per query from codes alone, then ONLY
-    those rows are re-scored with exact cosine and re-ranked to ``k``.
+    those rows are re-scored with the engine-exact integer cosine
+    (micro-quantize + icos_ppm) and re-ranked to ``k``.
     On uniform-random embeddings (PQ's adversarial case) this lifts
     recall@10 from ~0.3 (codes only) to ~0.9 at shortlist=100.
 
@@ -1097,17 +1108,22 @@ def pq_rerank_topk(
     short = pq_topk(
         corpus, queries, id_col, vec_col, codebook, shortlist, query_id_col
     ).select("query_id", "neighbor_id")
-    vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    )
-    qv = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+    # Exact tier-2 re-score under the integer discipline: micro-quantize
+    # both sides and rank on icos_ppm — an emitted rank must never hang
+    # on a float fold whose summation order another engine can disagree
+    # with by an ulp (the q141 r05 class).  Zero-norm rows have no
+    # direction and drop out of the rerank (they can't out-rank a real
+    # neighbor anyway).
+    vecs = _micro_sided(corpus, id_col, vec_col, "neighbor_id")
+    qv = _micro_sided(queries, qid, vec_col, "query_id").select(
+        "query_id", F.col("__q").alias("__qq"), F.col("__n").alias("__qn")
     )
     cand = vecs.join(F.broadcast(short), "neighbor_id").join(
         F.broadcast(qv), "query_id"
     )
     scored = cand.withColumn(
-        "__cos", cosine(F.col("__cvec"), F.col("__qvec"))
+        "__cos",
+        icos_ppm(F.col("__q"), F.col("__n"), F.col("__qq"), F.col("__qn")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col("neighbor_id").asc()

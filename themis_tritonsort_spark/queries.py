@@ -2768,10 +2768,10 @@ def q79_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seed centers) several clusters exceed 50, so the driver gate
 # exercises the capped path, not just the identity n_splits=1 case.
 _Q79_SQL = f"""
-WITH c AS (
-  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+WITH {_EMB_MICRO_CTE},
+c AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
 ),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 d AS (
   SELECT e.vec_id, c.cid,
          list_sum(list_transform(range(1, len(v) + 1),
@@ -2797,11 +2797,10 @@ dups AS (
   FROM asg a
   JOIN asg b ON a.cluster = b.cluster AND a.sub = b.sub
             AND a.vec_id < b.vec_id
-  JOIN e ea ON ea.vec_id = a.vec_id
-  JOIN e eb ON eb.vec_id = b.vec_id
-  WHERE list_dot_product(ea.v, eb.v)
-          / (sqrt(list_dot_product(ea.v, ea.v))
-             * sqrt(list_dot_product(eb.v, eb.v))) >= {NEARDUP_COS}
+  JOIN nz ea ON ea.vec_id = a.vec_id
+  JOIN nz eb ON eb.vec_id = b.vec_id
+  WHERE {_ICOS_PPM_SQL.format(a='ea.q', b='eb.q', na='ea.nn', nb='eb.nn')}
+          >= {int(round(NEARDUP_COS * 1e6))}
 )
 SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
        CAST(CASE WHEN dups.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
@@ -3081,20 +3080,26 @@ FROM rnk WHERE rnk <= 10
 
 # Q85 two-tier PQ + exact re-rank (operators/similarity.py:
 # pq_rerank_topk): the PQ CTE's top-``shortlist`` candidates per query
-# are re-scored with the exact q20 cosine spelling and re-ranked.
+# are re-scored with the engine-exact integer cosine (micro-quantize +
+# icos_ppm — an emitted rank never hangs on a float fold) and
+# re-ranked.
 _PQ_SHORTLIST = 50
 _Q85_SQL = (
     _PQ_CTE
     + f""",
 short AS (SELECT query_id, neighbor_id FROM rnk WHERE rnk <= {_PQ_SHORTLIST}),
+mq AS (
+  SELECT vec_id, q, {_ISELF_SQL.format(q='q')} AS nn FROM (
+    SELECT vec_id, {_MICROQ_SQL.format(v='v')} AS q FROM e
+  )
+),
 rer AS (
   SELECT short.query_id, short.neighbor_id,
-         list_dot_product(e.v, q.qv)
-           / (sqrt(list_dot_product(e.v, e.v))
-              * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+         {_ICOS_PPM_SQL.format(a='c.q', b='q.q', na='c.nn', nb='q.nn')} AS cos
   FROM short
-  JOIN e ON e.vec_id = short.neighbor_id
-  JOIN qs q ON q.query_id = short.query_id
+  JOIN mq c ON c.vec_id = short.neighbor_id
+  JOIN mq q ON q.vec_id = short.query_id
+  WHERE c.nn > 0 AND q.nn > 0
 )
 SELECT query_id, neighbor_id, CAST(r2 AS BIGINT) AS rank
 FROM (
@@ -5193,6 +5198,51 @@ FROM fb GROUP BY 1, 2, 3
 """
 
 
+# Q125b MJPEG frame walk + T.81 decode, driver-gated end-to-end
+# (operators/multimodal.py: mjpeg_video_from_documents(flat=True) ->
+# frame_sample -> walk_mjpeg_stream + decode_jpeg; exercises the 4:2:0
+# subsampling and restart-marker decoder paths too).  Flat frames make
+# the lossy codec's decode closed-form (see the operator docstring):
+# each decoded frame is EXACTLY its constant even gray value, so
+# gray_sum == w*h*3 * v_f with v_f = 2*(md5(text||'-f'||f)[0] % 128)
+# and the oracle re-derives every decoded sum without modeling JPEG.
+# Frame OFFSETS are entropy-coded byte lengths (not SQL-derivable) and
+# are deliberately not part of this gate — the unit tests pin them.
+_MJPEG_W, _MJPEG_H, _MJPEG_FRAMES, _MJPEG_STEP = 16, 16, 4, 2
+
+
+def q125b_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        frame_sample,
+        mjpeg_video_from_documents,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    media = mjpeg_video_from_documents(
+        docs,
+        width=_MJPEG_W,
+        height=_MJPEG_H,
+        frames=_MJPEG_FRAMES,
+        subsample=(2, 2),
+        restart_interval=2,
+        flat=True,
+    )
+    return frame_sample(media, frame_step=_MJPEG_STEP).select(
+        F.col("id").alias("doc_id"), "frame_idx", "gray_sum"
+    )
+
+
+_Q125B_SQL = f"""
+SELECT doc_id, CAST(fr.f AS BIGINT) AS frame_idx,
+       CAST({_MJPEG_W * _MJPEG_H * 3} * 2
+            * (('0x' || substr(md5(text || '-f' || CAST(fr.f AS VARCHAR)),
+                               1, 2))::BIGINT % 128)
+         AS BIGINT) AS gray_sum
+FROM documents,
+     (SELECT unnest(range(0, {_MJPEG_FRAMES}, {_MJPEG_STEP})) AS f) fr(f)
+"""
+
+
 # Q126 Same-nation 6-way join (TPC-H Q5 local-supplier-volume shape):
 # revenue per nation where the ordering customer and the line's
 # supplier share a nation, within one region and order-date year.
@@ -6041,7 +6091,9 @@ best AS (
     PARTITION BY query_id ORDER BY margin_micro DESC, neighbor_id
   ) AS b FROM m
 )
-SELECT query_id, neighbor_id, cos_ppm, margin_micro FROM best WHERE b = 1
+SELECT query_id, neighbor_id, cos_ppm,
+       CAST(margin_micro AS BIGINT) AS margin_micro
+FROM best WHERE b = 1
 """
 
 
@@ -6160,7 +6212,9 @@ best AS (
     PARTITION BY query_id ORDER BY margin_micro DESC, neighbor_id
   ) AS b FROM m
 )
-SELECT query_id, neighbor_id, cos_ppm, margin_micro FROM best WHERE b = 1
+SELECT query_id, neighbor_id, cos_ppm,
+       CAST(margin_micro AS BIGINT) AS margin_micro
+FROM best WHERE b = 1
 """
 
 
@@ -6294,6 +6348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q123_segment_mode": q123_segment_mode,
     "q124_spend_deciles": q124_spend_deciles,
     "q125_video_frames": q125_video_frames,
+    "q125b_mjpeg_frames": q125b_mjpeg_frames,
     "q126_local_supplier_volume": q126_local_supplier_volume,
     "q127_market_share": q127_market_share,
     "q128_returned_items": q128_returned_items,
@@ -6313,45 +6368,45 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q142_ann_margin_pairs": q142_ann_margin_pairs,
 }
 
-# Driver-window rotation (round 6).  The round driver gates the FIRST
-# 50 entries of queries() against their oracles.  After r05, 45
-# entries' newest driver row is r03 (3 rounds old): q01..q18 (incl.
-# q10b), q29/q31/q39, q50..q72 — the full rotation debt VERDICT r05
-# flagged; all 45 go in front (q31's integer-exact IVF rescore and
-# q39's integer-exact verify also changed OUTPUT this round, so their
-# slots double as re-gates).  The remaining 5 slots: q141 (its
-# first-ever driver green — the float-cosine fix), q142 (new: ANN-fed
-# margin mining), and re-gates of q20/q38/q132, whose OUTPUT changed
-# this round (cos_ppm is now micro-quantized integer-exact; their old
-# rows no longer attest current code).  The r04-era block q73..q94
-# (2 rounds old) rotates in round 7.  Everything outside the window
-# stays oracle-checked locally every run by
-# tests/test_queries_oracle.py, and tools/driver_sim.py flags any
-# entry whose newest driver row is ≥2 rounds old.
+# Driver-window rotation (round 7).  The round driver gates the FIRST
+# 50 entries of queries() against their oracles.  After r06, 45
+# entries' newest driver row is r04 (3 rounds old): q21..q28, q30,
+# q32..q37, q40..q45, q47..q49, q73..q78, q80..q94 — the rotation
+# debt VERDICT r06 scheduled for this window; all 45 go in front
+# (q85's slot doubles as a re-gate: its rerank is now integer-exact
+# icos_ppm, so its r04 row no longer attests current output).  The
+# remaining 5 slots: q141/q142 re-gates (their two-round hash-red was
+# the oracle's uncast HUGEINT margin_micro — now CAST ... AS BIGINT;
+# first-ever driver greens expected), q79_semdedup (output-changed
+# re-gate: the dup threshold is now integer icos_ppm), q125b (new:
+# MJPEG walk + T.81 decode with a closed-form flat-frame oracle), and
+# q19_minhash_lsh (the oldest r05 entry).  The 48-entry r05 block
+# rotates in round 8.  Everything outside the window stays
+# oracle-checked locally every run by tests/test_queries_oracle.py,
+# and tools/driver_sim.py flags any entry whose newest driver row is
+# >=2 rounds old.
 _WINDOW_PRIORITY = [
-    # the 45 r03-stale entries, catalog order
-    "q01_sort_events", "q02_sort_lineitem", "q03_wordcount",
-    "q04_ngrams", "q05_inverted_index", "q06_sessionize",
-    "q07_pagerank", "q08_link_extract", "q09_kmeans_assign",
-    "q10_global_agg", "q10b_length_histogram", "q11_duplicate_keys",
-    "q12_merge_sorted", "q13_grep", "q14_pricing_summary",
-    "q15_revenue_by_nation", "q16_top_customers", "q17_exact_dedup",
-    "q18_jaccard_pairs",
-    "q29_kmeans_full", "q31_ivf_ann", "q39_lsh_neardup",
-    "q50_mixture_sample", "q51_chunk_documents",
-    "q52_small_qty_revenue", "q53_order_count_distribution",
-    "q54_yearly_cohorts", "q55_returnflag_pivot", "q56_rolling_hour",
-    "q57_cube_revenue", "q58_repetition_stats", "q59_decontaminate",
-    "q60_encode_tokens", "q61_train_split", "q62_pii_scrub",
-    "q63_tfidf_topk", "q64_unigram_surprisal", "q65_dedup_spans",
-    "q66_blocklist_filter", "q67_gap_fill", "q68_triangle_counts",
-    "q69_funnel", "q70_cooccurrence_pmi", "q71_retention",
-    "q72_cheapest_supplier",
-    # q141's first driver gate (r05 red -> integer-exact cos_ppm),
-    # the new ANN-fed margin entry, and the three output-changed
-    # integer-cosine re-gates
+    # the 45 r04-stale entries, catalog order
+    "q21_text_quality", "q22_lang_id", "q23_fingerprint",
+    "q24_window_funcs", "q25_customers_without_orders",
+    "q26_distinct_agg", "q27_parts_shipped_by_brand",
+    "q28_json_extract", "q30_simhash", "q32_above_avg_parts",
+    "q33_late_ship_orders", "q34_region_share", "q35_rollup_revenue",
+    "q36_asof_join", "q37_range_join", "q40_nation_market",
+    "q41_token_counts", "q42_value_quantiles", "q43_corpus_pipeline",
+    "q44_salted_count", "q45_time_rollup", "q47_gap_sessions",
+    "q48_shipping_priority", "q49_stratified_sample",
+    "q73_pack_sequences", "q74_triangle_total", "q75_surprisal_mix",
+    "q76_shuffle_shards", "q77_full_curation", "q78_media_decode",
+    "q80_bigram_perplexity", "q81_sq8_ann", "q82_bloom_decontam",
+    "q83_token_budget", "q84_pq_ann", "q85_pq_rerank", "q86_kcore",
+    "q87_length_batches", "q88_cdc_snapshot", "q89_scd2_history",
+    "q90_hll_distinct", "q91_cms_heavy_hitters", "q92_zscore_outliers",
+    "q93_label_propagation", "q94_weighted_sample",
+    # the q141/q142 CAST re-gates, the q79 output-changed re-gate,
+    # the new MJPEG gate, and the oldest r05 entry
     "q141_margin_pairs", "q142_ann_margin_pairs",
-    "q20_ann_topk", "q38_cosine_neardup", "q132_hard_negatives",
+    "q79_semdedup", "q125b_mjpeg_frames", "q19_minhash_lsh",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
@@ -6485,6 +6540,7 @@ ORACLES: dict[str, str] = {
     "q123_segment_mode": _Q123_SQL,
     "q124_spend_deciles": _Q124_SQL,
     "q125_video_frames": _Q125_SQL,
+    "q125b_mjpeg_frames": _Q125B_SQL,
     "q126_local_supplier_volume": _Q126_SQL,
     "q127_market_share": _Q127_SQL,
     "q128_returned_items": _Q128_SQL,
