@@ -419,8 +419,12 @@ def test_q142_ann_margin_has_no_bipartite_product(spark):
 
 def test_margin_select_streams_backward_stats(spark):
     # the corpus-cardinality bwd_stats side must NOT be the broadcast
-    # build of the margin join (ADVICE r05): the hinted side is the
-    # fwd+fwd_stats table (~k rows per query)
+    # build of the margin join (ADVICE r05): margin_select writes the
+    # join as broadcast(fwd JOIN broadcast(fwd_stats)) JOIN bwd_stats,
+    # so in the executed plan the neighbor_id-keyed BroadcastHashJoin
+    # must build its LEFT (fwd) side — a regression that broadcasts
+    # bwd_stats flips it to BuildRight (ADVICE r06: a bare
+    # "BroadcastHashJoin in plan" assertion could not see that).
     from themis_tritonsort_spark.operators.similarity import margin_pair_mine
 
     emb = q.table(spark, SF_SMOKE, "embeddings")
@@ -434,7 +438,16 @@ def test_margin_select_streams_backward_stats(spark):
         k=4,
     )
     plan = _plan(df, mode="simple")
-    assert "BroadcastHashJoin" in plan
+    njoins = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastHashJoin" in line and "neighbor_id" in line
+    ]
+    assert njoins, f"no neighbor_id-keyed broadcast join in plan:\n{plan}"
+    for line in njoins:
+        assert "BuildLeft" in line, (
+            f"bwd_stats became the broadcast build side: {line.strip()}"
+        )
 
 
 def test_q140_scrub_spans_ride_a_doc_keyed_join(spark):

@@ -209,3 +209,20 @@ def test_micro_quantize_rounds_half_up_on_negatives(spark):
     )
     got = df.select(micro_quantize(F.col("v")).alias("q")).collect()[0]["q"]
     assert got == [0, -1, 1, 250000]
+
+def test_micro_quantize_magnitude_guard(spark):
+    """Components beyond the int64-safe bound (dim * max|q|^2 > 2^62)
+    must FAIL LOUDLY, not wrap: non-ANSI Spark would silently wrap the
+    integer dot where DuckDB raises — an undetected cross-engine
+    divergence (ADVICE r06).  In-contract and empty inputs pass."""
+    import pytest
+
+    ok = spark.createDataFrame(
+        [([0.5] * 64,), ([-1.2] * 64,), ([],)], "v array<double>"
+    )
+    rows = ok.select(micro_quantize(F.col("v")).alias("q")).collect()
+    assert rows[0]["q"][0] == 500000 and rows[2]["q"] == []
+
+    bad = spark.createDataFrame([([400.0] * 64,)], "v array<double>")
+    with pytest.raises(Exception, match="int64-safe bound"):
+        bad.select(micro_quantize(F.col("v")).alias("q")).collect()

@@ -77,6 +77,12 @@ def idot(a: Column, b: Column) -> Column:
     )
 
 
+# idot over micro-quantized vectors must stay inside int64:
+# dim * max|q|^2 <= 2^62 (headroom below 2^63-1), i.e. per-dim
+# max|q| <= sqrt(2^62 / dim) — components |v| <= ~268 at dim 64.
+_I64_SAFE = float(2**62)
+
+
 def micro_quantize(a: Column) -> Column:
     """Fixed-point micro-unit quantization: ``q_i = floor(1e6 * v_i +
     0.5)`` (round-half-up).  Unlike ``sq8_quantize`` the scale is a
@@ -95,9 +101,31 @@ def micro_quantize(a: Column) -> Column:
     Overflow bounds: components |v| <= ~1 quantize to ~1e6; squares
     ~1e12; a dim-1024 norm is ~1e15 — still an exact long AND exactly
     representable as a double (< 2^53 up to dim ~4000 for unit-ish
-    embeddings)."""
-    return F.transform(
-        as_double(a), lambda x: F.floor(F.lit(1e6) * x + F.lit(0.5))
+    embeddings).  Inputs BEYOND the unit-ish contract would silently
+    wrap int64 in non-ANSI Spark while DuckDB raises (an undetected
+    cross-engine divergence — ADVICE r06), so a magnitude guard
+    enforces ``max|q| <= sqrt(2^62 / dim)`` and raises loudly on both
+    engines instead: Spark via raise_error here, DuckDB via its native
+    overflow check."""
+    v = as_double(a)
+    q = F.transform(v, lambda x: F.floor(F.lit(1e6) * x + F.lit(0.5)))
+    limit = F.sqrt(
+        F.lit(_I64_SAFE)
+        / F.greatest(F.size(v), F.lit(1)).cast("double")
+    )
+    ok = F.coalesce(
+        maxabs(a) * F.lit(1e6) + F.lit(0.5) <= limit, F.lit(True)
+    )
+    return F.when(ok, q).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "micro_quantize: component magnitude exceeds the "
+                    "int64-safe bound sqrt(2^62/dim); max|v| = "
+                ),
+                maxabs(a).cast("string"),
+            )
+        )
     )
 
 

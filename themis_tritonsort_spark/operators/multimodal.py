@@ -494,10 +494,14 @@ def frame_sample(
     image_block_sums oracle discipline), chunk_hash the frame-bytes
     md5.  Payloads that are neither (unknown codecs in this container)
     keep the byte-stride fallback: one row per ``every_n_bytes`` chunk
-    with gray_sum NULL — same plumbing, honest about not decoding.  A
-    walkable MJPEG frame whose flavor the decoder doesn't support
-    (e.g. progressive) emits its row with gray_sum NULL too: the WALK
-    is structural (marker-exact), the decode is best-effort.
+    with gray_sum NULL — same plumbing, honest about not decoding.
+    Progressive JPEG lands HERE, not on the NULL-gray_sum path: the
+    walk itself refuses multi-scan streams (_jpeg_frame_end returns
+    None past the first SOS), so a progressive payload takes the
+    byte-stride fallback.  A frame that IS walkable but whose flavor
+    the decoder doesn't support (e.g. arithmetic-coded or an
+    unsupported component count) emits its row with gray_sum NULL:
+    the WALK is structural (marker-exact), the decode is best-effort.
 
     One-to-many mapInPandas: frames never leave the executor; only
     fixed-width sample rows shuffle."""
