@@ -646,6 +646,24 @@ def mjpeg_video_from_documents(
     n_digests = (n_bytes + 15) // 16
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # flat frames take only 128 distinct byte strings (the frame
+        # depends on nothing but its even gray value), so encode each
+        # value once per task instead of once per frame — generation
+        # cost stays O(documents), not O(frames x encode)
+        flat_cache: dict[int, bytes] = {}
+
+        def flat_frame(v: int) -> bytes:
+            fb = flat_cache.get(v)
+            if fb is None:
+                arr = np.full((height, width, 3), v, np.uint8)
+                fb = encode_jpeg(
+                    arr,
+                    subsample=subsample,
+                    restart_interval=restart_interval,
+                )
+                flat_cache[v] = fb
+            return fb
+
         for pdf in batches:
             payloads = []
             for text in pdf[text_col]:
@@ -656,14 +674,7 @@ def mjpeg_video_from_documents(
                             hashlib.md5(f"{text}-f{f}".encode()).digest()[0]
                             % 128
                         )
-                        arr = np.full((height, width, 3), v, np.uint8)
-                        parts.append(
-                            encode_jpeg(
-                                arr,
-                                subsample=subsample,
-                                restart_interval=restart_interval,
-                            )
-                        )
+                        parts.append(flat_frame(v))
                         continue
                     data = b"".join(
                         hashlib.md5(f"{text}-f{f}-{i}".encode()).digest()

@@ -5217,7 +5217,11 @@ def q125b_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         mjpeg_video_from_documents,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # The documents parquet is a single split at gate scales; without
+    # a spread the per-frame Python decode serializes on one task.
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     media = mjpeg_video_from_documents(
         docs,
         width=_MJPEG_W,
