@@ -5219,8 +5219,12 @@ def q125b_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The documents parquet is a single split at gate scales; without
     # a spread the per-frame Python decode serializes on one task.
+    # Capped at 16: the chained mapInPandas pair spawns TWO Python
+    # workers per task, and cold worker spawn (measured ~0.2 s each
+    # after idle reaping between bench passes) dominates the ~0.4 s
+    # of per-task decode work long before 32 partitions pay off.
     docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        min(16, spark.sparkContext.defaultParallelism)
     )
     media = mjpeg_video_from_documents(
         docs,
