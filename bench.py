@@ -169,6 +169,7 @@ BENCH_QUERIES = {
     "q124_spend_deciles": q.q124_spend_deciles,
     "q125_video_frames": q.q125_video_frames,
     "q125b_mjpeg_frames": q.q125b_mjpeg_frames,
+    "q78b_audio_decode": q.q78b_audio_decode,
     # round-5 fill: the remaining catalog entries, so the bench set IS
     # the catalog (q18/q19/q39 keep their scale-variant stand-ins
     # above — trigram shingles / 64-plane LSH, the 100 TB settings).

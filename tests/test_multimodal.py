@@ -275,6 +275,56 @@ def test_flat_jpeg_roundtrip_exact_for_all_even_grays():
             assert arr is not None and (arr == v).all(), (v, sub, ri)
 
 
+def test_audio_sample_stats_exact_int16_recovery(spark, sf_dir):
+    """The q78b contract: wav_from_documents writes a real RIFF
+    container (stdlib wave) whose int16 PCM stream is the md5 digest
+    bytes verbatim, and audio_sample_stats recovers the RAW samples —
+    abs_sum/sq_sum must equal the digest-derived integers exactly.
+    Non-WAV and multi-channel payloads are dropped, not guessed."""
+    import hashlib
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    from themis_tritonsort_spark.operators.multimodal import (
+        audio_sample_stats,
+        wav_from_documents,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(5)
+    media = wav_from_documents(docs, n_samples=256)
+    rows = {r["doc_id"]: r for r in audio_sample_stats(media).select(
+        F.col("id").alias("doc_id"), "n_samples", "abs_sum", "sq_sum"
+    ).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(rows) == 5
+    for doc_id, text in texts.items():
+        data = b"".join(
+            hashlib.md5(f"{text}-a{i}".encode()).digest() for i in range(32)
+        )[: 2 * 256]
+        x = np.frombuffer(data, "<i2").astype(np.int64)
+        r = rows[doc_id]
+        assert r["n_samples"] == 256
+        assert r["abs_sum"] == int(np.abs(x).sum())
+        assert r["sq_sum"] == int((x * x).sum())
+
+    # stereo and non-WAV payloads are dropped
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x01\x02" * 8)
+    bad = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "audio/wav", (0, "x")),
+         (2, bytearray(b"not a riff"), "audio/wav", (0, "x"))],
+        "id long, media binary, media_type string, "
+        "meta struct<n_bytes: long, source: string>",
+    )
+    assert audio_sample_stats(bad).count() == 0
+
+
 def test_frame_sample_decodes_mjpeg_stream(spark, sf_dir):
     """A concatenated baseline-JPEG payload is walked at REAL frame
     boundaries and each sampled frame's gray_sum equals decode_jpeg's

@@ -152,9 +152,9 @@ def test_driver_window_composition():
     """The round driver gates the FIRST 50 entries of queries() — pin
     that the window is exactly the rotation plan (round-7: the full
     45-entry r04-stale block, the q141/q142 CAST re-gates, the q79
-    output-changed re-gate, the new q125b MJPEG gate, and the oldest
-    r05 entry), every windowed entry has an oracle, and nothing
-    outside the window lacks local oracle coverage."""
+    output-changed re-gate, and the new q125b MJPEG + q78b audio
+    gates), every windowed entry has an oracle, and nothing outside
+    the window lacks local oracle coverage."""
     from themis_tritonsort_spark.queries import (
         _WINDOW_PRIORITY,
         ORACLES,
@@ -181,9 +181,8 @@ def test_driver_window_composition():
     assert stale_r04 <= windowed_prefixes
     # the q141/q142 oracle-CAST re-gates (two-round hash-red was
     # DuckDB HUGEINT -> float64 in the driver's pandas path), the q79
-    # integer-cosine output change, the new MJPEG gate, and the
-    # oldest r05 entry
-    assert {"q141", "q142", "q79", "q125b", "q19"} <= windowed_prefixes
+    # integer-cosine output change, and the new MJPEG + audio gates
+    assert {"q141", "q142", "q79", "q125b", "q78b"} <= windowed_prefixes
 
 
 def test_bench_set_covers_the_catalog():

@@ -809,6 +809,102 @@ def ppm_from_documents(
     return docs.select(id_col, text_col).mapInPandas(fn, schema=MEDIA_SCHEMA)
 
 
+def wav_from_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_samples: int = 256,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic REAL audio table: each document becomes a mono
+    16-bit PCM WAV of ``n_samples`` samples; sample i is the
+    little-endian int16 built from bytes (2i, 2i+1) of the
+    md5(text || '-a' || k) digest stream, k = 0,1,2,...  The container
+    is written through stdlib ``wave`` (real RIFF/fmt/data chunks), so
+    the decoder's container walk is exercised, and every sample byte
+    is engine-reproducible — a SQL oracle re-derives the exact int16
+    stream, which makes the AUDIO decode driver-gateable end-to-end
+    (see q78b; PCM is lossless, so unlike JPEG no constant-input trick
+    is needed)."""
+    import wave
+
+    n_bytes = 2 * n_samples
+    n_digests = (n_bytes + 15) // 16
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                data = b"".join(
+                    hashlib.md5(f"{text}-a{i}".encode()).digest()
+                    for i in range(n_digests)
+                )[:n_bytes]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(sample_rate)
+                    wf.writeframes(data)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "media": payloads,
+                    "media_type": ["audio/wav"] * len(pdf),
+                    "meta": [
+                        {"n_bytes": len(p), "source": "documents"}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def audio_sample_stats(media: DataFrame) -> DataFrame:
+    """Decode every 16-bit PCM WAV payload (stdlib ``wave`` container
+    parse) and emit exact-integer sample statistics per clip:
+    (id, n_samples, abs_sum, sq_sum).  Samples stay the RAW int16
+    stream — no float normalization anywhere, so the sums are
+    engine-exact int64 (256 samples x 32768^2 is ~2.7e11, far inside
+    int64).  Multi-channel or non-16-bit payloads and non-WAV bytes
+    are dropped (count upstream if needed); the float feature path for
+    analytics lives in media_features."""
+    import wave
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, asums, sqsums = [], [], [], []
+            for i, m in zip(pdf["id"], pdf["media"]):
+                payload = bytes(m)
+                if not payload.startswith(b"RIFF"):
+                    continue
+                try:
+                    with wave.open(io.BytesIO(payload), "rb") as wf:
+                        if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
+                            continue
+                        frames = wf.readframes(wf.getnframes())
+                except Exception:  # noqa: BLE001 — malformed container
+                    continue
+                x = np.frombuffer(frames, "<i2").astype(np.int64)
+                ids.append(i)
+                ns.append(len(x))
+                asums.append(int(np.abs(x).sum()))
+                sqsums.append(int((x * x).sum()))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_samples": ns,
+                    "abs_sum": asums,
+                    "sq_sum": sqsums,
+                }
+            )
+
+    return media.mapInPandas(
+        fn, schema="id long, n_samples long, abs_sum long, sq_sum long"
+    )
+
+
 def media_block_sums(media: DataFrame) -> DataFrame:
     """Decode every image payload and emit the exact-integer 4x4
     block-sum grid as rows: (id, block_idx, gray_sum).  The decode

@@ -2737,6 +2737,51 @@ FROM blocks GROUP BY 1, 2
 """
 
 
+# Q78b audio decode, driver-gated end-to-end
+# (operators/multimodal.py: wav_from_documents -> audio_sample_stats):
+# a real RIFF/fmt/data container walk via stdlib wave, with the int16
+# PCM samples recovered RAW (no float normalization), so the per-clip
+# integer stats are engine-exact and the oracle re-derives every
+# sample from the md5 digest stream — PCM is lossless, so unlike the
+# JPEG gate (q125b) no constant-input trick is needed.  Sample i is
+# the little-endian int16 from bytes (2i, 2i+1) of digest i//8; both
+# bytes always land in the same digest because 2i is even.
+_WAV_SAMPLES = 256
+
+
+def q78b_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import audio_sample_stats, wav_from_documents
+
+    # single-split parquet at gate scales — spread the Python decode
+    # (capped like q125b: cold worker spawn dominates past ~16 tasks)
+    docs = table(spark, sf_dir, "documents").repartition(
+        min(16, spark.sparkContext.defaultParallelism)
+    )
+    media = wav_from_documents(docs, n_samples=_WAV_SAMPLES)
+    return audio_sample_stats(media).select(
+        F.col("id").alias("doc_id"), "n_samples", "abs_sum", "sq_sum"
+    )
+
+
+_Q78B_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text || '-a' || CAST(i // 8 AS VARCHAR)),
+                         4 * (i % 8) + 1, 2))::BIGINT
+         + 256 * ('0x' || substr(md5(text || '-a' || CAST(i // 8 AS VARCHAR)),
+                                 4 * (i % 8) + 3, 2))::BIGINT AS u
+  FROM documents, generate_series(0, {_WAV_SAMPLES - 1}) g(i)
+),
+t AS (
+  SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM s
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+       CAST(sum(v * v) AS BIGINT) AS sq_sum
+FROM t GROUP BY doc_id
+"""
+
+
 # Q79 SemDeDup: semantic dedup by k-means blocking + within-cluster
 # cosine (operators/similarity.py: semdedup).  The oracle re-derives
 # the assignment with the q09 argmin CTE and the duplicate rule with
@@ -6309,6 +6354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_shuffle_shards": q76_shuffle_shards,
     "q77_full_curation": q77_full_curation,
     "q78_media_decode": q78_media_decode,
+    "q78b_audio_decode": q78b_audio_decode,
     "q79_semdedup": q79_semdedup,
     "q80_bigram_perplexity": q80_bigram_perplexity,
     "q81_sq8_ann": q81_sq8_ann,
@@ -6386,13 +6432,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # remaining 5 slots: q141/q142 re-gates (their two-round hash-red was
 # the oracle's uncast HUGEINT margin_micro — now CAST ... AS BIGINT;
 # first-ever driver greens expected), q79_semdedup (output-changed
-# re-gate: the dup threshold is now integer icos_ppm), q125b (new:
-# MJPEG walk + T.81 decode with a closed-form flat-frame oracle), and
-# q19_minhash_lsh (the oldest r05 entry).  The 48-entry r05 block
-# rotates in round 8.  Everything outside the window stays
-# oracle-checked locally every run by tests/test_queries_oracle.py,
-# and tools/driver_sim.py flags any entry whose newest driver row is
-# >=2 rounds old.
+# re-gate: the dup threshold is now integer icos_ppm), and the two
+# NEW gates — q125b (MJPEG walk + T.81 decode, closed-form flat-frame
+# oracle) and q78b (WAV container walk + int16 PCM stats; new entries
+# gate before stale re-gates, which only age one more round).  The
+# r05 block (incl. q19_minhash_lsh) rotates in round 8.  Everything
+# outside the window stays oracle-checked locally every run by
+# tests/test_queries_oracle.py, and tools/driver_sim.py flags any
+# entry whose newest driver row is >=2 rounds old.
 _WINDOW_PRIORITY = [
     # the 45 r04-stale entries, catalog order
     "q21_text_quality", "q22_lang_id", "q23_fingerprint",
@@ -6412,9 +6459,9 @@ _WINDOW_PRIORITY = [
     "q90_hll_distinct", "q91_cms_heavy_hitters", "q92_zscore_outliers",
     "q93_label_propagation", "q94_weighted_sample",
     # the q141/q142 CAST re-gates, the q79 output-changed re-gate,
-    # the new MJPEG gate, and the oldest r05 entry
+    # and the two new media gates
     "q141_margin_pairs", "q142_ann_margin_pairs",
-    "q79_semdedup", "q125b_mjpeg_frames", "q19_minhash_lsh",
+    "q79_semdedup", "q125b_mjpeg_frames", "q78b_audio_decode",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
@@ -6501,6 +6548,7 @@ ORACLES: dict[str, str] = {
     "q76_shuffle_shards": _Q76_SQL,
     "q77_full_curation": _Q77_SQL,
     "q78_media_decode": _Q78_SQL,
+    "q78b_audio_decode": _Q78B_SQL,
     "q79_semdedup": _Q79_SQL,
     "q80_bigram_perplexity": _Q80_SQL,
     "q81_sq8_ann": _Q81_SQL,
