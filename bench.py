@@ -291,8 +291,13 @@ def main() -> None:
     # `cp BENCH_FULL.json BENCH_FULL_r{N}.json` snapshot smoke numbers
     # as the round's perf evidence.  Non-headline runs write a
     # suffixed file (e.g. BENCH_FULL_sf0.001.json) instead.
-    headline = "/root/testdata/sf0.1"
-    suffix = "" if sf_dir.rstrip("/") == headline else (
+    # realpath on both sides: a relative path, symlink, or doubled
+    # slash spelling of the headline dir must still count as headline,
+    # or a genuine sf0.1 run writes the suffixed file and the stale
+    # previous BENCH_FULL.json gets snapshotted as this round's
+    # evidence — the exact failure this logic exists to prevent.
+    headline = os.path.realpath("/root/testdata/sf0.1")
+    suffix = "" if os.path.realpath(sf_dir) == headline else (
         "_sf" + os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     )
     full_path = os.path.join(

@@ -59,6 +59,32 @@ def _expected_pandas_kinds(field, has_null: bool) -> set:
     return {"O"}
 
 
+_DUCK_INT_PREFIXES = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT")
+
+
+def duck_pandas_kind(type_name: str, has_null: bool) -> str:
+    """Pandas dtype KIND that duckdb's fetchdf() renders this column
+    as — the driver's hash path — derived from the lazily-planned
+    DuckDB type plus observed nulls, so compare() never has to execute
+    the oracle a second time just to read dtypes.  The mapping is
+    pinned against real fetchdf() behavior per type in
+    tests/test_oracle_types.py."""
+    t = type_name.upper()
+    if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+        return "f"
+    if t in _DUCK_INT_PREFIXES:
+        return "f" if has_null else "i"
+    if t.startswith("U") and t[1:] in _DUCK_INT_PREFIXES:
+        return "f" if has_null else "u"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "f"
+    if t == "BOOLEAN":
+        return "O" if has_null else "b"
+    if t == "DATE" or t.startswith("TIMESTAMP"):
+        return "M"
+    return "O"
+
+
 def compare(spark, sf_dir: str, spark_fn, oracle: str) -> dict:
     sdf = spark_fn(spark, sf_dir)
     spark_cols = sorted(sdf.columns)
@@ -74,18 +100,24 @@ def compare(spark, sf_dir: str, spark_fn, oracle: str) -> dict:
     duck_cols_raw = [d[0] for d in res.description]
     duck_cols = sorted(duck_cols_raw)
     idx = [duck_cols_raw.index(c) for c in duck_cols]
-    duck_rows = [tuple(_norm(r[i]) for i in idx) for r in res.fetchall()]
+    raw_rows = res.fetchall()
+    duck_rows = [tuple(_norm(r[i]) for i in idx) for r in raw_rows]
 
     # Driver-hash-path dtype parity: the oracle must survive pandas
-    # conversion with the same dtype kind as the Spark result does.
+    # conversion with the same dtype kind as the Spark result does
+    # (DuckDB type resolution is lazy — no second execution).
     dtype_mismatch = {}
     if duck_cols == spark_cols:
-        duck_pdf = con.execute(oracle).fetchdf()
+        rel = con.sql(oracle)
+        duck_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
         for c in spark_cols:
+            j = duck_cols_raw.index(c)
+            duck_null = any(r[j] is None for r in raw_rows)
+            kind = duck_pandas_kind(duck_types[c], duck_null)
             allowed = _expected_pandas_kinds(fields[c], nulls[c])
-            kind = duck_pdf[c].dtype.kind
             if kind not in allowed:
                 dtype_mismatch[c] = {
+                    "duck_type": duck_types[c],
                     "duck_pandas_kind": kind,
                     "expected_kinds": sorted(allowed),
                     "spark_type": fields[c].dataType.simpleString(),

@@ -292,12 +292,22 @@ def test_audio_sample_stats_exact_int16_recovery(spark, sf_dir):
         wav_from_documents,
     )
 
-    docs = table(spark, sf_dir, "documents").limit(5)
+    # materialize ONE deterministic 5-doc set: limit() without an
+    # order can pick different rows per evaluation, and this fixture
+    # is evaluated twice (the wav pipeline and the expected-texts map)
+    picked = (
+        table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(5)
+        .select("doc_id", "text")
+        .collect()
+    )
+    docs = spark.createDataFrame(picked, "doc_id long, text string")
     media = wav_from_documents(docs, n_samples=256)
     rows = {r["doc_id"]: r for r in audio_sample_stats(media).select(
         F.col("id").alias("doc_id"), "n_samples", "abs_sum", "sq_sum"
     ).collect()}
-    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    texts = {r["doc_id"]: r["text"] for r in picked}
     assert len(rows) == 5
     for doc_id, text in texts.items():
         data = b"".join(

@@ -28,6 +28,38 @@ def duck(sf_dir):
     con.close()
 
 
+_KIND_PROBES = [
+    # (probe SQL, has_null) — every DuckDB type class an oracle can
+    # emit; duck_pandas_kind's derived kind must equal what a real
+    # fetchdf() produces, or the harness dtype check drifts from the
+    # driver's actual hash path.
+    ("SELECT 1::BIGINT AS c", False),
+    ("SELECT * FROM (VALUES (1::BIGINT), (NULL)) t(c)", True),
+    ("SELECT 1::INTEGER AS c", False),
+    ("SELECT 1::UTINYINT AS c", False),
+    ("SELECT (1::HUGEINT) AS c", False),
+    ("SELECT 1.5::DECIMAL(10,2) AS c", False),
+    ("SELECT 1.5::DOUBLE AS c", False),
+    ("SELECT 'x' AS c", False),
+    ("SELECT '\\x01'::BLOB AS c", False),
+    ("SELECT DATE '2020-01-01' AS c", False),
+    ("SELECT TIMESTAMP '2020-01-01 00:00:00' AS c", False),
+    ("SELECT TRUE AS c", False),
+    ("SELECT * FROM (VALUES (TRUE), (NULL)) t(c)", True),
+    ("SELECT [1, 2] AS c", False),
+]
+
+
+@pytest.mark.parametrize("probe,has_null", _KIND_PROBES)
+def test_duck_pandas_kind_matches_real_fetchdf(duck, probe, has_null):
+    from .oracle_harness import duck_pandas_kind
+
+    rel = duck.sql(probe)
+    derived = duck_pandas_kind(str(rel.types[0]), has_null)
+    actual = duck.execute(probe).fetchdf()["c"].dtype.kind
+    assert derived == actual, (probe, str(rel.types[0]))
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_output_types_survive_pandas(duck, name):
     rel = duck.sql(ORACLES[name])

@@ -1113,8 +1113,26 @@ def pq_rerank_topk(
     # on a float fold whose summation order another engine can disagree
     # with by an ulp (the q141 r05 class).  Zero-norm rows have no
     # direction and drop out of the rerank (they can't out-rank a real
-    # neighbor anyway).
-    vecs = _micro_sided(corpus, id_col, vec_col, "neighbor_id")
+    # neighbor anyway).  ORDER MATTERS: the raw corpus joins the
+    # broadcast shortlist FIRST and only the ~queries x shortlist
+    # survivors are quantized/self-dotted — quantizing before the join
+    # would put the O(dim) transform+fold on every corpus row and void
+    # the tier-2 contract below (full-precision math on ~shortlist/N
+    # of the data).  The localCheckpoint is a pushdown BARRIER, not a
+    # cache: without it Catalyst inlines _micro_sided's __n > 0 filter
+    # (quantize + integer fold and all) and pushes it below the join
+    # onto every corpus row — the exact O(N*dim) work this join order
+    # exists to avoid.  Survivors are <= queries x shortlist rows, so
+    # the materialization is tiny.  Same values either way; the oracle
+    # also filters nn > 0 after its shortlist join.
+    surv = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+        )
+        .join(F.broadcast(short.select("neighbor_id").distinct()), "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    vecs = _micro_sided(surv, "neighbor_id", "__v", "neighbor_id")
     qv = _micro_sided(queries, qid, vec_col, "query_id").select(
         "query_id", F.col("__q").alias("__qq"), F.col("__n").alias("__qn")
     )

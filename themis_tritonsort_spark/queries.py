@@ -90,13 +90,22 @@ _TOK = TOKENS_SQL
 #     every double op is a single correctly-rounded IEEE operation on
 #     exactly-representable integer inputs, hence deterministic.
 _MICROQ_SQL = "list_transform({v}, x -> CAST(floor(1000000.0 * x + 0.5) AS BIGINT))"
+# The sums NULL-propagate explicitly: Spark's aggregate fold returns
+# NULL when ANY element is NULL, but DuckDB's list_sum SKIPS NULL
+# terms — without the guard a vector with one NULL component keeps a
+# positive nn in the oracle's nz CTE while Spark's __n > 0 filter
+# drops it, a cross-engine candidate-set divergence.  With it, both
+# engines exclude partial-NULL vectors identically.
 _ISELF_SQL = (
-    "CAST(list_sum(list_transform(range(1, len({q}) + 1),"
-    " i -> {q}[i] * {q}[i])) AS BIGINT)"
+    "CAST(CASE WHEN len(list_filter({q}, x -> x IS NULL)) > 0 THEN NULL"
+    " ELSE list_sum(list_transform(range(1, len({q}) + 1),"
+    " i -> {q}[i] * {q}[i])) END AS BIGINT)"
 )
 _IDOT_SQL = (
-    "CAST(list_sum(list_transform(range(1, len({a}) + 1),"
-    " i -> {a}[i] * {b}[i])) AS BIGINT)"
+    "CAST(CASE WHEN len(list_filter({a}, x -> x IS NULL)) > 0"
+    " OR len(list_filter({b}, x -> x IS NULL)) > 0 THEN NULL"
+    " ELSE list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> {a}[i] * {b}[i])) END AS BIGINT)"
 )
 _ICOS_PPM_SQL = (
     "CAST(floor(1000000.0 * CAST(" + _IDOT_SQL + " AS DOUBLE)"
