@@ -226,3 +226,46 @@ def test_micro_quantize_magnitude_guard(spark):
     bad = spark.createDataFrame([([400.0] * 64,)], "v array<double>")
     with pytest.raises(Exception, match="int64-safe bound"):
         bad.select(micro_quantize(F.col("v")).alias("q")).collect()
+
+
+def test_null_component_vectors_drop_on_both_engines(spark):
+    """Round-7 review fix: DuckDB's list_sum SKIPS NULL terms while
+    Spark's fold returns NULL, so before the explicit NULL guard in
+    _ISELF_SQL/_IDOT_SQL a vector with one NULL component kept a
+    positive norm in the oracle but was dropped by Spark's __n > 0 —
+    a cross-engine candidate-set divergence.  Pin that BOTH engines
+    now exclude partial-NULL vectors and keep the clean ones."""
+    rows = [
+        (0, [0.5, 0.25, -0.125, 0.0625]),   # clean — kept
+        (1, [0.5, None, -0.125, 0.0625]),   # one NULL — dropped
+        (2, [None, None, None, None]),      # all NULL — dropped
+        (3, [0.0, 0.0, 0.0, 0.0]),          # zero norm — dropped
+    ]
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    kept_spark = sorted(
+        r["vid"]
+        for r in df.select(
+            "vid", micro_quantize(F.col("v")).alias("q")
+        )
+        .withColumn("n", idot(F.col("q"), F.col("q")))
+        .where(F.col("n") > 0)
+        .collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (vid BIGINT, v DOUBLE[])")
+    for vid, v in rows:
+        con.execute("INSERT INTO e VALUES (?, ?)", [vid, v])
+    kept_duck = sorted(
+        int(r[0])
+        for r in con.execute(f"""
+            SELECT vid FROM (
+              SELECT vid, {_ISELF_SQL.format(q='q')} AS nn FROM (
+                SELECT vid, {_MICROQ_SQL.format(v='v')} AS q FROM e
+              )
+            ) WHERE nn > 0
+        """).fetchall()
+    )
+    con.close()
+    assert kept_spark == [0]
+    assert kept_duck == [0]
