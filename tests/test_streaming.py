@@ -961,3 +961,55 @@ def test_nb_frozen_scoring_stream_matches_batch(spark, stream_dir):
         for r in spark.sql("select * from nb_stream").collect()
     }
     assert got == batch
+
+
+def test_media_decode_streams(spark, stream_dir):
+    """The media decode operators are stateless mapInPandas, so the
+    SAME frame_sample / audio_sample_stats run unchanged on a
+    streaming DataFrame — a crawl-ingest pipeline decodes media
+    incrementally with no batch/stream forking.  Streamed output must
+    equal the batch run on the same payloads."""
+    from themis_tritonsort_spark.data import table
+    from themis_tritonsort_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_sample_stats,
+        frame_sample,
+        mjpeg_video_from_documents,
+        wav_from_documents,
+    )
+
+    docs = (
+        table(spark, "/root/testdata/sf0.001", "documents")
+        .orderBy("doc_id")
+        .limit(4)
+    )
+    for name, make, consume in [
+        (
+            "mjpeg",
+            lambda d: mjpeg_video_from_documents(
+                d, width=16, height=16, frames=2, flat=True
+            ),
+            lambda m: frame_sample(m, frame_step=1).select(
+                "id", "frame_idx", "gray_sum"
+            ),
+        ),
+        (
+            "wav",
+            lambda d: wav_from_documents(d, n_samples=64),
+            lambda m: audio_sample_stats(m).select(
+                "id", "n_samples", "abs_sum", "sq_sum"
+            ),
+        ),
+    ]:
+        src = os.path.join(stream_dir, name)
+        make(docs).coalesce(1).write.mode("overwrite").parquet(src)
+        batch = {
+            tuple(r) for r in consume(spark.read.parquet(src)).collect()
+        }
+        stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(src)
+        _run_to_memory(consume(stream), f"stream_{name}")
+        streamed = {
+            tuple(r)
+            for r in spark.sql(f"SELECT * FROM stream_{name}").collect()
+        }
+        assert streamed == batch and len(streamed) > 0, name
