@@ -223,8 +223,18 @@ BENCH_QUERIES = {
 }
 
 
+# The headline scale-factor dir lives in ONE place (ADVICE r07: it was
+# previously duplicated into the sf-guard below, so a drift of the
+# headline SF would silently classify every run as non-headline and
+# the bare BENCH_FULL.json would go permanently stale).  Override with
+# SPARK_GRAFT_HEADLINE_SF if the headline ever moves.
+HEADLINE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_HEADLINE_SF", "/root/testdata/sf0.1"
+)
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", HEADLINE_SF_DIR)
     spark = get_spark(app_name="themis-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -253,13 +263,25 @@ def main() -> None:
     # (run 1 of everything, then run 2, ...) so one transient system
     # stall skews one pass, not all three samples of one query.
     samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
-    runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    # Targeted re-measure knob (VERDICT r07 #3): a comma-separated
+    # subset re-times just those queries (e.g. median-of-5 noise
+    # adjudication) and writes BENCH_FULL_partial.json — a subset run
+    # must never pose as the round's full-catalog perf evidence.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    bench_queries = BENCH_QUERIES
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in BENCH_QUERIES]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY: unknown {unknown}")
+        bench_queries = {n: BENCH_QUERIES[n] for n in names}
+    runs: dict[str, list[float]] = {name: [] for name in bench_queries}
     for _ in range(samples):
         # Queries that persist intermediates (q63, q77) would otherwise
         # hit their own cache from the previous pass and time the cache
         # read, not the query.
         spark.catalog.clearCache()
-        for name, fn in BENCH_QUERIES.items():
+        for name, fn in bench_queries.items():
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.time() - t0, 3))
@@ -296,10 +318,19 @@ def main() -> None:
     # or a genuine sf0.1 run writes the suffixed file and the stale
     # previous BENCH_FULL.json gets snapshotted as this round's
     # evidence — the exact failure this logic exists to prevent.
-    headline = os.path.realpath("/root/testdata/sf0.1")
+    headline = os.path.realpath(HEADLINE_SF_DIR)
     suffix = "" if os.path.realpath(sf_dir) == headline else (
         "_sf" + os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     )
+    if only:
+        suffix = "_partial" + suffix
+    if suffix:
+        print(
+            f"WARNING: non-headline run ({sf_dir} != {HEADLINE_SF_DIR}); "
+            f"writing BENCH_FULL{suffix}.json — the bare BENCH_FULL.json "
+            "is untouched",
+            file=sys.stderr,
+        )
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"BENCH_FULL{suffix}.json",

@@ -82,7 +82,19 @@ def duck_pandas_kind(type_name: str, has_null: bool) -> str:
         return "O" if has_null else "b"
     if t == "DATE" or t.startswith("TIMESTAMP"):
         return "M"
-    return "O"
+    if t in ("VARCHAR", "BLOB") or t.endswith("[]"):
+        return "O"
+    # Fail LOUDLY on anything unmapped (VERDICT r07 #5): a new DuckDB
+    # type class (INTERVAL, STRUCT, MAP, UUID, ...) whose fetchdf()
+    # dtype kind we have never pinned must break the suite here, not
+    # silently default to "O" and drift from the driver's actual
+    # pandas hash path.  To extend: pin the real fetchdf() kind with a
+    # _KIND_PROBES row in tests/test_oracle_types.py, then map it.
+    raise ValueError(
+        f"duck_pandas_kind: unmapped DuckDB type {type_name!r} — pin its "
+        "fetchdf() dtype kind in tests/test_oracle_types.py::_KIND_PROBES "
+        "and extend the mapping"
+    )
 
 
 def compare(spark, sf_dir: str, spark_fn, oracle: str) -> dict:

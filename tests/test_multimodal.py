@@ -633,3 +633,20 @@ def test_png_gray_alpha_keeps_gray():
     alpha = np.full((3, 4, 1), 200, np.uint8)
     png = _encode_png_ct(np.concatenate([gray, alpha], axis=2), color_type=4)
     assert np.array_equal(_decode_png(png), np.repeat(gray, 3, axis=2))
+
+
+def test_spread_decode_input_only_repartitions_up(spark):
+    from themis_tritonsort_spark.operators.multimodal import spread_decode_input
+
+    dp = spark.sparkContext.defaultParallelism
+    floor = min(16, dp)
+    narrow = spark.range(100).coalesce(1)
+    assert spread_decode_input(narrow).rdd.getNumPartitions() == floor
+    # a wide input (the 100x-scale shape) must pass through untouched —
+    # no shuffle, no downward throttle to the floor
+    wide = spark.range(100).repartition(floor + 8)
+    spread = spread_decode_input(wide)
+    assert spread is wide
+    # exactly at the floor: also untouched
+    at_floor = spark.range(100).repartition(floor)
+    assert spread_decode_input(at_floor) is at_floor

@@ -73,3 +73,28 @@ def test_oracle_output_types_survive_pandas(duck, name):
         f"driver's pandas hash path while Spark stays integer — add a "
         f"CAST(... AS BIGINT) in the final SELECT: {bad}"
     )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_every_oracle_type_is_kind_mapped(duck, name):
+    """VERDICT r07 #5: duck_pandas_kind now RAISES on DuckDB types it
+    has never pinned against a real fetchdf().  Plan every catalog
+    oracle (lazy — no execution) and derive a kind for every output
+    column, so an oracle that starts emitting an unmapped type class
+    (INTERVAL, STRUCT, ...) breaks the suite instead of silently
+    drifting from the driver's pandas hash path."""
+    from .oracle_harness import duck_pandas_kind
+
+    rel = duck.sql(ORACLES[name])
+    for c, t in zip(rel.columns, rel.types):
+        for has_null in (False, True):
+            duck_pandas_kind(str(t), has_null)  # must not raise
+
+
+def test_unmapped_duck_type_fails_loudly():
+    from .oracle_harness import duck_pandas_kind
+
+    with pytest.raises(ValueError, match="unmapped DuckDB type"):
+        duck_pandas_kind("INTERVAL", False)
+    with pytest.raises(ValueError, match="unmapped DuckDB type"):
+        duck_pandas_kind("STRUCT(a BIGINT)", False)

@@ -456,3 +456,38 @@ def test_q140_scrub_spans_ride_a_doc_keyed_join(spark):
     plan = _plan(q.q140_substring_scrub(spark, SF_SMOKE), mode="simple")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q85_rerank_barrier_is_recomputable_and_holds(spark):
+    """ADVICE r07: the tier-2 pushdown barrier in pq_rerank_topk is now
+    persist(MEMORY_AND_DISK) — lineage INTACT (an executor loss
+    recomputes, unlike localCheckpoint's truncated, non-replicated
+    blocks) — and it must still stop Catalyst from inlining the
+    micro-quantize fold below the shortlist join onto every corpus
+    row.  Pin both: (1) an InMemoryRelation with a disk+memory storage
+    level guards the survivors, (2) the cached subtree (every line
+    indented deeper than the InMemoryRelation node) contains NO
+    micro-quantize FLOOR(1e6*x) expression — the O(N*dim) work stays
+    off the corpus."""
+    df = q.q85_pq_rerank(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryRelation" in plan
+    lines = plan.splitlines()
+    idx = next(i for i, l in enumerate(lines) if "InMemoryRelation" in l)
+    assert "disk" in lines[idx] and "memory" in lines[idx]
+    indent = lines[idx].index("+- InMemoryRelation")
+    cached = []
+    for l in lines[idx + 1:]:
+        body = l.rstrip()
+        if not body:
+            continue
+        # subtree = lines whose tree-drawing indent is deeper
+        pos = max(body.find("+-"), body.find(":-"))
+        if pos != -1 and pos <= indent:
+            break
+        cached.append(body)
+    assert cached, "InMemoryRelation subtree not found in plan text"
+    sub = "\n".join(cached)
+    assert "FLOOR(((1000000.0" not in sub and "raise_error" not in sub
+    # sanity: the quantize DOES exist above the barrier (tier 2 is real)
+    assert "FLOOR(((1000000.0" in plan

@@ -269,3 +269,42 @@ def test_null_component_vectors_drop_on_both_engines(spark):
     con.close()
     assert kept_spark == [0]
     assert kept_duck == [0]
+
+
+def test_magnitude_guard_rejects_identically_on_both_engines(spark):
+    """ADVICE r07: the Spark guard's sqrt(2^62/dim) bound is stricter
+    than DuckDB's raw int64 overflow check (2^63), so _MICROQ_SQL now
+    mirrors the SAME bound — pin that both engines reject the identical
+    input set, including a just-inside / just-outside boundary pair
+    that native overflow alone would NOT have caught."""
+    import math
+
+    dim = 64
+    lim = math.sqrt(2**62 / dim)
+    v_ok = (lim - 0.5) / 1e6 * 0.999999     # just inside the bound
+    v_bad = (lim + 10.0) / 1e6              # outside OUR bound, but the
+    # integer dot dim*(1e6*v_bad)^2 ~ 2^62 is still far below 2^63 —
+    # DuckDB's native overflow check would have accepted it
+
+    ok_vec = [v_ok] + [0.0] * (dim - 1)
+    bad_vec = [v_bad] + [0.0] * (dim - 1)
+
+    sdf = spark.createDataFrame([(ok_vec,)], "v array<double>")
+    assert (
+        sdf.select(micro_quantize(F.col("v")).alias("q")).collect()[0]["q"][0]
+        > 0
+    )
+    bad_sdf = spark.createDataFrame([(bad_vec,)], "v array<double>")
+    with pytest.raises(Exception, match="int64-safe bound"):
+        bad_sdf.select(micro_quantize(F.col("v")).alias("q")).collect()
+
+    con = duckdb.connect()
+    q = _MICROQ_SQL.format(v="v")
+    got = con.execute(
+        f"SELECT {q} FROM (SELECT ?::DOUBLE[] AS v)", [ok_vec]
+    ).fetchall()
+    assert got[0][0][0] > 0
+    with pytest.raises(Exception, match="int64-safe bound"):
+        con.execute(
+            f"SELECT {q} FROM (SELECT ?::DOUBLE[] AS v)", [bad_vec]
+        ).fetchall()

@@ -105,8 +105,12 @@ def micro_quantize(a: Column) -> Column:
     wrap int64 in non-ANSI Spark while DuckDB raises (an undetected
     cross-engine divergence — ADVICE r06), so a magnitude guard
     enforces ``max|q| <= sqrt(2^62 / dim)`` and raises loudly on both
-    engines instead: Spark via raise_error here, DuckDB via its native
-    overflow check."""
+    engines instead: Spark via raise_error here, DuckDB via the SAME
+    sqrt(2^62/dim) CASE mirrored into the oracle's ``_MICROQ_SQL``
+    (queries.py) — the Spark bound is deliberately stricter than raw
+    int64 overflow (2^63), so DuckDB's native overflow check alone
+    would accept a band of inputs this guard rejects (ADVICE r07);
+    mirroring the bound makes both engines reject identical inputs."""
     v = as_double(a)
     q = F.transform(v, lambda x: F.floor(F.lit(1e6) * x + F.lit(0.5)))
     limit = F.sqrt(

@@ -50,6 +50,26 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = f"id long, media_type string, feature array<float>, n_bytes long"
 
 
+def spread_decode_input(df: DataFrame, floor: int = 16) -> DataFrame:
+    """Spread a NARROW input for Python-side decode without throttling a
+    wide one.  At gate scale the documents parquet is a single split, so
+    a mapInPandas decode serializes on one task; repartitioning up to
+    ``min(floor, defaultParallelism)`` fixes that.  But the cap must
+    never apply DOWNWARD: a 100x input already carrying hundreds of
+    splits keeps its partitioning untouched (no shuffle at all), so the
+    decode parallelism scales with the data instead of being pinned at
+    ``floor`` tasks.  The floor defaults to 16 because the chained
+    mapInPandas pair spawns TWO Python workers per task and cold worker
+    spawn (~0.2 s each, measured after idle reaping between bench
+    passes) dominates small inputs long before 32 partitions pay off.
+    """
+    current = df.rdd.getNumPartitions()
+    target = min(floor, df.sparkSession.sparkContext.defaultParallelism)
+    if current >= target:
+        return df
+    return df.repartition(target)
+
+
 def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
     """Deterministic demo media table: each document's text bytes stand

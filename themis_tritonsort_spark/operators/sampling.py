@@ -358,10 +358,36 @@ def importance_resample(
     """
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    from .sort import with_global_prefix_sum
+
+    scored = importance_scores(df, id_col, text_col, target_col, buckets)
+    summed = with_global_prefix_sum(
+        scored, ["__neg", id_col], "n_tokens", out_col="cum_tokens"
+    )
+    return summed.where(
+        F.col("cum_tokens") - F.col("n_tokens") < budget_tokens
+    ).select(
+        id_col, "score_micro", "n_tokens", F.col("cum_tokens").cast("long")
+    )
+
+
+def importance_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    buckets: int = 512,
+) -> DataFrame:
+    """The tokenize-and-score stage of ``importance_resample``,
+    factored out so the two cost terms — this O(total tokens)
+    aggregate vs the prefix-sum budget walk — can be measured
+    independently (VERDICT r07 #4: the combined operator probed
+    alpha 1.22 at 64x, and the decomposition names which term grows).
+    Returns (id, score_micro, n_tokens, __neg), persisted — see the
+    in-body comment for why the cache is load-bearing."""
     if buckets <= 0:
         raise ValueError(f"buckets must be positive, got {buckets}")
     from ..functions.text import tokens
-    from .sort import with_global_prefix_sum
 
     scale = 1_000_000
     bucket = (
@@ -402,11 +428,4 @@ def importance_resample(
         .withColumn("__neg", -F.col("score_micro"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    summed = with_global_prefix_sum(
-        scored, ["__neg", id_col], "n_tokens", out_col="cum_tokens"
-    )
-    return summed.where(
-        F.col("cum_tokens") - F.col("n_tokens") < budget_tokens
-    ).select(
-        id_col, "score_micro", "n_tokens", F.col("cum_tokens").cast("long")
-    )
+    return scored

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1118,19 +1119,26 @@ def pq_rerank_topk(
     # survivors are quantized/self-dotted — quantizing before the join
     # would put the O(dim) transform+fold on every corpus row and void
     # the tier-2 contract below (full-precision math on ~shortlist/N
-    # of the data).  The localCheckpoint is a pushdown BARRIER, not a
+    # of the data).  The persist is a pushdown BARRIER, not a speed
     # cache: without it Catalyst inlines _micro_sided's __n > 0 filter
     # (quantize + integer fold and all) and pushes it below the join
     # onto every corpus row — the exact O(N*dim) work this join order
-    # exists to avoid.  Survivors are <= queries x shortlist rows, so
-    # the materialization is tiny.  Same values either way; the oracle
-    # also filters nn > 0 after its shortlist join.
+    # exists to avoid.  persist (MEMORY_AND_DISK) rather than
+    # localCheckpoint (ADVICE r07): the CacheManager substitutes an
+    # InMemoryRelation, which filters are never pushed through, while
+    # LINEAGE STAYS INTACT — an executor loss recomputes the lost
+    # partitions instead of failing the job the way localCheckpoint's
+    # non-replicated, lineage-truncated blocks would on a real
+    # cluster.  Survivors are <= queries x shortlist rows, so both the
+    # materialization and the (session-lifetime, LRU-evictable) cache
+    # entry are tiny.  Same values either way; the oracle also filters
+    # nn > 0 after its shortlist join.
     surv = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
         )
         .join(F.broadcast(short.select("neighbor_id").distinct()), "neighbor_id")
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vecs = _micro_sided(surv, "neighbor_id", "__v", "neighbor_id")
     qv = _micro_sided(queries, qid, vec_col, "query_id").select(

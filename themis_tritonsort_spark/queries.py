@@ -89,7 +89,22 @@ _TOK = TOKENS_SQL
 #   _ICOS_PPM_SQL: floor(1e6 * idot / (sqrt(na) * sqrt(nb)) + 0.5) —
 #     every double op is a single correctly-rounded IEEE operation on
 #     exactly-representable integer inputs, hence deterministic.
-_MICROQ_SQL = "list_transform({v}, x -> CAST(floor(1000000.0 * x + 0.5) AS BIGINT))"
+# The magnitude guard mirrors micro_quantize's sqrt(2^62/dim) bound
+# EXACTLY (ADVICE r07): the Spark bound is deliberately stricter than
+# raw int64 overflow (2^63), so relying on DuckDB's native overflow
+# check would leave a band of inputs where Spark raises and the oracle
+# computes values.  With the mirrored CASE both engines reject the
+# identical input set (NULL components still quantize to NULL — the
+# _ISELF_SQL/_IDOT_SQL guards own NULL propagation downstream).
+_MICROQ_SQL = (
+    "list_transform({v}, x -> CASE"
+    " WHEN x IS NULL THEN NULL"
+    " WHEN abs(x) * 1000000.0 + 0.5"
+    "      <= sqrt(4611686018427387904.0 / greatest(len({v}), 1))"
+    " THEN CAST(floor(1000000.0 * x + 0.5) AS BIGINT)"
+    " ELSE CAST(error('micro_quantize: component magnitude exceeds"
+    " the int64-safe bound sqrt(2^62/dim)') AS BIGINT) END)"
+)
 # The sums NULL-propagate explicitly: Spark's aggregate fold returns
 # NULL when ANY element is NULL, but DuckDB's list_sum SKIPS NULL
 # terms — without the guard a vector with one NULL component keeps a
@@ -2759,13 +2774,16 @@ _WAV_SAMPLES = 256
 
 
 def q78b_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import audio_sample_stats, wav_from_documents
-
-    # single-split parquet at gate scales — spread the Python decode
-    # (capped like q125b: cold worker spawn dominates past ~16 tasks)
-    docs = table(spark, sf_dir, "documents").repartition(
-        min(16, spark.sparkContext.defaultParallelism)
+    from .operators.multimodal import (
+        audio_sample_stats,
+        spread_decode_input,
+        wav_from_documents,
     )
+
+    # single-split parquet at gate scales — spread the Python decode UP
+    # only (a wide 100x input keeps its own partitioning; see
+    # spread_decode_input for the 16-task floor rationale)
+    docs = spread_decode_input(table(spark, sf_dir, "documents"))
     media = wav_from_documents(docs, n_samples=_WAV_SAMPLES)
     return audio_sample_stats(media).select(
         F.col("id").alias("doc_id"), "n_samples", "abs_sum", "sq_sum"
@@ -5269,17 +5287,14 @@ def q125b_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import (
         frame_sample,
         mjpeg_video_from_documents,
+        spread_decode_input,
     )
 
     # The documents parquet is a single split at gate scales; without
     # a spread the per-frame Python decode serializes on one task.
-    # Capped at 16: the chained mapInPandas pair spawns TWO Python
-    # workers per task, and cold worker spawn (measured ~0.2 s each
-    # after idle reaping between bench passes) dominates the ~0.4 s
-    # of per-task decode work long before 32 partitions pay off.
-    docs = table(spark, sf_dir, "documents").repartition(
-        min(16, spark.sparkContext.defaultParallelism)
-    )
+    # spread_decode_input only repartitions UP (16-task floor, see its
+    # docstring) so a wide 100x input is never throttled down.
+    docs = spread_decode_input(table(spark, sf_dir, "documents"))
     media = mjpeg_video_from_documents(
         docs,
         width=_MJPEG_W,
@@ -6431,46 +6446,47 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q142_ann_margin_pairs": q142_ann_margin_pairs,
 }
 
-# Driver-window rotation (round 7).  The round driver gates the FIRST
-# 50 entries of queries() against their oracles.  After r06, 45
-# entries' newest driver row is r04 (3 rounds old): q21..q28, q30,
-# q32..q37, q40..q45, q47..q49, q73..q78, q80..q94 — the rotation
-# debt VERDICT r06 scheduled for this window; all 45 go in front
-# (q85's slot doubles as a re-gate: its rerank is now integer-exact
-# icos_ppm, so its r04 row no longer attests current output).  The
-# remaining 5 slots: q141/q142 re-gates (their two-round hash-red was
-# the oracle's uncast HUGEINT margin_micro — now CAST ... AS BIGINT;
-# first-ever driver greens expected), q79_semdedup (output-changed
-# re-gate: the dup threshold is now integer icos_ppm), and the two
-# NEW gates — q125b (MJPEG walk + T.81 decode, closed-form flat-frame
-# oracle) and q78b (WAV container walk + int16 PCM stats; new entries
-# gate before stale re-gates, which only age one more round).  The
-# r05 block (incl. q19_minhash_lsh) rotates in round 8.  Everything
-# outside the window stays oracle-checked locally every run by
-# tests/test_queries_oracle.py, and tools/driver_sim.py flags any
-# entry whose newest driver row is >=2 rounds old.
+# Driver-window rotation (round 8).  The round driver gates the FIRST
+# 50 entries of queries() against their oracles.  After r07, 47
+# entries' newest driver row is r05 (2 rounds old): q19_minhash_lsh,
+# q46_dedup_clusters, the q95..q131 block (q125b excluded — it gated
+# new in r07), and q133..q140 — exactly the rotation debt VERDICT r07
+# scheduled for this window; all 47 go in front, catalog order.  The
+# remaining 3 slots: q125b/q78b re-gates (their fixed 16-partition
+# decode spread is now spread_decode_input, which only repartitions UP
+# from a narrow input — output unchanged, re-gated to clear the
+# scale-weak marks), and q01_sort_events as a get-ahead slot so the
+# r09 window's r06-stale set shrinks from 48 to 47 (fits 50 with 3
+# spares).  Round-9 plan, written now per the rotation-treadmill rule:
+# gate the remaining 47 r06-stale entries — q02..q18, q10b, q20, q29,
+# q31, q38, q39, q50..q72, q132 — leaving 3 spares for output-changed
+# re-gates.  Everything outside the window stays oracle-checked
+# locally every run by tests/test_queries_oracle.py, and
+# tools/driver_sim.py flags any entry whose newest driver row is >=2
+# rounds old.
 _WINDOW_PRIORITY = [
-    # the 45 r04-stale entries, catalog order
-    "q21_text_quality", "q22_lang_id", "q23_fingerprint",
-    "q24_window_funcs", "q25_customers_without_orders",
-    "q26_distinct_agg", "q27_parts_shipped_by_brand",
-    "q28_json_extract", "q30_simhash", "q32_above_avg_parts",
-    "q33_late_ship_orders", "q34_region_share", "q35_rollup_revenue",
-    "q36_asof_join", "q37_range_join", "q40_nation_market",
-    "q41_token_counts", "q42_value_quantiles", "q43_corpus_pipeline",
-    "q44_salted_count", "q45_time_rollup", "q47_gap_sessions",
-    "q48_shipping_priority", "q49_stratified_sample",
-    "q73_pack_sequences", "q74_triangle_total", "q75_surprisal_mix",
-    "q76_shuffle_shards", "q77_full_curation", "q78_media_decode",
-    "q80_bigram_perplexity", "q81_sq8_ann", "q82_bloom_decontam",
-    "q83_token_budget", "q84_pq_ann", "q85_pq_rerank", "q86_kcore",
-    "q87_length_batches", "q88_cdc_snapshot", "q89_scd2_history",
-    "q90_hll_distinct", "q91_cms_heavy_hitters", "q92_zscore_outliers",
-    "q93_label_propagation", "q94_weighted_sample",
-    # the q141/q142 CAST re-gates, the q79 output-changed re-gate,
-    # and the two new media gates
-    "q141_margin_pairs", "q142_ann_margin_pairs",
-    "q79_semdedup", "q125b_mjpeg_frames", "q78b_audio_decode",
+    # the 47 r05-stale entries, catalog order
+    "q19_minhash_lsh", "q46_dedup_clusters",
+    "q95_volume_shipping", "q96_product_profit", "q97_important_parts",
+    "q98_supplier_variety", "q99_large_orders", "q100_bracket_revenue",
+    "q101_excess_suppliers", "q102_waiting_suppliers", "q103_bfs_hops",
+    "q104_hashed_classifier", "q105_concurrency", "q106_bpe_train",
+    "q107_bm25_retrieval", "q108_profile_events",
+    "q109_fuzzy_supplier_match", "q110_attribution", "q111_bm25_multi",
+    "q112_clustering_coeff", "q113_ewma", "q114_markov_transitions",
+    "q115_filtered_revenue", "q116_priority_by_class",
+    "q117_promo_share", "q118_top_supplier",
+    "q119_histogram_quantiles", "q120_lineno_gaps", "q121_orphan_audit",
+    "q122_event_paths", "q123_segment_mode", "q124_spend_deciles",
+    "q125_video_frames", "q126_local_supplier_volume",
+    "q127_market_share", "q128_returned_items",
+    "q129_sales_opportunity", "q130_variant_json", "q131_k_anonymity",
+    "q133_kcenter_sample", "q134_keep_best", "q135_incremental_neardup",
+    "q136_leakage_safe_split", "q137_trained_classifier",
+    "q138_importance_resample", "q139_dup_substrings",
+    "q140_substring_scrub",
+    # the q125b/q78b decode-spread re-gates and the r09 get-ahead slot
+    "q125b_mjpeg_frames", "q78b_audio_decode", "q01_sort_events",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},

@@ -113,6 +113,7 @@ def probes(spark, sf_dir: str, copies: int):
     from themis_tritonsort_spark.operators.textstats import text_quality
     from themis_tritonsort_spark.operators.sampling import (
         importance_resample,
+        importance_scores,
         leakage_safe_split,
         token_budget_sample,
     )
@@ -224,6 +225,18 @@ def probes(spark, sf_dir: str, copies: int):
             "text",
             "__y",
         ),
+        # the tokenize-and-score term of importance_resample alone
+        # (VERDICT r07 #4 decomposition: full-op alpha was 1.22 at
+        # 64x; this row vs the full op shows whether the O(total
+        # tokens) aggregate or the prefix-sum walk carries the growth)
+        "importance_scores": lambda: importance_scores(
+            docs.withColumn(
+                "__t", F.col("source").isin("src0", "src1", "src2", "src3")
+            ),
+            "doc_id",
+            "text",
+            "__t",
+        ),
         # ratio table bucket-bound + distributed prefix sum for the
         # budget walk (budget grows with copies so kept rows scale too)
         "importance_resample": lambda: importance_resample(
@@ -287,15 +300,32 @@ def probes(spark, sf_dir: str, copies: int):
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     copies = [int(c) for c in sys.argv[2:]] or [1, 8, 64]
+    # SCALE_PROBE_ONLY=a,b probes just those operators (targeted
+    # follow-ups, e.g. a 128x point for one flagged row, without
+    # re-running the whole 20-operator ladder).
+    only = {
+        s.strip()
+        for s in os.environ.get("SCALE_PROBE_ONLY", "").split(",")
+        if s.strip()
+    }
+
+    def select(d):
+        if not only:
+            return d
+        unknown = only - set(d)
+        if unknown:
+            raise SystemExit(f"SCALE_PROBE_ONLY: unknown {sorted(unknown)}")
+        return {k: v for k, v in d.items() if k in only}
+
     spark = get_spark(app_name="scale-probe")
     results: dict[str, dict[int, float]] = {}
     # Untimed warmup: populate codegen/plan caches so the smallest
     # timed scale is not charged the one-off compile cost.
-    for name, thunk in probes(spark, sf_dir, copies[0]).items():
+    for name, thunk in select(probes(spark, sf_dir, copies[0])).items():
         thunk().write.format("noop").mode("overwrite").save()
         print(f"<!-- warmup {name} done -->", file=sys.stderr, flush=True)
     for n in copies:
-        for name, thunk in probes(spark, sf_dir, n).items():
+        for name, thunk in select(probes(spark, sf_dir, n)).items():
             t0 = time.time()
             thunk().write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
