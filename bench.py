@@ -350,7 +350,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "samples": samples,
                 "queries": slowest,
-                "full": "BENCH_FULL.json",
+                "full": f"BENCH_FULL{suffix}.json",
                 "sf": sf_dir,
             }
         )
