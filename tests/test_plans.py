@@ -458,21 +458,42 @@ def test_q140_scrub_spans_ride_a_doc_keyed_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_q85_rerank_barrier_is_recomputable_and_holds(spark):
-    """ADVICE r07: the tier-2 pushdown barrier in pq_rerank_topk is now
-    persist(MEMORY_AND_DISK) — lineage INTACT (an executor loss
-    recomputes, unlike localCheckpoint's truncated, non-replicated
-    blocks) — and it must still stop Catalyst from inlining the
-    micro-quantize fold below the shortlist join onto every corpus
-    row.  Pin both: (1) an InMemoryRelation with a disk+memory storage
-    level guards the survivors, (2) the cached subtree (every line
-    indented deeper than the InMemoryRelation node) contains NO
-    micro-quantize FLOOR(1e6*x) expression — the O(N*dim) work stays
-    off the corpus."""
-    df = q.q85_pq_rerank(spark, SF_SMOKE)
+def test_q85_rerank_barrier_holds_in_both_modes(spark):
+    """ADVICE r07: pq_rerank_topk's tier-2 pushdown barrier has two
+    flavors — localCheckpoint (default; lineage-truncating, ~30-40 %
+    faster, the bench shape) and persist(MEMORY_AND_DISK) (lineage
+    intact: an executor loss recomputes instead of failing — the
+    cluster-deployment mode).  Pin that BOTH stop Catalyst from
+    inlining the micro-quantize fold below the shortlist join onto
+    every corpus row."""
+    from pyspark.sql import functions as F
+
+    from themis_tritonsort_spark.data import table
+    from themis_tritonsort_spark.operators.similarity import (
+        pq_codebook,
+        pq_rerank_topk,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    cb = pq_codebook(emb, "vec_id", "embedding", m=8, k=16)
+
+    # default mode: the checkpoint boundary shows as an RDD-scan leaf;
+    # the quantize can only sit above it (the corpus parquet scan is
+    # sealed inside the deferred checkpoint computation)
+    df = pq_rerank_topk(emb, queries, "vec_id", "embedding", cb, 5)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryRelation" in plan
-    lines = plan.splitlines()
+    assert "InMemoryRelation" not in plan
+    assert "FLOOR(((1000000.0" in plan  # tier-2 quantize is real
+
+    # persist mode: the cached subtree (every line indented deeper
+    # than the InMemoryRelation node) must carry NO quantize work
+    df2 = pq_rerank_topk(
+        emb, queries, "vec_id", "embedding", cb, 5, barrier="persist"
+    )
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryRelation" in plan2
+    lines = plan2.splitlines()
     idx = next(i for i, l in enumerate(lines) if "InMemoryRelation" in l)
     assert "disk" in lines[idx] and "memory" in lines[idx]
     indent = lines[idx].index("+- InMemoryRelation")
@@ -481,7 +502,6 @@ def test_q85_rerank_barrier_is_recomputable_and_holds(spark):
         body = l.rstrip()
         if not body:
             continue
-        # subtree = lines whose tree-drawing indent is deeper
         pos = max(body.find("+-"), body.find(":-"))
         if pos != -1 and pos <= indent:
             break
@@ -489,5 +509,11 @@ def test_q85_rerank_barrier_is_recomputable_and_holds(spark):
     assert cached, "InMemoryRelation subtree not found in plan text"
     sub = "\n".join(cached)
     assert "FLOOR(((1000000.0" not in sub and "raise_error" not in sub
-    # sanity: the quantize DOES exist above the barrier (tier 2 is real)
-    assert "FLOOR(((1000000.0" in plan
+    assert "FLOOR(((1000000.0" in plan2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="barrier"):
+        pq_rerank_topk(
+            emb, queries, "vec_id", "embedding", cb, 5, barrier="nope"
+        )

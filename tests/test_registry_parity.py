@@ -150,11 +150,10 @@ def test_pagerank_two_iterations_via_job_chain(spark):
 
 def test_driver_window_composition():
     """The round driver gates the FIRST 50 entries of queries() — pin
-    that the window is exactly the rotation plan (round-7: the full
-    45-entry r04-stale block, the q141/q142 CAST re-gates, the q79
-    output-changed re-gate, and the new q125b MJPEG + q78b audio
-    gates), every windowed entry has an oracle, and nothing outside
-    the window lacks local oracle coverage."""
+    that the window is exactly the rotation plan (round-8: the full
+    47-entry r05-stale block, the q125b/q78b decode-spread re-gates,
+    and the q01 get-ahead slot), every windowed entry has an oracle,
+    and nothing outside the window lacks local oracle coverage."""
     from themis_tritonsort_spark.queries import (
         _WINDOW_PRIORITY,
         ORACLES,
@@ -166,23 +165,20 @@ def test_driver_window_composition():
     missing = [n for n in _WINDOW_PRIORITY if n not in ORACLES]
     assert missing == []
     windowed_prefixes = {n.split("_")[0] for n in _WINDOW_PRIORITY}
-    # the 45 entries whose newest driver row was r04 (3 rounds old
-    # after r06) all rotate in: q21..q28, q30, q32..q37, q40..q45,
-    # q47..q49, q73..q78, q80..q94
-    stale_r04 = (
-        {f"q{i}" for i in range(21, 29)}
-        | {"q30"}
-        | {f"q{i}" for i in range(32, 38)}
-        | {f"q{i}" for i in range(40, 46)}
-        | {f"q{i}" for i in range(47, 50)}
-        | {f"q{i}" for i in range(73, 79)}
-        | {f"q{i}" for i in range(80, 95)}
+    # the 47 entries whose newest driver row was r05 (2 rounds old
+    # after r07) all rotate in: q19, q46, q95..q131 (q125b gated new
+    # in r07 and is counted separately below), q133..q140
+    stale_r05 = (
+        {"q19", "q46"}
+        | {f"q{i}" for i in range(95, 132)}
+        | {f"q{i}" for i in range(133, 141)}
     )
-    assert stale_r04 <= windowed_prefixes
-    # the q141/q142 oracle-CAST re-gates (two-round hash-red was
-    # DuckDB HUGEINT -> float64 in the driver's pandas path), the q79
-    # integer-cosine output change, and the new MJPEG + audio gates
-    assert {"q141", "q142", "q79", "q125b", "q78b"} <= windowed_prefixes
+    assert stale_r05 <= windowed_prefixes
+    # the q125b/q78b re-gates (their decode spread is now adaptive —
+    # spread_decode_input only repartitions UP; output unchanged, the
+    # re-gate clears the 100x-throttle scale-weak marks) and the q01
+    # get-ahead slot that shrinks the r09 r06-stale set to 47
+    assert {"q125b", "q78b", "q01"} <= windowed_prefixes
 
 
 def test_bench_set_covers_the_catalog():

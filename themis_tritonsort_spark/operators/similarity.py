@@ -1092,6 +1092,7 @@ def pq_rerank_topk(
     k: int,
     shortlist: int = 100,
     query_id_col: str | None = None,
+    barrier: str = "localCheckpoint",
 ) -> DataFrame:
     """Two-tier PQ search — the deployable shape: pq_topk produces a
     ``shortlist`` of candidates per query from codes alone, then ONLY
@@ -1119,27 +1120,40 @@ def pq_rerank_topk(
     # survivors are quantized/self-dotted — quantizing before the join
     # would put the O(dim) transform+fold on every corpus row and void
     # the tier-2 contract below (full-precision math on ~shortlist/N
-    # of the data).  The persist is a pushdown BARRIER, not a speed
+    # of the data).  The barrier is a pushdown BARRIER, not a speed
     # cache: without it Catalyst inlines _micro_sided's __n > 0 filter
     # (quantize + integer fold and all) and pushes it below the join
     # onto every corpus row — the exact O(N*dim) work this join order
-    # exists to avoid.  persist (MEMORY_AND_DISK) rather than
-    # localCheckpoint (ADVICE r07): the CacheManager substitutes an
-    # InMemoryRelation, which filters are never pushed through, while
-    # LINEAGE STAYS INTACT — an executor loss recomputes the lost
-    # partitions instead of failing the job the way localCheckpoint's
-    # non-replicated, lineage-truncated blocks would on a real
-    # cluster.  Survivors are <= queries x shortlist rows, so both the
-    # materialization and the (session-lifetime, LRU-evictable) cache
-    # entry are tiny.  Same values either way; the oracle also filters
-    # nn > 0 after its shortlist join.
+    # exists to avoid.  Two barrier flavors (ADVICE r07 tradeoff,
+    # A/B-measured at sf0.1):
+    #   - "localCheckpoint" (default): lineage-truncating, blocks are
+    #     non-replicated — an executor loss after materialization
+    #     fails the job (rerun the query).  ~30-40 % faster end-to-end
+    #     (measured 6.5 s vs 8.5 s at sf0.1; the persist flavor pays
+    #     columnar encode + CacheManager substitution).
+    #   - "persist" (MEMORY_AND_DISK): the CacheManager substitutes an
+    #     InMemoryRelation, which filters are never pushed through,
+    #     while LINEAGE STAYS INTACT — an executor loss recomputes the
+    #     lost partitions instead of failing the job.  Prefer this (or
+    #     reliable checkpointing) on a real cluster where executor
+    #     churn is routine and a tier-1 rerun is expensive.
+    # Survivors are <= queries x shortlist rows either way, so the
+    # materialization is tiny.  Same values in both modes; the oracle
+    # also filters nn > 0 after its shortlist join.
     surv = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
         )
         .join(F.broadcast(short.select("neighbor_id").distinct()), "neighbor_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if barrier == "persist":
+        surv = surv.persist(StorageLevel.MEMORY_AND_DISK)
+    elif barrier == "localCheckpoint":
+        surv = surv.localCheckpoint(eager=False)
+    else:
+        raise ValueError(
+            f"barrier must be 'localCheckpoint' or 'persist', got {barrier!r}"
+        )
     vecs = _micro_sided(surv, "neighbor_id", "__v", "neighbor_id")
     qv = _micro_sided(queries, qid, vec_col, "query_id").select(
         "query_id", F.col("__q").alias("__qq"), F.col("__n").alias("__qn")
