@@ -298,10 +298,18 @@ def main() -> None:
     # 142-entry map outgrew in r03 (BENCH_r03..r05 all have
     # parsed: null).  The FINAL printed line stays compact (total +
     # slowest 10) so the driver can parse it again.
+    # A subset run (SPARK_GRAFT_BENCH_ONLY) must never pose as
+    # full-catalog evidence: its metric NAME changes, not just a
+    # side field, so any parser keyed on "headline_queries_wall_clock"
+    # can only ever ingest a full-catalog total (ADVICE r08).
+    metric = "partial_queries_wall_clock" if only else (
+        "headline_queries_wall_clock"
+    )
     full = {
-        "metric": "headline_queries_wall_clock",
+        "metric": metric,
         "value": total,
         "unit": "sec",
+        "partial": bool(only),
         "queries": timings,
         "samples": samples,
         "spread": {name: [min(ts), max(ts)] for name, ts in runs.items()},
@@ -325,8 +333,17 @@ def main() -> None:
     if only:
         suffix = "_partial" + suffix
     if suffix:
+        # Name the actual reason(s): a partial run at the headline SF
+        # is not a "non-headline" run (ADVICE r08).
+        reasons = []
+        if only:
+            reasons.append(f"partial run (SPARK_GRAFT_BENCH_ONLY={only})")
+        if os.path.realpath(sf_dir) != headline:
+            reasons.append(
+                f"non-headline SF ({sf_dir} != {HEADLINE_SF_DIR})"
+            )
         print(
-            f"WARNING: non-headline run ({sf_dir} != {HEADLINE_SF_DIR}); "
+            f"WARNING: {'; '.join(reasons)}; "
             f"writing BENCH_FULL{suffix}.json — the bare BENCH_FULL.json "
             "is untouched",
             file=sys.stderr,
@@ -344,9 +361,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_wall_clock",
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
+                "partial": bool(only),
                 "n_queries": len(timings),
                 "samples": samples,
                 "queries": slowest,

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from themis_tritonsort_spark import queries as q
 
@@ -496,7 +497,15 @@ def test_q85_rerank_barrier_holds_in_both_modes(spark):
     lines = plan2.splitlines()
     idx = next(i for i, l in enumerate(lines) if "InMemoryRelation" in l)
     assert "disk" in lines[idx] and "memory" in lines[idx]
-    indent = lines[idx].index("+- InMemoryRelation")
+    # The node may render as a '+-' or ':-' child (or change prefix
+    # across Spark versions) — locate the indent by regex and fail
+    # with a clear assert instead of a ValueError (ADVICE r08).
+    m = re.search(r"[+:]- InMemoryRelation", lines[idx])
+    assert m, (
+        "InMemoryRelation line has no recognizable tree prefix: "
+        + lines[idx]
+    )
+    indent = m.start()
     cached = []
     for l in lines[idx + 1:]:
         body = l.rstrip()

@@ -150,10 +150,10 @@ def test_pagerank_two_iterations_via_job_chain(spark):
 
 def test_driver_window_composition():
     """The round driver gates the FIRST 50 entries of queries() — pin
-    that the window is exactly the rotation plan (round-8: the full
-    47-entry r05-stale block, the q125b/q78b decode-spread re-gates,
-    and the q01 get-ahead slot), every windowed entry has an oracle,
-    and nothing outside the window lacks local oracle coverage."""
+    that the window is exactly the rotation plan (round-9: the full
+    47-entry r06-stale block plus the q21/q22/q23 get-ahead slots
+    from the r07 set), every windowed entry has an oracle, and
+    nothing outside the window lacks local oracle coverage."""
     from themis_tritonsort_spark.queries import (
         _WINDOW_PRIORITY,
         ORACLES,
@@ -165,20 +165,19 @@ def test_driver_window_composition():
     missing = [n for n in _WINDOW_PRIORITY if n not in ORACLES]
     assert missing == []
     windowed_prefixes = {n.split("_")[0] for n in _WINDOW_PRIORITY}
-    # the 47 entries whose newest driver row was r05 (2 rounds old
-    # after r07) all rotate in: q19, q46, q95..q131 (q125b gated new
-    # in r07 and is counted separately below), q133..q140
-    stale_r05 = (
-        {"q19", "q46"}
-        | {f"q{i}" for i in range(95, 132)}
-        | {f"q{i}" for i in range(133, 141)}
+    # the 47 entries whose newest driver row is r06 (2 rounds old at
+    # the r09 gate) all rotate in: q02..q18 (+q10b), q20, q29, q31,
+    # q38, q39, q50..q72, q132
+    stale_r06 = (
+        {f"q{i:02d}" for i in range(2, 19)}
+        | {"q10b", "q20", "q29", "q31", "q38", "q39", "q132"}
+        | {f"q{i}" for i in range(50, 73)}
     )
-    assert stale_r05 <= windowed_prefixes
-    # the q125b/q78b re-gates (their decode spread is now adaptive —
-    # spread_decode_input only repartitions UP; output unchanged, the
-    # re-gate clears the 100x-throttle scale-weak marks) and the q01
-    # get-ahead slot that shrinks the r09 r06-stale set to 47
-    assert {"q125b", "q78b", "q01"} <= windowed_prefixes
+    assert stale_r06 <= windowed_prefixes
+    # the three get-ahead slots from the 48-entry r07 set (first in
+    # catalog order), shrinking the r10-stale set from 48 to 45 so
+    # the round-10 window fits with 5 spares
+    assert {"q21", "q22", "q23"} <= windowed_prefixes
 
 
 def test_bench_set_covers_the_catalog():

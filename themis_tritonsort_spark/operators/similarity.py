@@ -1105,7 +1105,18 @@ def pq_rerank_topk(
     (queries x shortlist)-row candidate set — broadcast — back to the
     corpus for full vectors, so full-precision math touches
     ~shortlist/N of the data.  Same output contract as the other
-    *_topk operators."""
+    *_topk operators.
+
+    Cache ownership (``barrier="persist"``): the survivors DataFrame
+    is persisted MEMORY_AND_DISK and — because the result is lazy —
+    CANNOT be unpersisted here; the cached relation lives until the
+    CALLER releases it.  In a long-lived session, after consuming the
+    result call ``spark.catalog.clearCache()`` (or track and
+    ``unpersist()`` your own handles) or repeated persist-mode calls
+    accumulate cached relations.  The default ``localCheckpoint``
+    mode has no such contract (its blocks are owned by the lineage
+    and GC'd with the DataFrame).  bench.py clears the cache between
+    passes; library callers own this themselves (ADVICE r08)."""
     qid = query_id_col or id_col
     short = pq_topk(
         corpus, queries, id_col, vec_col, codebook, shortlist, query_id_col

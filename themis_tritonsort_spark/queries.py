@@ -6446,47 +6446,43 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q142_ann_margin_pairs": q142_ann_margin_pairs,
 }
 
-# Driver-window rotation (round 8).  The round driver gates the FIRST
-# 50 entries of queries() against their oracles.  After r07, 47
-# entries' newest driver row is r05 (2 rounds old): q19_minhash_lsh,
-# q46_dedup_clusters, the q95..q131 block (q125b excluded — it gated
-# new in r07), and q133..q140 — exactly the rotation debt VERDICT r07
-# scheduled for this window; all 47 go in front, catalog order.  The
-# remaining 3 slots: q125b/q78b re-gates (their fixed 16-partition
-# decode spread is now spread_decode_input, which only repartitions UP
-# from a narrow input — output unchanged, re-gated to clear the
-# scale-weak marks), and q01_sort_events as a get-ahead slot so the
-# r09 window's r06-stale set shrinks from 48 to 47 (fits 50 with 3
-# spares).  Round-9 plan, written now per the rotation-treadmill rule:
-# gate the remaining 47 r06-stale entries — q02..q18, q10b, q20, q29,
-# q31, q38, q39, q50..q72, q132 — leaving 3 spares for output-changed
-# re-gates.  Everything outside the window stays oracle-checked
-# locally every run by tests/test_queries_oracle.py, and
-# tools/driver_sim.py flags any entry whose newest driver row is >=2
-# rounds old.
+# Driver-window rotation (round 9).  The round driver gates the FIRST
+# 50 entries of queries() against their oracles.  After r08, 47
+# entries' newest driver row is r06 (2 rounds old at the r09 gate):
+# q02..q09, q10/q10b, q11..q18, q20, q29, q31, q38, q39, q50..q72,
+# q132 — exactly the rotation debt VERDICT r08 scheduled for this
+# window; all 47 go in front, catalog order.  The remaining 3 slots
+# are get-ahead picks from the 48-entry r07-gated set (its first
+# three in catalog order: q21/q22/q23), shrinking the r10-stale set
+# from 48 to 45 so the round-10 window fits with 5 spares.  Round-10
+# plan, written now per the rotation-treadmill rule: gate the
+# remaining 45 r07-stale entries — q24..q28, q30, q32..q37, q40..q45,
+# q47..q49, q73..q94 (incl. q78/q79), q141, q142 — leaving 5 spares
+# for output-changed re-gates or get-ahead picks from the r08 set.
+# Everything outside the window stays oracle-checked locally every
+# run by tests/test_queries_oracle.py, and tools/driver_sim.py flags
+# any entry whose newest driver row is >=2 rounds old.
 _WINDOW_PRIORITY = [
-    # the 47 r05-stale entries, catalog order
-    "q19_minhash_lsh", "q46_dedup_clusters",
-    "q95_volume_shipping", "q96_product_profit", "q97_important_parts",
-    "q98_supplier_variety", "q99_large_orders", "q100_bracket_revenue",
-    "q101_excess_suppliers", "q102_waiting_suppliers", "q103_bfs_hops",
-    "q104_hashed_classifier", "q105_concurrency", "q106_bpe_train",
-    "q107_bm25_retrieval", "q108_profile_events",
-    "q109_fuzzy_supplier_match", "q110_attribution", "q111_bm25_multi",
-    "q112_clustering_coeff", "q113_ewma", "q114_markov_transitions",
-    "q115_filtered_revenue", "q116_priority_by_class",
-    "q117_promo_share", "q118_top_supplier",
-    "q119_histogram_quantiles", "q120_lineno_gaps", "q121_orphan_audit",
-    "q122_event_paths", "q123_segment_mode", "q124_spend_deciles",
-    "q125_video_frames", "q126_local_supplier_volume",
-    "q127_market_share", "q128_returned_items",
-    "q129_sales_opportunity", "q130_variant_json", "q131_k_anonymity",
-    "q133_kcenter_sample", "q134_keep_best", "q135_incremental_neardup",
-    "q136_leakage_safe_split", "q137_trained_classifier",
-    "q138_importance_resample", "q139_dup_substrings",
-    "q140_substring_scrub",
-    # the q125b/q78b decode-spread re-gates and the r09 get-ahead slot
-    "q125b_mjpeg_frames", "q78b_audio_decode", "q01_sort_events",
+    # the 47 r06-stale entries, catalog order
+    "q02_sort_lineitem", "q03_wordcount", "q04_ngrams",
+    "q05_inverted_index", "q06_sessionize", "q07_pagerank",
+    "q08_link_extract", "q09_kmeans_assign", "q10_global_agg",
+    "q10b_length_histogram", "q11_duplicate_keys", "q12_merge_sorted",
+    "q13_grep", "q14_pricing_summary", "q15_revenue_by_nation",
+    "q16_top_customers", "q17_exact_dedup", "q18_jaccard_pairs",
+    "q20_ann_topk", "q29_kmeans_full", "q31_ivf_ann",
+    "q38_cosine_neardup", "q39_lsh_neardup", "q50_mixture_sample",
+    "q51_chunk_documents", "q52_small_qty_revenue",
+    "q53_order_count_distribution", "q54_yearly_cohorts",
+    "q55_returnflag_pivot", "q56_rolling_hour", "q57_cube_revenue",
+    "q58_repetition_stats", "q59_decontaminate", "q60_encode_tokens",
+    "q61_train_split", "q62_pii_scrub", "q63_tfidf_topk",
+    "q64_unigram_surprisal", "q65_dedup_spans", "q66_blocklist_filter",
+    "q67_gap_fill", "q68_triangle_counts", "q69_funnel",
+    "q70_cooccurrence_pmi", "q71_retention", "q72_cheapest_supplier",
+    "q132_hard_negatives",
+    # get-ahead slots from the r07 set (first three, catalog order)
+    "q21_text_quality", "q22_lang_id", "q23_fingerprint",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
