@@ -219,6 +219,27 @@ def test_lloyd_converges_two_blobs(spark):
     assert abs(centers[0][0] - 2.0) < 1e-9 and abs(centers[1][0] - 102.0) < 1e-9
 
 
+def test_lloyd_iteration_cache_is_scoped_and_value_neutral(spark):
+    """lloyd's iteration working set (vector-only projection) persists
+    for the loop and is ALWAYS unpersisted before returning — no
+    caller-owned cache contract (unlike pq_rerank_topk's lazy-result
+    barrier) — and the cached path computes the same centers as the
+    uncached path."""
+    pts = [(i, [float(i % 2 * 100 + (i % 5)), 0.0]) for i in range(40)]
+    df = spark.createDataFrame(pts, "id long, v array<double>")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    _, c_cached = lloyd(df, "v", k=2, iterations=3,
+                        initial_centers=[[0.0, 0.0], [1.0, 0.0]])
+    assert jsc.getPersistentRDDs().size() == before, "leaked cache"
+    _, c_plain = lloyd(df, "v", k=2, iterations=3,
+                       initial_centers=[[0.0, 0.0], [1.0, 0.0]],
+                       persist_input=False)
+    # same arithmetic either way: the cache stores the projection's
+    # VALUES, the means fold order per partition is unchanged
+    assert c_cached == c_plain
+
+
 # --- similarity: IVF recall vs brute force
 def test_ivf_topk_subset_of_brute(spark):
     import random

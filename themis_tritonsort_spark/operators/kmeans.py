@@ -119,6 +119,7 @@ def lloyd(
     k: int,
     iterations: int,
     initial_centers: list[list[float]],
+    persist_input: bool = True,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Full Lloyd loop.  Returns (assignments DataFrame, final centers).
 
@@ -126,19 +127,42 @@ def lloyd(
     groupBy shuffle of (cluster, vec) -> per-dimension means.  Empty
     clusters keep their previous center (reference behavior: a center
     with no points simply gets no update appended for it).
+
+    ``persist_input`` (default True) caches a VECTOR-ONLY projection
+    of the input MEMORY_AND_DISK for the iteration loop — the
+    canonical Lloyd optimization: without it every iteration's means
+    job re-derives the corpus from source (at 100 TB, ``iterations``
+    full re-scans; only the vector column is cached, not ids or
+    payload).  Unlike the lazy-result caches elsewhere (see
+    pq_rerank_topk), this one has NO caller-owned contract: every
+    iteration job is eager (the means collect), so the projection is
+    unpersisted before returning, and the returned assignments
+    DataFrame derives from the ORIGINAL ``df``, not the cache.
     """
     dim = len(initial_centers[0])
     centers = [list(map(float, c)) for c in initial_centers]
-    for _ in range(iterations):
-        assigned = assign_clusters(df, vec_col, centers)
-        v = as_double(F.col(vec_col))
-        means = (
-            assigned.groupBy("cluster")
-            .agg(*[F.avg(v[i]).alias(f"m{i}") for i in range(dim)])
-            .collect()
-        )
-        new_centers = list(centers)
-        for row in means:
-            new_centers[row["cluster"]] = [float(row[f"m{i}"]) for i in range(dim)]
-        centers = new_centers
+    vecs = df.select(vec_col)
+    cached = persist_input and iterations > 0
+    if cached:
+        from pyspark import StorageLevel
+
+        vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(iterations):
+            assigned = assign_clusters(vecs, vec_col, centers)
+            v = as_double(F.col(vec_col))
+            means = (
+                assigned.groupBy("cluster")
+                .agg(*[F.avg(v[i]).alias(f"m{i}") for i in range(dim)])
+                .collect()
+            )
+            new_centers = list(centers)
+            for row in means:
+                new_centers[row["cluster"]] = [
+                    float(row[f"m{i}"]) for i in range(dim)
+                ]
+            centers = new_centers
+    finally:
+        if cached:
+            vecs.unpersist()
     return assign_clusters(df, vec_col, centers), centers
