@@ -1068,18 +1068,34 @@ def pq_codebook_refined(
     (operators/kmeans.lloyd — broadcast assignment + one groupBy per
     round).  This is how a production codebook is actually trained;
     the seeded variant exists for oracle replay.  Deterministic for a
-    fixed input + seed set, so recall comparisons are reproducible."""
+    fixed input + seed set, so recall comparisons are reproducible.
+
+    The double-cast vector column is persisted ONCE and shared by all
+    m subspace loops (m * iterations means jobs read the cache instead
+    of re-deriving the corpus from source each time); every inner job
+    is eager, so the cache is unpersisted before returning — no
+    caller-owned contract."""
+    from pyspark import StorageLevel
+
     from .kmeans import lloyd
 
     seeded = pq_codebook(df, id_col, vec_col, m, k)
     sub = len(seeded[0][0])
     refined = []
-    for s in range(m):
-        subdf = df.select(
-            F.slice(as_double(F.col(vec_col)), s * sub + 1, sub).alias("__sv")
-        )
-        _, centers = lloyd(subdf, "__sv", k, iterations, seeded[s])
-        refined.append(centers)
+    base = df.select(as_double(F.col(vec_col)).alias("__fv")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        for s in range(m):
+            subdf = base.select(
+                F.slice(F.col("__fv"), s * sub + 1, sub).alias("__sv")
+            )
+            _, centers = lloyd(
+                subdf, "__sv", k, iterations, seeded[s], persist_input=False
+            )
+            refined.append(centers)
+    finally:
+        base.unpersist()
     return refined
 
 
