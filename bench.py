@@ -292,16 +292,55 @@ def main() -> None:
         return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
     timings = {name: round(median(ts), 3) for name, ts in runs.items()}
+    full, compact, suffix, warnings = emit_payloads(
+        timings, runs, samples, sf_dir, only
+    )
+    for w in warnings:
+        print(w, file=sys.stderr)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_FULL{suffix}.json",
+    )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(compact))
+
+
+def emit_payloads(
+    timings: dict[str, float],
+    runs: dict[str, list[float]],
+    samples: int,
+    sf_dir: str,
+    only: str,
+) -> tuple[dict, dict, str, list[str]]:
+    """Build the BENCH_FULL payload, the compact stdout line, the
+    BENCH_FULL filename suffix, and any warning lines.  Pure — unit
+    tests pin the evidence contract without a Spark run.
+
+    Full per-query medians + min/max spread go to an in-repo file —
+    the driver's stdout capture keeps only a ~2000-char tail, which a
+    142-entry map outgrew in r03 (BENCH_r03..r05 all have
+    parsed: null).  The printed line stays compact (total + slowest
+    10) so the driver can parse it again.
+
+    A subset run (SPARK_GRAFT_BENCH_ONLY) must never pose as
+    full-catalog evidence: its metric NAME changes, not just a side
+    field, so any parser keyed on "headline_queries_wall_clock" can
+    only ever ingest a full-catalog total (ADVICE r08).
+
+    Only the HEADLINE scale factor may own the bare BENCH_FULL.json:
+    the verify recipe runs an sf0.001 smoke right after the sf0.1
+    pass, and an unconditional overwrite would let a later
+    `cp BENCH_FULL.json BENCH_FULL_r{N}.json` snapshot smoke numbers
+    as the round's perf evidence.  Non-headline runs write a suffixed
+    file (e.g. BENCH_FULL_sf0.001.json) instead.  realpath on both
+    sides: a relative path, symlink, or doubled slash spelling of the
+    headline dir must still count as headline, or a genuine sf0.1 run
+    writes the suffixed file and the stale previous BENCH_FULL.json
+    gets snapshotted as this round's evidence — the exact failure
+    this logic exists to prevent."""
     total = round(sum(timings.values()), 3)
-    # Full per-query medians + min/max spread go to an in-repo file —
-    # the driver's stdout capture keeps only a ~2000-char tail, which a
-    # 142-entry map outgrew in r03 (BENCH_r03..r05 all have
-    # parsed: null).  The FINAL printed line stays compact (total +
-    # slowest 10) so the driver can parse it again.
-    # A subset run (SPARK_GRAFT_BENCH_ONLY) must never pose as
-    # full-catalog evidence: its metric NAME changes, not just a
-    # side field, so any parser keyed on "headline_queries_wall_clock"
-    # can only ever ingest a full-catalog total (ADVICE r08).
     metric = "partial_queries_wall_clock" if only else (
         "headline_queries_wall_clock"
     )
@@ -315,23 +354,13 @@ def main() -> None:
         "spread": {name: [min(ts), max(ts)] for name, ts in runs.items()},
         "sf": sf_dir,
     }
-    # Only the HEADLINE scale factor may own the bare BENCH_FULL.json:
-    # the verify recipe runs an sf0.001 smoke right after the sf0.1
-    # pass, and an unconditional overwrite would let a later
-    # `cp BENCH_FULL.json BENCH_FULL_r{N}.json` snapshot smoke numbers
-    # as the round's perf evidence.  Non-headline runs write a
-    # suffixed file (e.g. BENCH_FULL_sf0.001.json) instead.
-    # realpath on both sides: a relative path, symlink, or doubled
-    # slash spelling of the headline dir must still count as headline,
-    # or a genuine sf0.1 run writes the suffixed file and the stale
-    # previous BENCH_FULL.json gets snapshotted as this round's
-    # evidence — the exact failure this logic exists to prevent.
     headline = os.path.realpath(HEADLINE_SF_DIR)
     suffix = "" if os.path.realpath(sf_dir) == headline else (
         "_sf" + os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     )
     if only:
         suffix = "_partial" + suffix
+    warnings = []
     if suffix:
         # Name the actual reason(s): a partial run at the headline SF
         # is not a "non-headline" run (ADVICE r08).
@@ -342,37 +371,26 @@ def main() -> None:
             reasons.append(
                 f"non-headline SF ({sf_dir} != {HEADLINE_SF_DIR})"
             )
-        print(
+        warnings.append(
             f"WARNING: {'; '.join(reasons)}; "
             f"writing BENCH_FULL{suffix}.json — the bare BENCH_FULL.json "
-            "is untouched",
-            file=sys.stderr,
+            "is untouched"
         )
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        f"BENCH_FULL{suffix}.json",
-    )
-    with open(full_path, "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
-        f.write("\n")
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": total,
-                "unit": "sec",
-                "partial": bool(only),
-                "n_queries": len(timings),
-                "samples": samples,
-                "queries": slowest,
-                "full": f"BENCH_FULL{suffix}.json",
-                "sf": sf_dir,
-            }
-        )
-    )
+    compact = {
+        "metric": metric,
+        "value": total,
+        "unit": "sec",
+        "partial": bool(only),
+        "n_queries": len(timings),
+        "samples": samples,
+        "queries": slowest,
+        "full": f"BENCH_FULL{suffix}.json",
+        "sf": sf_dir,
+    }
+    return full, compact, suffix, warnings
 
 
 if __name__ == "__main__":

@@ -42,3 +42,54 @@ def test_loads_driver_record_with_truncated_tail(tmp_path):
 def test_median_of_sample_lists():
     assert bench_diff._median(3.0) == 3.0
     assert bench_diff._median([3.0, 1.0, 2.0]) == 2.0
+
+
+def test_bench_emit_payloads_partial_vs_headline():
+    """The bench evidence contract (ADVICE r08): a subset run renames
+    the metric (a parser keyed on the headline name can never ingest
+    a subset total), flags itself partial, writes a suffixed file,
+    and warns with the ACTUAL reason; a full headline-SF run keeps
+    the bare filename and headline metric."""
+    import bench
+
+    timings = {"q01": 1.0, "q02": 2.0}
+    runs = {"q01": [0.9, 1.0, 1.1], "q02": [1.8, 2.0, 2.2]}
+
+    # full run at the headline SF
+    full, compact, suffix, warnings = bench.emit_payloads(
+        timings, runs, 3, bench.HEADLINE_SF_DIR, ""
+    )
+    assert full["metric"] == "headline_queries_wall_clock"
+    assert compact["metric"] == "headline_queries_wall_clock"
+    assert full["partial"] is False and compact["partial"] is False
+    assert suffix == "" and warnings == []
+    assert compact["value"] == 3.0
+
+    # subset run at the SAME headline SF: partial reason only
+    full, compact, suffix, warnings = bench.emit_payloads(
+        timings, runs, 5, bench.HEADLINE_SF_DIR, "q01"
+    )
+    assert full["metric"] == "partial_queries_wall_clock"
+    assert compact["metric"] == "partial_queries_wall_clock"
+    assert full["partial"] is True and compact["partial"] is True
+    assert suffix == "_partial"
+    assert len(warnings) == 1
+    assert "partial run (SPARK_GRAFT_BENCH_ONLY=q01)" in warnings[0]
+    assert "non-headline" not in warnings[0]
+
+    # full run at a NON-headline SF: SF reason only
+    full, compact, suffix, warnings = bench.emit_payloads(
+        timings, runs, 3, "/root/testdata/sf0.001", ""
+    )
+    assert full["metric"] == "headline_queries_wall_clock"
+    assert suffix == "_sf0.001"
+    assert len(warnings) == 1
+    assert "non-headline SF" in warnings[0]
+    assert "partial run" not in warnings[0]
+
+    # subset at a non-headline SF: both reasons, both suffix parts
+    _, _, suffix, warnings = bench.emit_payloads(
+        timings, runs, 3, "/root/testdata/sf0.001", "q01,q02"
+    )
+    assert suffix == "_partial_sf0.001"
+    assert "partial run" in warnings[0] and "non-headline SF" in warnings[0]
