@@ -141,6 +141,7 @@ def probes(spark, sf_dir: str, copies: int):
 
     from themis_tritonsort_spark.operators.components import kcore_vertices
     from themis_tritonsort_spark.operators.kmeans import lloyd
+    from themis_tritonsort_spark.operators.pagerank import pagerank
     from themis_tritonsort_spark.queries import _lineitem_edges
 
     docs = replicate_docs(table(spark, sf_dir, "documents"), copies)
@@ -289,6 +290,12 @@ def probes(spark, sf_dir: str, copies: int):
             n_planes=32,
             bands=4,
         ),
+        # q07 shape: disjoint replica subgraphs keep iteration count
+        # FIXED (3 here, matching q07), the static edge side persists
+        # once pre-shuffled on src, and each round is one tagged-union
+        # groupBy — alpha measures the per-round scatter+merge, the
+        # 100 TB claim for the rank loop
+        "pagerank": lambda: pagerank(edges, iterations=3),
         # q29 shape (VERDICT r08: most expensive catalog entry, no
         # probe row): per-iteration work is ONE broadcast-expression
         # assignment pass (literal-folded centers, no shuffle) + one
