@@ -93,3 +93,47 @@ def test_bench_emit_payloads_partial_vs_headline():
     )
     assert suffix == "_partial_sf0.001"
     assert "partial run" in warnings[0] and "non-headline SF" in warnings[0]
+
+
+def test_adjudications_annotate_and_clear_gate(tmp_path, monkeypatch, capsys):
+    """A flagged regression with a calm-window adjudication that clears
+    the same threshold math is annotated (loudly) and excluded from the
+    failing exit gate; a stale adjudication that does NOT clear it
+    stays a REGRESSION — adjudications can never mask a real one."""
+    import sys
+
+    before = {"metric": "x", "queries": {"q01_a": 2.0, "q02_b": 2.0}}
+    after = {"metric": "x", "queries": {"q01_a": 4.0, "q02_b": 4.0}}
+    pb, pa = tmp_path / "b.json", tmp_path / "a.json"
+    pb.write_text(json.dumps(before))
+    pa.write_text(json.dumps(after))
+    adj = tmp_path / "adj.json"
+    adj.write_text(json.dumps(
+        {"q01_a": {"value": 2.1, "date": "2026-08-16", "note": "noise"}}
+    ))
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["bench_diff", str(pb), str(pa), "--adjudications", str(adj)],
+    )
+    rc = bench_diff.main()
+    out = capsys.readouterr().out
+    assert "ADJUDICATED q01_a" in out and "2026-08-16" in out
+    assert "REGRESSION q02_b" in out
+    assert "1 regression(s)" in out
+    assert rc == 1
+
+    # adjudicated value worse than threshold*before: still a regression
+    adj.write_text(json.dumps({"q01_a": {"value": 3.5, "date": "old"}}))
+    rc = bench_diff.main()
+    out = capsys.readouterr().out
+    assert "REGRESSION q01_a" in out and "ADJUDICATED" not in out
+    assert rc == 1
+
+    # --adjudications '' disables the mechanism entirely
+    monkeypatch.setattr(
+        sys, "argv", ["bench_diff", str(pb), str(pa), "--adjudications", ""]
+    )
+    rc = bench_diff.main()
+    out = capsys.readouterr().out
+    assert "ADJUDICATED" not in out and rc == 1

@@ -14,14 +14,31 @@ Usage:
 Prints a summary plus any query slower than REGRESSION_X (default
 1.5x, override with --threshold) and the five biggest improvements.
 Exits nonzero when regressions exist, so it can gate automation.
+
+Noise adjudications: three rounds running, every >1.5x flag on this
+shared box has re-measured clean in a calm median-of-5 window
+(BASELINE.md "Noise adjudications").  ADJUDICATIONS.json at the repo
+root records each such re-measure ({query: {value, date, note}});
+a flagged regression whose adjudicated value ALSO clears the
+threshold against the before-capture is printed as ADJUDICATED (with
+date + note, never hidden) and does not fail the exit gate.  A stale
+adjudication cannot mask a real regression that is worse than the
+recorded calm value by the same threshold math.  Override the file
+with --adjudications; pass --adjudications '' to disable.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import sys
+
+DEFAULT_ADJUDICATIONS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "ADJUDICATIONS.json",
+)
 
 _PAIR = re.compile(r'"(q[\w]+)":\s*(\[[\d.,\s]+\]|\d+(?:\.\d+)?)')
 
@@ -77,7 +94,16 @@ def main() -> int:
         default=0.5,
         help="ignore regressions on queries faster than this (noise)",
     )
+    ap.add_argument(
+        "--adjudications",
+        default=DEFAULT_ADJUDICATIONS,
+        help="JSON of calm-window re-measures ('' disables)",
+    )
     args = ap.parse_args()
+    adjudications: dict[str, dict] = {}
+    if args.adjudications and os.path.exists(args.adjudications):
+        with open(args.adjudications) as f:
+            adjudications = json.load(f)
     before = load_queries(args.before)
     after = load_queries(args.after)
     overlap = sorted(set(before) & set(after))
@@ -98,12 +124,26 @@ def main() -> int:
     if only_a:
         print(f"added ({len(only_a)}): {', '.join(only_a[:8])}"
               + (" ..." if len(only_a) > 8 else ""))
-    regs = [
+    flagged = [
         k
         for k in overlap
         if after[k] > args.threshold * before[k] and after[k] > args.min_sec
     ]
-    for k in sorted(regs, key=lambda k: -after[k] / before[k]):
+    regs = []
+    for k in sorted(flagged, key=lambda k: -after[k] / before[k]):
+        adj = adjudications.get(k)
+        calm = float(adj["value"]) if adj else None
+        if calm is not None and calm <= args.threshold * before[k]:
+            # the calm re-measure clears the same threshold math:
+            # annotate loudly, don't fail the gate
+            print(
+                f"ADJUDICATED {k}: {before[k]:.2f}s -> {after[k]:.2f}s "
+                f"({after[k] / before[k]:.2f}x) — calm median-of-5 "
+                f"{calm:.2f}s on {adj.get('date', '?')}"
+                + (f" ({adj['note']})" if adj.get("note") else "")
+            )
+            continue
+        regs.append(k)
         print(
             f"REGRESSION {k}: {before[k]:.2f}s -> {after[k]:.2f}s "
             f"({after[k] / before[k]:.2f}x)"
