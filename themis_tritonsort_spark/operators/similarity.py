@@ -529,12 +529,9 @@ def semdedup(
     KMeansMapFunction.cc:188-214)."""
     from pyspark import StorageLevel
 
-    # The assignment feeds BOTH the pair join (twice, as each side) and
-    # the final output row set: persist it so the k*dim literal-fold
-    # distance expression runs once per row, not three times.
     assigned = assign_clusters(
         df.select(F.col(id_col), F.col(vec_col)), vec_col, centers
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # Engine-exact duplicate test: micro-quantize once map-side, carry
     # the integer self-dot, and compare icos_ppm against the ppm
     # threshold.  A float cosine here is a cross-engine threshold
@@ -559,6 +556,17 @@ def semdedup(
         )
     else:
         sided = sided.withColumn("__sub", F.lit(0).cast("long"))
+    # The fully-derived per-row relation (assignment + quantize + split
+    # window) feeds BOTH sides of the pair join AND the final output
+    # row set: persist HERE so the k*dim distance fold, the O(dim)
+    # quantize, and the per-cluster count window each run once per row
+    # — persisting only the assignment (the pre-r09 shape) recomputed
+    # the quantize+window subtree once per join side, measured ~2x the
+    # whole-op wall-clock at 64x sf0.1.  Caller-owned cache, like
+    # pq_rerank_topk's persist mode: the result is lazy, so release
+    # with spark.catalog.clearCache() (or your own handle) in
+    # long-lived sessions.
+    sided = sided.persist(StorageLevel.MEMORY_AND_DISK)
     nzs = sided.where(F.col("__n") > 0)
     a = nzs.select(
         F.col("__id").alias("__ida"),
@@ -590,8 +598,9 @@ def semdedup(
         .withColumn("__dup", F.lit(1))
     )
     return (
-        assigned.select(
-            F.col(id_col), F.col("cluster").cast("long").alias("cluster")
+        sided.select(
+            F.col("__id").alias(id_col),
+            F.col("__cl").cast("long").alias("cluster"),
         )
         .join(dups, id_col, "left")
         .select(

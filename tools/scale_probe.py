@@ -339,6 +339,14 @@ def main() -> None:
     for name, thunk in select(probes(spark, sf_dir, copies[0])).items():
         thunk().write.format("noop").mode("overwrite").save()
         print(f"<!-- warmup {name} done -->", file=sys.stderr, flush=True)
+    # Drop caches the warmup pass left behind (operators that persist
+    # internally — semdedup's assignment, pagerank's edge set): the
+    # warmup runs at copies[0], so without this the FIRST timed scale
+    # reads those caches warm while later scales run cold, deflating
+    # t_lo and inflating the exponent.  This is how semdedup "probed"
+    # alpha 2.73 over 64x->128x in r09 while a cold-vs-cold re-measure
+    # read 0.89 — the warm-low-point artifact in a second costume.
+    spark.catalog.clearCache()
     for n in copies:
         for name, thunk in select(probes(spark, sf_dir, n)).items():
             t0 = time.time()
