@@ -167,9 +167,19 @@ def triangle_total_degree_oriented(
     orientation-invariant, so this is exact — it just cannot attribute
     triangles to a *specific* vertex like triangle_counts does.
 
-    Plan: one degree aggregate (vertex-sized, broadcast back), one
-    wedge self-join on the oriented source, one closing semi-join
-    against the oriented edge set, one global count.
+    Plan: one degree aggregate (vertex-sized), merge-joined back onto
+    the edge set, one wedge self-join on the oriented source, one
+    closing merge semi-join against the canonical edge set, one global
+    count.  The degree-attach and closing joins are HINTED sort-merge
+    on purpose: both the vertex table and the edge set scale with the
+    data (terabytes at web scale), so any broadcast of them is wrong
+    by construction — and measured, not hypothetical: a forced
+    F.broadcast of the degree table OOMed the driver at 64x replicas
+    (1.28M vertices x two hinted builds), and with no hint AQE
+    broadcast-converted the CLOSING side too (58M sorted long-pairs
+    compress under the 64 MB shuffle threshold) and died building a
+    >1 GB hashed relation.  The probe tool caught both; the only
+    broadcast this operator should ever do is none.
     """
     e = (
         edges.select(
@@ -186,9 +196,13 @@ def triangle_total_degree_oriented(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    da = degrees.select(F.col("v").alias("a"), F.col("deg").alias("__da"))
-    db = degrees.select(F.col("v").alias("b"), F.col("deg").alias("__db"))
-    withdeg = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    da = degrees.select(F.col("v").alias("a"), F.col("deg").alias("__da")).hint(
+        "merge"
+    )
+    db = degrees.select(F.col("v").alias("b"), F.col("deg").alias("__db")).hint(
+        "merge"
+    )
+    withdeg = e.join(da, "a").join(db, "b")
     # orient low (deg, id) -> high (deg, id); (a, b) already has a < b,
     # so ties on degree keep the id order
     a_first = (F.col("__da") < F.col("__db")) | (
@@ -203,7 +217,9 @@ def triangle_total_degree_oriented(
     # each unordered out-pair once: the wedge (u; w1, w2)
     pairs = o1.join(o2, "u").where(F.col("w1") < F.col("w2"))
     # a wedge (u; w1 < w2) closes iff the canonical edge (w1, w2) exists
-    closing = e.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
+    closing = e.select(F.col("a").alias("w1"), F.col("b").alias("w2")).hint(
+        "merge"
+    )
     closed = pairs.join(closing, ["w1", "w2"], "left_semi")
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
@@ -217,19 +233,38 @@ def kcore_vertices(
 ) -> DataFrame:
     """Vertices of the undirected graph's k-core — the maximal subgraph
     where every vertex keeps degree >= k — with their in-core degree:
-    (vid long, deg long).  The standard peel loop: drop all vertices
-    whose current degree is below k, delete their edges, repeat until a
-    round drops nothing (the greatest fixpoint; order of removal cannot
-    change it).  The web-graph curation cut: k-core membership is a
-    cheap page-quality/connectivity signal at crawl scale.
+    (vid long, deg long).  Peel semantics (the greatest fixpoint: drop
+    everything under degree k, repeat until a round drops nothing;
+    removal order cannot change the answer).  The web-graph curation
+    cut: k-core membership is a cheap page-quality/connectivity signal
+    at crawl scale.
 
-    Scale shape: per round, one degree groupBy (co-partitioned with the
-    persisted both-orientations edge set, like connected_components)
-    and two ANTI joins against the just-peeled vertex set — the peeled
-    set is the SMALL side by construction (it shrinks to empty at the
-    fixpoint), so AQE broadcasts it and late rounds cost almost
-    nothing.  Lineage is cut per round (localCheckpoint); convergence
-    is a driver-side scalar count.
+    Scale shape — DELTA peeling, not edge-set rewriting.  The naive
+    loop rescans and rewrites the surviving EDGE set every round (scan
+    + two anti-joins + a checkpoint write of edge-sized data x rounds,
+    the superlinear term SCALE_PROBE flagged at alpha_hi 1.24).  Here
+    the edge set is persisted ONCE, partitioned by source, and each
+    round touches only vertex-sized state plus the peel frontier:
+
+      * `deg` — a (vertex, degree) relation, maintained incrementally:
+        when a vertex drops, each surviving neighbor's degree falls by
+        its edge count to the dropped set.  The decrement join scans
+        edges incident to the FRONTIER (one co-partitioned join + a
+        frontier-sized groupBy), so late rounds cost almost nothing.
+      * edges to vertices dropped in EARLIER rounds need no masking:
+        their decrements target vertices no longer present in `deg`,
+        so the left join discards them — the algebra self-filters.
+      * the full edge relation is COMPACTED to survivors only when the
+        peel has removed >= half the vertices alive at the last
+        compaction (amortized O(log V) compactions), keeping the
+        frontier scans from paying for long-gone vertices without
+        re-writing edges every round.
+
+    Final `deg` at the fixpoint IS the in-core degree: every non-core
+    vertex drops exactly once, decrementing each surviving neighbor
+    exactly once.  Lineage is cut per round on the vertex-sized
+    relation only (localCheckpoint); convergence is a driver-side
+    scalar count.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -238,32 +273,75 @@ def kcore_vertices(
     half = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
         F.col("s") != F.col("d")
     )
-    cur = (
+    e = (
         half.unionByName(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
         .repartition(npart, "s")
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
+    dropped_since_compact = 0
 
-    for _ in range(max_iterations):
-        deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("__deg"))
-        drop = deg.where(F.col("__deg") < k).select("s").localCheckpoint(
-            eager=False
+    try:
+        for _ in range(max_iterations):
+            # ONE driver action per round: alive + frontier size off the
+            # checkpointed vertex relation (scalars, not data).  `drop`
+            # itself is a re-filter of the same cached RDD — cheap, and
+            # not worth a checkpoint of its own.
+            counts = deg.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum((F.col("deg") < k).cast("long")).alias("__nd"),
+            ).collect()[0]
+            alive = counts["__n"] - (counts["__nd"] or 0)
+            n_drop = counts["__nd"] or 0
+            if n_drop == 0:
+                return deg.select(
+                    F.col("s").cast("long").alias("vid"),
+                    F.col("deg").cast("long").alias("deg"),
+                )
+            drop = deg.where(F.col("deg") < k).select("s")
+            # Degree decrements from the frontier's incident edges; the
+            # left join onto surviving vertices drops decrements aimed
+            # at already-peeled ones.
+            dec = (
+                e.join(drop, "s")
+                .groupBy("d")
+                .agg(F.count(F.lit(1)).alias("__dec"))
+                .withColumnRenamed("d", "s")
+            )
+            deg = (
+                deg.join(drop, "s", "left_anti")
+                .join(dec, "s", "left")
+                .select(
+                    "s",
+                    (
+                        F.col("deg") - F.coalesce(F.col("__dec"), F.lit(0))
+                    ).alias("deg"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            dropped_since_compact += n_drop
+            if alive and dropped_since_compact >= alive:
+                survivors = deg.select("s")
+                e_new = (
+                    e.join(survivors, "s", "semi")
+                    .join(survivors.withColumnRenamed("s", "d"), "d", "semi")
+                    .repartition(npart, "s")
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                e_new.count()
+                e.unpersist()
+                e = e_new
+                dropped_since_compact = 0
+        raise RuntimeError(
+            f"kcore_vertices did not converge in {max_iterations} rounds; "
+            "raise max_iterations (each round removes at least one vertex, "
+            "so rounds are bounded by the vertex count)"
         )
-        if drop.count() == 0:
-            return cur.groupBy("s").agg(
-                F.count(F.lit(1)).cast("long").alias("deg")
-            ).select(F.col("s").cast("long").alias("vid"), "deg")
-        cur = (
-            cur.join(drop, "s", "left_anti")
-            .join(drop.withColumnRenamed("s", "d"), "d", "left_anti")
-            .localCheckpoint(eager=False)
-        )
-    raise RuntimeError(
-        f"kcore_vertices did not converge in {max_iterations} rounds; "
-        "raise max_iterations (each round removes at least one vertex, "
-        "so rounds are bounded by the vertex count)"
-    )
+    finally:
+        e.unpersist()
 
 
 def label_propagation(

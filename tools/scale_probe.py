@@ -139,7 +139,11 @@ def probes(spark, sf_dir: str, copies: int):
         hashed_linear_score,
     )
 
-    from themis_tritonsort_spark.operators.components import kcore_vertices
+    from themis_tritonsort_spark.operators.components import (
+        kcore_vertices,
+        label_propagation,
+        triangle_total_degree_oriented,
+    )
     from themis_tritonsort_spark.operators.kmeans import lloyd
     from themis_tritonsort_spark.operators.pagerank import pagerank
     from themis_tritonsort_spark.queries import _lineitem_edges
@@ -305,10 +309,22 @@ def probes(spark, sf_dir: str, copies: int):
         "kmeans_lloyd": lambda: lloyd(emb, "embedding", 8, 2, centers)[0],
         # round-count pin for the peel loop (VERDICT r06 #7): disjoint
         # replicas keep the fixpoint depth constant (3 rounds at sf0.1
-        # k=30), so alpha ~1 attests each round is one co-partitioned
-        # degree agg + two anti joins with no super-linear tail —
-        # rounds x linear, not rounds growing with corpus size
+        # k=30).  r09 delta-peel: per round only vertex-sized degree
+        # state moves (frontier-incident decrements), the edge set is
+        # scanned but never rewritten (compaction amortized O(log V)) —
+        # alpha attests the per-round work has no super-linear tail
         "kcore": lambda: kcore_vertices(edges, k=30),
+        # q93 shape: rounds FIXED at the q93 horizon (3; disjoint
+        # replicas keep community structure per-copy), each round one
+        # co-located edge-labels join + ONE exchange of neighbor-label
+        # rows + two exchange-free aggregates — alpha measures the
+        # per-round scatter volume, the 100 TB claim for the LP loop
+        "label_propagation": lambda: label_propagation(edges, rounds=3),
+        # q74 shape: degree-oriented wedge join — per-key fan-out is
+        # capped at O(sqrt(|E|)) by orientation, so disjoint replicas
+        # must scale linearly; a super-linear reading here would mean
+        # the orientation failed to bound the wedge set
+        "triangle_total": lambda: triangle_total_degree_oriented(edges),
     }
 
 
@@ -332,22 +348,31 @@ def main() -> None:
             raise SystemExit(f"SCALE_PROBE_ONLY: unknown {sorted(unknown)}")
         return {k: v for k, v in d.items() if k in only}
 
-    spark = get_spark(app_name="scale-probe")
     results: dict[str, dict[int, float]] = {}
-    # Untimed warmup: populate codegen/plan caches so the smallest
-    # timed scale is not charged the one-off compile cost.
-    for name, thunk in select(probes(spark, sf_dir, copies[0])).items():
-        thunk().write.format("noop").mode("overwrite").save()
-        print(f"<!-- warmup {name} done -->", file=sys.stderr, flush=True)
-    # Drop caches the warmup pass left behind (operators that persist
-    # internally — semdedup's assignment, pagerank's edge set): the
-    # warmup runs at copies[0], so without this the FIRST timed scale
-    # reads those caches warm while later scales run cold, deflating
-    # t_lo and inflating the exponent.  This is how semdedup "probed"
-    # alpha 2.73 over 64x->128x in r09 while a cold-vs-cold re-measure
-    # read 0.89 — the warm-low-point artifact in a second costume.
-    spark.catalog.clearCache()
+    # One FRESH SparkContext per scale.  A single-session ladder leaks
+    # state into the later (heavier) scales: localCheckpoint blocks are
+    # NOT freed by catalog.clearCache(), so each earlier run's
+    # checkpointed rounds stay resident in the block manager and the
+    # 64x point runs under memory pressure it did not cause.  Measured
+    # r09: kcore x64 read 219 s inside the ladder session vs 48 s in a
+    # fresh session — a 4.6x inflation that manufactured alpha_hi 1.41
+    # for a linear loop.  Stopping the context between scales frees the
+    # block manager; the JVM (and its JIT/codegen state) survives, and
+    # each scale gets an untimed 1x warmup in its own session so
+    # plan-compile cost stays out of the timing either way.
     for n in copies:
+        spark = get_spark(app_name=f"scale-probe-x{n}")
+        for name, thunk in select(probes(spark, sf_dir, 1)).items():
+            thunk().write.format("noop").mode("overwrite").save()
+            print(
+                f"<!-- warmup x{n} {name} done -->", file=sys.stderr, flush=True
+            )
+        # Drop caches the warmup pass left behind (operators that
+        # persist internally — semdedup's assignment, pagerank's edge
+        # set): without this the 1x point reads those caches warm while
+        # larger scales run cold, deflating t_lo and inflating the
+        # exponent (the r09 semdedup alpha-2.73 artifact).
+        spark.catalog.clearCache()
         for name, thunk in select(probes(spark, sf_dir, n)).items():
             t0 = time.time()
             thunk().write.format("noop").mode("overwrite").save()
@@ -356,7 +381,7 @@ def main() -> None:
             print(
                 f"<!-- {name} x{n}: {dt:.2f}s -->", file=sys.stderr, flush=True
             )
-        spark.catalog.clearCache()
+        spark.stop()
 
     lo, hi = copies[0], copies[-1]
     mid = copies[-2] if len(copies) >= 3 else lo
