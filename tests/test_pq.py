@@ -124,6 +124,27 @@ def test_kcore_planted_graph(spark):
     assert kcore_vertices(edges, k=5).count() == 0
 
 
+def test_kcore_peel_cascade_and_compaction(spark):
+    """A long pendant path forces one-vertex-per-round peel cascades
+    (each removal exposes the next endpoint), exercising the delta
+    peel's incremental decrements across many rounds, and the mass
+    drop relative to the small surviving core trips the edge-set
+    compaction branch.  The 2-core must be exactly the cycle, with
+    in-core degree 2 everywhere — including the attachment vertex,
+    whose degree must have been decremented by its peeled path
+    neighbor exactly once."""
+    from themis_tritonsort_spark.operators.components import kcore_vertices
+
+    cycle = [(i, i + 1) for i in range(1, 6)] + [(6, 1)]
+    path = [(6, 100)] + [(100 + i, 101 + i) for i in range(12)]
+    edges = spark.createDataFrame(cycle + path, ["src", "dst"])
+    core = {r["vid"]: r["deg"] for r in kcore_vertices(edges, k=2).collect()}
+    assert core == {v: 2 for v in range(1, 7)}
+    # the pure path has no 2-core at all once the cycle is removed
+    path_only = spark.createDataFrame(path, ["src", "dst"])
+    assert kcore_vertices(path_only, k=2).count() == 0
+
+
 def test_kcore_rejects_bad_k(spark):
     import pytest
 

