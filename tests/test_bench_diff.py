@@ -137,3 +137,51 @@ def test_adjudications_annotate_and_clear_gate(tmp_path, monkeypatch, capsys):
     rc = bench_diff.main()
     out = capsys.readouterr().out
     assert "ADJUDICATED" not in out and rc == 1
+
+
+def test_deliberate_adjudication_rebaselines(tmp_path, monkeypatch, capsys):
+    """A deliberate:true entry makes the calm value the NEW baseline:
+    a capture at (or under) threshold x calm is annotated and clears
+    the gate even though it fails threshold x before, while a capture
+    worse than threshold x calm still fails — the recorded trade can
+    never mask a further regression on top of it."""
+    import sys
+
+    before = {"metric": "x", "queries": {"q01_a": 2.0}}
+    pb = tmp_path / "b.json"
+    pb.write_text(json.dumps(before))
+    adj = tmp_path / "adj.json"
+    adj.write_text(json.dumps({
+        "q01_a": {"value": 4.0, "date": "2026-08-16",
+                  "note": "trade", "deliberate": True}
+    }))
+
+    # 2.0 -> 4.1: fails threshold*before (1.5x) but is within
+    # threshold*calm (6.0) — adjudicated as deliberate, gate clears
+    pa = tmp_path / "a.json"
+    pa.write_text(json.dumps({"metric": "x", "queries": {"q01_a": 4.1}}))
+    monkeypatch.setattr(
+        sys, "argv",
+        ["bench_diff", str(pb), str(pa), "--adjudications", str(adj)],
+    )
+    rc = bench_diff.main()
+    out = capsys.readouterr().out
+    assert "ADJUDICATED q01_a" in out and "deliberate" in out
+    assert rc == 0
+
+    # 2.0 -> 6.5: worse than threshold*calm — still a REGRESSION
+    pa.write_text(json.dumps({"metric": "x", "queries": {"q01_a": 6.5}}))
+    rc = bench_diff.main()
+    out = capsys.readouterr().out
+    assert "REGRESSION q01_a" in out
+    assert rc == 1
+
+    # without deliberate:true the same calm value must NOT rebaseline
+    adj.write_text(json.dumps(
+        {"q01_a": {"value": 4.0, "date": "2026-08-16", "note": "calm"}}
+    ))
+    pa.write_text(json.dumps({"metric": "x", "queries": {"q01_a": 4.1}}))
+    rc = bench_diff.main()
+    out = capsys.readouterr().out
+    assert "REGRESSION q01_a" in out
+    assert rc == 1

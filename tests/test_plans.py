@@ -526,3 +526,37 @@ def test_q85_rerank_barrier_holds_in_both_modes(spark):
         pq_rerank_topk(
             emb, queries, "vec_id", "embedding", cb, 5, barrier="nope"
         )
+
+
+def test_triangle_family_never_broadcasts_data_sized_tables(spark):
+    """The degree-attach and closing joins of the shared triangle
+    enumerator must stay off broadcast: the vertex and edge tables
+    scale with the data, and at 64x replicas the broadcast variants
+    OOMed an 8 GB driver (SCALE_PROBE round-9 addendum 3).  The static
+    plan must show the hinted shapes — ShuffledHashJoin for the degree
+    attach, SortMergeJoin LeftSemi for the closing probe — and no
+    BroadcastHashJoin anywhere in the enumerator."""
+    from themis_tritonsort_spark.operators.components import (
+        local_clustering_coefficient,
+        triangle_counts,
+        triangle_total_degree_oriented,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    for op in (
+        triangle_total_degree_oriented,
+        triangle_counts,
+        local_clustering_coefficient,
+    ):
+        plan = _plan(op(edges), mode="simple")
+        assert "ShuffledHashJoin" in plan, op.__name__
+        assert "SortMergeJoin" in plan and "LeftSemi" in plan, op.__name__
+        # the LCC degree/per-vertex merge may legitimately broadcast
+        # (both sides vertex-sized aggregates at tiny scale is still a
+        # join AQE may pick; pin only the enumerator's joins) — but at
+        # the STATIC plan level with hints present, none of the three
+        # enumerator joins may be broadcast.
+        first_semi = plan.index("LeftSemi")
+        assert "BroadcastHashJoin" not in plan[:first_semi], op.__name__

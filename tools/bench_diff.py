@@ -23,8 +23,17 @@ a flagged regression whose adjudicated value ALSO clears the
 threshold against the before-capture is printed as ADJUDICATED (with
 date + note, never hidden) and does not fail the exit gate.  A stale
 adjudication cannot mask a real regression that is worse than the
-recorded calm value by the same threshold math.  Override the file
-with --adjudications; pass --adjudications '' to disable.
+recorded calm value by the same threshold math.
+
+Deliberate trades are the second adjudication kind ({...,
+"deliberate": true}): a code change that knowingly spends gate-scale
+seconds to buy large-scale correctness/headroom (r09: the k-core
+delta peel, the no-broadcast triangle joins).  For those the calm
+value IS the new expected baseline — the capture is compared against
+threshold x calm instead of threshold x before, so the documented
+trade stops flagging while anything worse than the recorded trade
+still fails.  Override the file with --adjudications; pass
+--adjudications '' to disable.
 """
 
 from __future__ import annotations
@@ -133,12 +142,19 @@ def main() -> int:
     for k in sorted(flagged, key=lambda k: -after[k] / before[k]):
         adj = adjudications.get(k)
         calm = float(adj["value"]) if adj else None
-        if calm is not None and calm <= args.threshold * before[k]:
-            # the calm re-measure clears the same threshold math:
-            # annotate loudly, don't fail the gate
+        cleared = calm is not None and (
+            # noise adjudication: the calm re-measure clears the same
+            # threshold math against the before-capture
+            calm <= args.threshold * before[k]
+            # deliberate trade: the calm value is the NEW baseline;
+            # flag only captures worse than the recorded trade itself
+            or (adj.get("deliberate") and after[k] <= args.threshold * calm)
+        )
+        if cleared:
+            kind = "deliberate" if adj.get("deliberate") else "calm"
             print(
                 f"ADJUDICATED {k}: {before[k]:.2f}s -> {after[k]:.2f}s "
-                f"({after[k] / before[k]:.2f}x) — calm median-of-5 "
+                f"({after[k] / before[k]:.2f}x) — {kind} median-of-5 "
                 f"{calm:.2f}s on {adj.get('date', '?')}"
                 + (f" ({adj['note']})" if adj.get("note") else "")
             )
