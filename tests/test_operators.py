@@ -398,3 +398,65 @@ def test_funnel_steps_strict_ordering(spark):
         ).collect()
     }
     assert out == {1: 3, 2: 2, 3: 1, 5: 0}
+
+
+def test_graph_ops_cache_ownership(spark, monkeypatch):
+    """ADVICE r09 cache discipline: the iterative graph ops
+    (connected_components, kcore_vertices, label_propagation, bfs_hops)
+    materialize internally and release EVERY persist they take before
+    returning; the triangle family returns lazy data-sized results that
+    keep reading the persisted canonical edge set, so they expose the
+    handle as ``result.cached_deps`` (the q85 caller-owned contract)
+    instead of leaking it silently."""
+    from themis_tritonsort_spark.operators import components as C
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["vid"])
+
+    # patch the CONCRETE class (pyspark 4: pyspark.sql.DataFrame is an
+    # abstract facade; classic sessions instantiate a subclass)
+    DataFrame = type(edges)
+    taken: list = []
+    orig = DataFrame.persist
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        taken.append(out)
+        return out
+
+    monkeypatch.setattr(DataFrame, "persist", spy)
+
+    def cached(df):
+        lvl = df.storageLevel
+        return lvl.useMemory or lvl.useDisk
+
+    # self-releasing ops: every persist taken is released on return
+    for call in (
+        lambda: C.connected_components(edges).collect(),
+        lambda: C.kcore_vertices(edges, k=2).collect(),
+        lambda: C.label_propagation(edges, rounds=2).collect(),
+        lambda: C.bfs_hops(edges, seeds, rounds=2).collect(),
+    ):
+        taken.clear()
+        call()
+        assert taken, "op stopped persisting its edge set?"
+        assert not any(cached(h) for h in taken)
+
+    # lazy triangle family: the edge persist is caller-owned and exposed
+    for op in (
+        lambda: C.triangle_counts(edges),
+        lambda: C.triangle_total_degree_oriented(edges),
+        lambda: C.local_clustering_coefficient(edges),
+    ):
+        taken.clear()
+        out = op()
+        assert out.cached_deps == taken  # the handle IS the exposure
+        first = out.collect()
+        assert all(cached(h) for h in out.cached_deps)
+        for h in out.cached_deps:
+            h.unpersist(blocking=True)
+        assert not any(cached(h) for h in out.cached_deps)
+        # releasing the cache must not change the answer (lineage intact)
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, first))

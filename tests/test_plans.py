@@ -553,10 +553,17 @@ def test_triangle_family_never_broadcasts_data_sized_tables(spark):
         plan = _plan(op(edges), mode="simple")
         assert "ShuffledHashJoin" in plan, op.__name__
         assert "SortMergeJoin" in plan and "LeftSemi" in plan, op.__name__
-        # the LCC degree/per-vertex merge may legitimately broadcast
-        # (both sides vertex-sized aggregates at tiny scale is still a
-        # join AQE may pick; pin only the enumerator's joins) — but at
-        # the STATIC plan level with hints present, none of the three
-        # enumerator joins may be broadcast.
+        # explain('simple') prints the tree ROOT first, so the
+        # enumerator's joins (degree attach + wedge self-join, which
+        # feed the closing semi-join) print AFTER the 'LeftSemi' line
+        # while any consumer joins ABOVE it print before — the
+        # enumerator region is plan[first_semi:], not plan[:first_semi]
+        # (ADVICE r09: the old slice checked the consumers and never
+        # the enumerator).  Only LCC has a legitimate broadcast
+        # candidate (its vertex-sized degree/per-vertex merge, above
+        # the semi-join); the two triangle counters have none, so for
+        # them no BroadcastHashJoin may appear ANYWHERE.
         first_semi = plan.index("LeftSemi")
-        assert "BroadcastHashJoin" not in plan[:first_semi], op.__name__
+        assert "BroadcastHashJoin" not in plan[first_semi:], op.__name__
+        if op is not local_clustering_coefficient:
+            assert "BroadcastHashJoin" not in plan, op.__name__

@@ -150,10 +150,11 @@ def test_pagerank_two_iterations_via_job_chain(spark):
 
 def test_driver_window_composition():
     """The round driver gates the FIRST 50 entries of queries() — pin
-    that the window is exactly the rotation plan (round-9: the full
-    47-entry r06-stale block plus the q21/q22/q23 get-ahead slots
-    from the r07 set), every windowed entry has an oracle, and
-    nothing outside the window lacks local oracle coverage."""
+    that the window is exactly the rotation plan (round-10: the full
+    45-entry r07-stale block, the q112 code-changed re-gate, and the
+    q01/q19/q46/q78b get-ahead slots from the r08 set), every
+    windowed entry has an oracle, and nothing outside the window
+    lacks local oracle coverage."""
     from themis_tritonsort_spark.queries import (
         _WINDOW_PRIORITY,
         ORACLES,
@@ -165,19 +166,24 @@ def test_driver_window_composition():
     missing = [n for n in _WINDOW_PRIORITY if n not in ORACLES]
     assert missing == []
     windowed_prefixes = {n.split("_")[0] for n in _WINDOW_PRIORITY}
-    # the 47 entries whose newest driver row is r06 (2 rounds old at
-    # the r09 gate) all rotate in: q02..q18 (+q10b), q20, q29, q31,
-    # q38, q39, q50..q72, q132
-    stale_r06 = (
-        {f"q{i:02d}" for i in range(2, 19)}
-        | {"q10b", "q20", "q29", "q31", "q38", "q39", "q132"}
-        | {f"q{i}" for i in range(50, 73)}
+    # the 45 entries whose newest driver row is r07 (2 rounds old at
+    # the r10 gate) all rotate in: q24..q28, q30, q32..q37, q40..q45,
+    # q47..q49, q73..q94, q141, q142
+    stale_r07 = (
+        {f"q{i}" for i in range(24, 29)}
+        | {"q30"}
+        | {f"q{i}" for i in range(32, 38)}
+        | {f"q{i}" for i in range(40, 46)}
+        | {"q47", "q48", "q49"}
+        | {f"q{i}" for i in range(73, 95)}
+        | {"q141", "q142"}
     )
-    assert stale_r06 <= windowed_prefixes
-    # the three get-ahead slots from the 48-entry r07 set (first in
-    # catalog order), shrinking the r10-stale set from 48 to 45 so
-    # the round-10 window fits with 5 spares
-    assert {"q21", "q22", "q23"} <= windowed_prefixes
+    assert stale_r07 <= windowed_prefixes
+    # spare 1: q112 re-gated because its code changed in r09 (shared
+    # degree-oriented enumerator); spares 2-5: get-ahead picks from
+    # the 50-entry r08 set (first four in catalog order), shrinking
+    # the r11-stale set from 50 to exactly 45
+    assert {"q112", "q01", "q19", "q46", "q78b"} <= windowed_prefixes
 
 
 def test_bench_set_covers_the_catalog():

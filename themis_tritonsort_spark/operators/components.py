@@ -37,6 +37,12 @@ def connected_components(
 
     Converges early when a round changes no label (checked against a
     driver-side count of changed labels — a scalar, not data).
+
+    Cache lifecycle: the both-orientations edge set is persisted for
+    the duration of the loop and unpersisted on exit — safe because
+    every round's convergence count materializes that round's
+    localCheckpoint, so the returned labels read checkpoint blocks,
+    not the edge lineage.  Nothing stays cached after the call.
     """
     spark = edges.sparkSession
     npart = spark.sparkContext.defaultParallelism
@@ -58,38 +64,44 @@ def connected_components(
     )
 
     changed = -1
-    for _ in range(max_iterations):
-        # Each vertex offers its label to its neighbors and keeps its
-        # own.  The keep row carries the previous label in `old`, so
-        # after the min-groupBy the convergence check is a filter-count
-        # on the checkpointed result — no extra join per round (min
-        # ignores the NULL `old` on propagated rows; every vid has
-        # exactly one keep row, so `old` IS the previous label).
-        offered = e.join(labels, e.s == labels.vid).select(
-            F.col("d").alias("vid"),
-            F.col("label"),
-            F.lit(None).cast("long").alias("old"),
-        )
-        keep = labels.select("vid", "label", F.col("label").alias("old"))
-        merged = (
-            offered.unionByName(keep)
-            .groupBy("vid")
-            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
-            .localCheckpoint(eager=False)
-        )
-        changed = merged.where(F.col("label") != F.col("old")).count()
-        labels = merged.select("vid", "label")
-        if changed == 0:
-            break
-    else:
-        # Silent truncation would return labels that are NOT components
-        # (a >max_iterations-diameter chain keeps non-minimal labels) —
-        # surface it instead.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            f"iterations ({changed} labels still changing); raise "
-            "max_iterations (graph diameter bounds the rounds needed)"
-        )
+    try:
+        for _ in range(max_iterations):
+            # Each vertex offers its label to its neighbors and keeps its
+            # own.  The keep row carries the previous label in `old`, so
+            # after the min-groupBy the convergence check is a filter-count
+            # on the checkpointed result — no extra join per round (min
+            # ignores the NULL `old` on propagated rows; every vid has
+            # exactly one keep row, so `old` IS the previous label).
+            offered = e.join(labels, e.s == labels.vid).select(
+                F.col("d").alias("vid"),
+                F.col("label"),
+                F.lit(None).cast("long").alias("old"),
+            )
+            keep = labels.select("vid", "label", F.col("label").alias("old"))
+            merged = (
+                offered.unionByName(keep)
+                .groupBy("vid")
+                .agg(F.min("label").alias("label"), F.min("old").alias("old"))
+                .localCheckpoint(eager=False)
+            )
+            changed = merged.where(F.col("label") != F.col("old")).count()
+            labels = merged.select("vid", "label")
+            if changed == 0:
+                break
+        else:
+            # Silent truncation would return labels that are NOT
+            # components (a >max_iterations-diameter chain keeps
+            # non-minimal labels) — surface it instead.
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_iterations} iterations ({changed} labels still "
+                "changing); raise max_iterations (graph diameter bounds "
+                "the rounds needed)"
+            )
+    finally:
+        # The per-round count already materialized the final round's
+        # checkpoint, so labels no longer reads the edge lineage.
+        e.unpersist()
 
     return labels.select("vid", F.col("label").alias("component"))
 
@@ -112,6 +124,21 @@ def dedup_clusters(
     return cc.select("vid", F.col("component").alias("canonical_id"))
 
 
+def _caller_owned_cache(result: DataFrame, *handles: DataFrame) -> DataFrame:
+    """Attach persisted upstream handles to a lazily-returned result —
+    the q85 persist-mode contract (ADVICE r08): ``result`` is lazy and
+    keeps reading the persisted ``handles``, so they CANNOT be
+    unpersisted here; the cached relations live until the CALLER
+    releases them.  The handles ride on the result as
+    ``result.cached_deps`` — in a long-lived session, after consuming
+    the result, call ``h.unpersist()`` for each (or
+    ``spark.catalog.clearCache()``) or repeated calls accumulate
+    cached edge sets.  bench.py clears the cache between passes;
+    library callers own this themselves."""
+    result.cached_deps = list(handles)
+    return result
+
+
 def _oriented_triangles(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> tuple[DataFrame, DataFrame]:
@@ -119,7 +146,12 @@ def _oriented_triangles(
     (u, w1, w2) — the three corners, with u the minimum corner in the
     (degree, id) total order and w1 < w2 — returning ``(triangles,
     canonical_edges)`` so callers reuse the persisted canonical edge
-    set for their own degree work.  The compact-forward
+    set for their own degree work.  The canonical edge set is
+    persisted MEMORY_AND_DISK and, because every consumer returns a
+    lazy result, cannot be unpersisted here — the PUBLIC ops expose
+    it as ``cached_deps`` on their results via
+    :func:`_caller_owned_cache`; see its docstring for the ownership
+    contract.  The compact-forward
     discipline shared by the per-vertex counts, the global count, and
     the clustering coefficient: orient each canonical edge from its
     lower-(degree, id) endpoint to the higher one, build wedges only
@@ -195,10 +227,11 @@ def triangle_counts(
     earlier raw-id node-iterator paid the sum-of-degrees-squared wedge
     blowup that degree orientation caps at O(sqrt(|E|)) per key.
     """
-    tris, _ = _oriented_triangles(edges, src, dst)
-    return tris.groupBy(
+    tris, e = _oriented_triangles(edges, src, dst)
+    out = tris.groupBy(
         F.least(F.col("u"), F.col("w1"), F.col("w2")).alias("vid")
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    return _caller_owned_cache(out, e)
 
 
 def triangle_total_degree_oriented(
@@ -232,8 +265,9 @@ def triangle_total_degree_oriented(
     died building a >1 GB hashed relation.  The probe tool caught
     both; the only broadcast this operator should ever do is none.
     """
-    tris, _ = _oriented_triangles(edges, src, dst)
-    return tris.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    tris, e = _oriented_triangles(edges, src, dst)
+    out = tris.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return _caller_owned_cache(out, e)
 
 
 def kcore_vertices(
@@ -402,32 +436,39 @@ def label_propagation(
         .distinct()
         .withColumn("label", F.col("vid"))
     )
-    for _ in range(rounds):
-        # One exchange per round: repartition the neighbor-label rows by
-        # vid ONCE; HashPartitioning(vid) satisfies the clustering of
-        # BOTH downstream aggregates (groupBy(vid,label) needs only
-        # same-key co-location, groupBy(vid) matches exactly), so the
-        # count and the argmax run exchange-free on top of it.
-        nbr = (
-            e.join(labels, e.s == labels.vid)
-            .select(F.col("d").alias("vid"), "label")
-            .repartition(npart, "vid")
-        )
-        counts = nbr.groupBy("vid", "label").agg(
-            F.count(F.lit(1)).alias("__cnt")
-        )
-        labels = (
-            counts.groupBy("vid")
-            .agg(F.max(F.struct(F.col("__cnt"), (-F.col("label")).alias("__neg"))).alias("__best"))
-            .select("vid", (-F.col("__best.__neg")).alias("label"))
-            .localCheckpoint(eager=False)
-        )
-    # NOTE: `e` stays persisted until the session drops it — the same
-    # lifecycle as connected_components (the checkpointed rounds read it
-    # lazily, so an eager unpersist here would force recomputation).
-    return labels.select(
-        F.col("vid").cast("long"), F.col("label").cast("long")
-    )
+    try:
+        for _ in range(rounds):
+            # One exchange per round: repartition the neighbor-label rows
+            # by vid ONCE; HashPartitioning(vid) satisfies the clustering
+            # of BOTH downstream aggregates (groupBy(vid,label) needs only
+            # same-key co-location, groupBy(vid) matches exactly), so the
+            # count and the argmax run exchange-free on top of it.
+            nbr = (
+                e.join(labels, e.s == labels.vid)
+                .select(F.col("d").alias("vid"), "label")
+                .repartition(npart, "vid")
+            )
+            counts = nbr.groupBy("vid", "label").agg(
+                F.count(F.lit(1)).alias("__cnt")
+            )
+            labels = (
+                counts.groupBy("vid")
+                .agg(F.max(F.struct(F.col("__cnt"), (-F.col("label")).alias("__neg"))).alias("__best"))
+                .select("vid", (-F.col("__best.__neg")).alias("label"))
+                .localCheckpoint(eager=False)
+            )
+        # The intermediate rounds checkpoint lazily (one job computes the
+        # whole chain, truncating lineage as it goes); the FINAL
+        # checkpoint is eager so the result reads vertex-sized blocks and
+        # the edge persist can be released HERE instead of leaking into
+        # the session (ADVICE r09).  The caller's action would have done
+        # this exact work anyway — the cost moves, it doesn't grow.
+        out = labels.select(
+            F.col("vid").cast("long"), F.col("label").cast("long")
+        ).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+    return out
 
 
 def bfs_hops(
@@ -476,20 +517,29 @@ def bfs_hops(
         .localCheckpoint(eager=False)
     )
     frontier = dist.select("vid")
-    for i in range(1, rounds + 1):
-        reached = (
-            e.join(frontier.withColumnRenamed("vid", "s"), "s")
-            .select(F.col("d").alias("vid"))
-            .distinct()
-        )
-        fresh = (
-            reached.join(dist.select("vid"), "vid", "left_anti")
-            .withColumn("hop", F.lit(i))
-            .localCheckpoint(eager=False)
-        )
-        dist = dist.unionByName(fresh).localCheckpoint(eager=False)
-        frontier = fresh.select("vid")
-    return dist.select(F.col("vid").cast("long"), F.col("hop").cast("int"))
+    try:
+        for i in range(1, rounds + 1):
+            reached = (
+                e.join(frontier.withColumnRenamed("vid", "s"), "s")
+                .select(F.col("d").alias("vid"))
+                .distinct()
+            )
+            fresh = (
+                reached.join(dist.select("vid"), "vid", "left_anti")
+                .withColumn("hop", F.lit(i))
+                .localCheckpoint(eager=False)
+            )
+            dist = dist.unionByName(fresh).localCheckpoint(eager=False)
+            frontier = fresh.select("vid")
+        # Eager final checkpoint (vertex-sized) so the edge persist can
+        # be released here instead of leaking into the session — same
+        # contract as label_propagation (ADVICE r09).
+        out = dist.select(
+            F.col("vid").cast("long"), F.col("hop").cast("int")
+        ).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+    return out
 
 
 def local_clustering_coefficient(
@@ -530,7 +580,7 @@ def local_clustering_coefficient(
     )
     num = (F.col("n_tri") * F.lit(2_000_000)).cast("double")
     den = (F.col("deg") * (F.col("deg") - 1)).cast("double")
-    return (
+    out = (
         deg.where(F.col("deg") >= 2)
         .join(per_vertex, "vid", "left_outer")
         .na.fill({"n_tri": 0})
@@ -541,3 +591,4 @@ def local_clustering_coefficient(
             F.round(num / den).cast("long").alias("lcc_ppm"),
         )
     )
+    return _caller_owned_cache(out, e)

@@ -6446,43 +6446,50 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q142_ann_margin_pairs": q142_ann_margin_pairs,
 }
 
-# Driver-window rotation (round 9).  The round driver gates the FIRST
-# 50 entries of queries() against their oracles.  After r08, 47
-# entries' newest driver row is r06 (2 rounds old at the r09 gate):
-# q02..q09, q10/q10b, q11..q18, q20, q29, q31, q38, q39, q50..q72,
-# q132 — exactly the rotation debt VERDICT r08 scheduled for this
-# window; all 47 go in front, catalog order.  The remaining 3 slots
-# are get-ahead picks from the 48-entry r07-gated set (its first
-# three in catalog order: q21/q22/q23), shrinking the r10-stale set
-# from 48 to 45 so the round-10 window fits with 5 spares.  Round-10
-# plan, written now per the rotation-treadmill rule: gate the
-# remaining 45 r07-stale entries — q24..q28, q30, q32..q37, q40..q45,
-# q47..q49, q73..q94 (incl. q78/q79), q141, q142 — leaving 5 spares
-# for output-changed re-gates or get-ahead picks from the r08 set.
-# Everything outside the window stays oracle-checked locally every
-# run by tests/test_queries_oracle.py, and tools/driver_sim.py flags
-# any entry whose newest driver row is >=2 rounds old.
+# Driver-window rotation (round 10).  The round driver gates the FIRST
+# 50 entries of queries() against their oracles.  After r09, exactly 45
+# entries' newest driver row is r07 (2 rounds old at the r10 gate):
+# q24..q28, q30, q32..q37, q40..q45, q47..q49, q73..q94 (incl.
+# q78/q79), q141, q142 — the rotation debt VERDICT r09 scheduled for
+# this window; all 45 go in front, catalog order.  The 5 spares:
+# q112 is re-gated because its code changed in r09 (clustering
+# coefficient now shares the degree-oriented enumerator with
+# q68/q74; outputs are oracle-identical locally but the driver
+# should re-witness it), and four get-ahead picks from the 50-entry
+# r08-gated set (its first four in catalog order: q01, q19, q46,
+# q78b).  That shrinks the r11-stale set from 50 to exactly 45.
+# Round-11 plan, written now per the rotation-treadmill rule: gate
+# the remaining 45 r08-gated entries — q95..q111, q113..q131 (incl.
+# q125/q125b), q133..q140 — which again fills the window with 5
+# spares for output-changed re-gates or get-ahead picks from the
+# r09/r10 sets.  Everything outside the window stays oracle-checked
+# locally every run by tests/test_queries_oracle.py, and
+# tools/driver_sim.py flags any entry whose newest driver row is
+# >=2 rounds old.
 _WINDOW_PRIORITY = [
-    # the 47 r06-stale entries, catalog order
-    "q02_sort_lineitem", "q03_wordcount", "q04_ngrams",
-    "q05_inverted_index", "q06_sessionize", "q07_pagerank",
-    "q08_link_extract", "q09_kmeans_assign", "q10_global_agg",
-    "q10b_length_histogram", "q11_duplicate_keys", "q12_merge_sorted",
-    "q13_grep", "q14_pricing_summary", "q15_revenue_by_nation",
-    "q16_top_customers", "q17_exact_dedup", "q18_jaccard_pairs",
-    "q20_ann_topk", "q29_kmeans_full", "q31_ivf_ann",
-    "q38_cosine_neardup", "q39_lsh_neardup", "q50_mixture_sample",
-    "q51_chunk_documents", "q52_small_qty_revenue",
-    "q53_order_count_distribution", "q54_yearly_cohorts",
-    "q55_returnflag_pivot", "q56_rolling_hour", "q57_cube_revenue",
-    "q58_repetition_stats", "q59_decontaminate", "q60_encode_tokens",
-    "q61_train_split", "q62_pii_scrub", "q63_tfidf_topk",
-    "q64_unigram_surprisal", "q65_dedup_spans", "q66_blocklist_filter",
-    "q67_gap_fill", "q68_triangle_counts", "q69_funnel",
-    "q70_cooccurrence_pmi", "q71_retention", "q72_cheapest_supplier",
-    "q132_hard_negatives",
-    # get-ahead slots from the r07 set (first three, catalog order)
-    "q21_text_quality", "q22_lang_id", "q23_fingerprint",
+    # the 45 r07-stale entries, catalog order
+    "q24_window_funcs", "q25_customers_without_orders",
+    "q26_distinct_agg", "q27_parts_shipped_by_brand",
+    "q28_json_extract", "q30_simhash", "q32_above_avg_parts",
+    "q33_late_ship_orders", "q34_region_share", "q35_rollup_revenue",
+    "q36_asof_join", "q37_range_join", "q40_nation_market",
+    "q41_token_counts", "q42_value_quantiles", "q43_corpus_pipeline",
+    "q44_salted_count", "q45_time_rollup", "q47_gap_sessions",
+    "q48_shipping_priority", "q49_stratified_sample",
+    "q73_pack_sequences", "q74_triangle_total", "q75_surprisal_mix",
+    "q76_shuffle_shards", "q77_full_curation", "q78_media_decode",
+    "q79_semdedup", "q80_bigram_perplexity", "q81_sq8_ann",
+    "q82_bloom_decontam", "q83_token_budget", "q84_pq_ann",
+    "q85_pq_rerank", "q86_kcore", "q87_length_batches",
+    "q88_cdc_snapshot", "q89_scd2_history", "q90_hll_distinct",
+    "q91_cms_heavy_hitters", "q92_zscore_outliers",
+    "q93_label_propagation", "q94_weighted_sample",
+    "q141_margin_pairs", "q142_ann_margin_pairs",
+    # spare 1: code-changed re-gate (shared degree-oriented enumerator)
+    "q112_clustering_coeff",
+    # spares 2-5: get-ahead picks from the r08 set (first four, catalog order)
+    "q01_sort_events", "q19_minhash_lsh", "q46_dedup_clusters",
+    "q78b_audio_decode",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
