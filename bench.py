@@ -220,6 +220,7 @@ BENCH_QUERIES = {
     "q140_substring_scrub": q.q140_substring_scrub,
     "q141_margin_pairs": q.q141_margin_pairs,
     "q142_ann_margin_pairs": q.q142_ann_margin_pairs,
+    "q143_approx_triangles": q.q143_approx_triangles,
 }
 
 
@@ -304,6 +305,22 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
+    if only:
+        # Partial captures are adjudication evidence (median-of-5 noise
+        # re-measures), and BENCH_FULL_partial.json is overwritten by
+        # every subsequent subset run — append each capture to a dated
+        # JSONL ledger too, so the evidence trail survives the next
+        # re-measure instead of living only in prose (VERDICT r09 #7).
+        ledger = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_PARTIALS.jsonl",
+        )
+        with open(ledger, "a") as f:
+            f.write(json.dumps(
+                {"ts": time.strftime("%Y-%m-%dT%H:%M:%S%z"), **full},
+                sort_keys=True,
+            ))
+            f.write("\n")
     print(json.dumps(compact))
 
 

@@ -460,3 +460,54 @@ def test_graph_ops_cache_ownership(spark, monkeypatch):
         assert not any(cached(h) for h in out.cached_deps)
         # releasing the cache must not change the answer (lineage intact)
         assert sorted(map(tuple, out.collect())) == sorted(map(tuple, first))
+
+
+def test_triangle_total_doulion(spark):
+    """DOULION sparsified triangle count: p=1 degenerates to the exact
+    count; p<1 counts triangles on the md5-deterministic subgraph and
+    scales by the integer (1/p)^3 — replicated here brute-force in
+    Python on the same hash family, so the test pins BOTH the sampling
+    discipline and the estimator arithmetic."""
+    import hashlib
+    from itertools import combinations
+
+    from themis_tritonsort_spark.operators.components import (
+        triangle_total_doulion,
+        triangle_total_degree_oriented,
+    )
+
+    # K6 minus one edge: 16 triangles, enough edges that p=1/2 keeps a
+    # nontrivial strict subset.
+    verts = [1, 2, 3, 4, 5, 6]
+    all_edges = [e for e in combinations(verts, 2) if e != (5, 6)]
+    df = spark.createDataFrame(all_edges, ["src", "dst"])
+
+    exact = triangle_total_degree_oriented(df).collect()[0]["n_triangles"]
+    assert exact == 16
+
+    # p = 1: every edge kept, scale 1 -> the exact count
+    got = triangle_total_doulion(df, p_ppm=1_000_000).collect()[0]
+    assert got["n_triangles_est"] == exact
+
+    # p = 1/2: replay the hash-sampling in Python and brute-force the
+    # sampled subgraph's triangles; the operator must match count * 8.
+    def kept(a, b, p_ppm):
+        h = hashlib.md5(f"{a}:{b}".encode()).hexdigest()[:15]
+        return int(h, 16) % 1_000_000 < p_ppm
+
+    sampled = {e for e in all_edges if kept(*e, 500_000)}
+    assert 0 < len(sampled) < len(all_edges)  # a strict, nonempty subset
+    tris = sum(
+        1
+        for t in combinations(verts, 3)
+        if all(tuple(sorted(p)) in sampled for p in combinations(t, 2))
+    )
+    got = triangle_total_doulion(df, p_ppm=500_000).collect()[0]
+    assert got["n_triangles_est"] == tris * 8
+
+    # invalid p: zero, >1e6, or not a divisor of 1e6
+    import pytest as _pytest
+
+    for bad in (0, 1_000_001, 300_000):
+        with _pytest.raises(ValueError, match="p_ppm"):
+            triangle_total_doulion(df, p_ppm=bad)

@@ -270,6 +270,64 @@ def triangle_total_degree_oriented(
     return _caller_owned_cache(out, e)
 
 
+def triangle_total_doulion(
+    edges: DataFrame,
+    p_ppm: int = 250_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Approximate global triangle count by sparsified exact counting
+    (DOULION — Tsourakakis, Kang, Miller, Faloutsos, KDD 2009): keep
+    each canonical edge with probability ``p = p_ppm / 1e6``, count
+    triangles EXACTLY on the sampled subgraph via the shared
+    degree-oriented enumerator, and scale the count by ``1/p^3``.
+    Each triangle survives iff all three of its edges do
+    (probability p^3), so the estimator is unbiased; relative error
+    concentrates as O(1/(p^1.5 * sqrt(T))) for T true triangles, i.e.
+    tighter the more triangles the graph actually has.  Returns a
+    single row (n_triangles_est long).
+
+    This is the documented crawl-scale fallback for the exact triangle
+    family: on ONE giant connected component, exact counting's wedge
+    volume grows O(|E|^1.5) no matter how it is oriented — inherent to
+    the problem, not to the plan (see PLANS.md).  Sampling at p cuts
+    the edge set to p*|E| and the dominant wedge term by ~p^2 (expected
+    oriented fan-out shrinks by p, wedges per vertex by ~p^2), so
+    p = 1/4 buys a ~16x wedge reduction for a 64x variance scale —
+    the standard knob when a user needs "how many triangles, roughly"
+    on a web-crawl-sized graph rather than an exact census.
+
+    Determinism: the keep decision is a pure hash of the canonical
+    pair — the md5-derived 60-bit integer family every sampling
+    operator here uses (``conv(substr(md5(a:b),1,15),16,10) % 1e6 <
+    p_ppm``) — not an RNG, so the estimate is a reproducible function
+    of the graph, independent of partitioning, and the DuckDB oracle
+    replays it bit-for-bit.  ``p_ppm`` must divide 1e6 so the scale
+    factor (1e6/p_ppm)^3 is integer-exact (hash-stable output).
+
+    Cache ownership: same caller-owned ``cached_deps`` contract as the
+    exact triangle ops (see :func:`_caller_owned_cache`).
+    """
+    if not 0 < p_ppm <= 1_000_000 or 1_000_000 % p_ppm:
+        raise ValueError(
+            f"p_ppm must divide 1,000,000 and lie in (0, 1e6], got {p_ppm}"
+        )
+    inv = 1_000_000 // p_ppm
+    a = F.least(F.col(src), F.col(dst)).cast("string")
+    b = F.greatest(F.col(src), F.col(dst)).cast("string")
+    hv = F.conv(
+        F.substring(F.md5(F.concat_ws(":", a, b)), 1, 15), 16, 10
+    ).cast("long")
+    sampled = edges.where(hv % 1_000_000 < F.lit(p_ppm))
+    tris, e = _oriented_triangles(sampled, src, dst)
+    out = tris.agg(
+        (F.count(F.lit(1)) * F.lit(inv**3)).cast("long").alias(
+            "n_triangles_est"
+        )
+    )
+    return _caller_owned_cache(out, e)
+
+
 def kcore_vertices(
     edges: DataFrame,
     k: int,

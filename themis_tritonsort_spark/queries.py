@@ -6298,6 +6298,44 @@ FROM best WHERE b = 1
 _Q142_SQL = _q142_sql()
 
 
+# Q143 Approximate triangle count via DOULION edge sampling (p = 1/4):
+# the documented crawl-scale fallback when exact triangle counting's
+# inherent O(|E|^1.5) wedge volume is too expensive on one giant
+# component.  Deterministic md5-hash sampling (no RNG), so the
+# estimate is a pure function of the graph and the oracle replays the
+# exact same subgraph.  See operators/components.py:
+# triangle_total_doulion and PLANS.md's triangle-family note.
+def q143_approx_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import triangle_total_doulion
+
+    return triangle_total_doulion(_lineitem_edges(spark, sf_dir), p_ppm=250_000)
+
+
+_Q143_SQL = """
+WITH raw AS (
+  SELECT src, l_partkey AS dst FROM (
+    SELECT l_partkey,
+           lag(l_partkey) OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS src
+    FROM lineitem
+  ) WHERE src IS NOT NULL AND src <> l_partkey
+),
+edges AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw
+),
+sampled AS (
+  SELECT a, b FROM edges
+  WHERE (('0x' || substr(md5(CAST(a AS VARCHAR) || ':' ||
+                             CAST(b AS VARCHAR)), 1, 15))::BIGINT
+         % 1000000) < 250000
+)
+SELECT CAST(count(*) * 64 AS BIGINT) AS n_triangles_est
+FROM sampled e1
+JOIN (SELECT a AS b, b AS c FROM sampled) e2 USING (b)
+JOIN sampled e3 ON e3.a = e1.a AND e3.b = e2.c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -6444,6 +6482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q140_substring_scrub": q140_substring_scrub,
     "q141_margin_pairs": q141_margin_pairs,
     "q142_ann_margin_pairs": q142_ann_margin_pairs,
+    "q143_approx_triangles": q143_approx_triangles,
 }
 
 # Driver-window rotation (round 10).  The round driver gates the FIRST
@@ -6455,14 +6494,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # q112 is re-gated because its code changed in r09 (clustering
 # coefficient now shares the degree-oriented enumerator with
 # q68/q74; outputs are oracle-identical locally but the driver
-# should re-witness it), and four get-ahead picks from the 50-entry
-# r08-gated set (its first four in catalog order: q01, q19, q46,
-# q78b).  That shrinks the r11-stale set from 50 to exactly 45.
-# Round-11 plan, written now per the rotation-treadmill rule: gate
-# the remaining 45 r08-gated entries — q95..q111, q113..q131 (incl.
-# q125/q125b), q133..q140 — which again fills the window with 5
-# spares for output-changed re-gates or get-ahead picks from the
-# r09/r10 sets.  Everything outside the window stays oracle-checked
+# should re-witness it), q143 is NEW this round (DOULION approximate
+# triangles — a first gate, not a rotation), and three get-ahead
+# picks from the 50-entry r08-gated set (its first three in catalog
+# order: q01, q19, q46).  That shrinks the r11-stale set from 50 to
+# 47.  Round-11 plan, written now per the rotation-treadmill rule:
+# gate the remaining 47 r08-gated entries — q78b, q95..q111,
+# q113..q131 (incl. q125/q125b), q133..q140 — which fills the window
+# with 3 spares for output-changed re-gates or get-ahead picks from
+# the r09/r10 sets.  Everything outside the window stays oracle-checked
 # locally every run by tests/test_queries_oracle.py, and
 # tools/driver_sim.py flags any entry whose newest driver row is
 # >=2 rounds old.
@@ -6487,9 +6527,10 @@ _WINDOW_PRIORITY = [
     "q141_margin_pairs", "q142_ann_margin_pairs",
     # spare 1: code-changed re-gate (shared degree-oriented enumerator)
     "q112_clustering_coeff",
-    # spares 2-5: get-ahead picks from the r08 set (first four, catalog order)
+    # spare 2: first gate of the NEW r10 operator
+    "q143_approx_triangles",
+    # spares 3-5: get-ahead picks from the r08 set (first three, catalog order)
     "q01_sort_events", "q19_minhash_lsh", "q46_dedup_clusters",
-    "q78b_audio_decode",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
@@ -6642,4 +6683,5 @@ ORACLES: dict[str, str] = {
     "q140_substring_scrub": _Q140_SQL,
     "q141_margin_pairs": _Q141_SQL,
     "q142_ann_margin_pairs": _Q142_SQL,
+    "q143_approx_triangles": _Q143_SQL,
 }
