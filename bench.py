@@ -221,6 +221,7 @@ BENCH_QUERIES = {
     "q141_margin_pairs": q.q141_margin_pairs,
     "q142_ann_margin_pairs": q.q142_ann_margin_pairs,
     "q143_approx_triangles": q.q143_approx_triangles,
+    "q144_chain_components": q.q144_chain_components,
 }
 
 

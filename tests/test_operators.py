@@ -511,3 +511,52 @@ def test_triangle_total_doulion(spark):
     for bad in (0, 1_000_001, 300_000):
         with _pytest.raises(ValueError, match="p_ppm"):
             triangle_total_doulion(df, p_ppm=bad)
+
+
+def test_connected_components_star_matches_min_label(spark):
+    """The alternating large-star/small-star variant must produce the
+    identical (vid, component) relation as min-label propagation on an
+    arbitrary graph — same minimum-id component contract."""
+    from themis_tritonsort_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # seeded pseudo-random graph: 120 vertices, ~150 hash-derived edges
+    # (several components of mixed shape), plus a self-loop and dups
+    edges = [((i * 7919) % 120, (i * 104729 + 13) % 120) for i in range(150)]
+    edges += [(5, 5), (17, 3), (3, 17)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    want = {
+        (r["vid"], r["component"])
+        for r in connected_components(df, max_iterations=50).collect()
+    }
+    got = {
+        (r["vid"], r["component"])
+        for r in connected_components_star(df).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_star_handles_long_chains(spark):
+    """The adversarial shape the variant exists for: a 300-hop chain.
+    Min-label needs diameter rounds (raises at max_iterations=10);
+    star contraction converges in O(log n) alternations and labels
+    every vertex with the chain's minimum."""
+    import pytest as _pytest
+
+    from themis_tritonsort_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(chain, ["src", "dst"])
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iterations=10).collect()
+
+    out = connected_components_star(df, max_iterations=12).collect()
+    assert len(out) == 301
+    assert all(r["component"] == 0 for r in out)
+    assert {r["vid"] for r in out} == set(range(301))

@@ -180,11 +180,12 @@ def test_driver_window_composition():
     )
     assert stale_r07 <= windowed_prefixes
     # spare 1: q112 re-gated because its code changed in r09 (shared
-    # degree-oriented enumerator); spare 2: q143's FIRST gate (new
-    # DOULION operator this round); spares 3-5: get-ahead picks from
-    # the 50-entry r08 set (first three in catalog order), shrinking
-    # the r11-stale set from 50 to 47
-    assert {"q112", "q143", "q01", "q19", "q46"} <= windowed_prefixes
+    # degree-oriented enumerator); spares 2-3: FIRST gates of the new
+    # r10 operators (q143 DOULION, q144 star-contraction chain
+    # components); spares 4-5: get-ahead picks from the 50-entry r08
+    # set (first two in catalog order), shrinking the r11-stale set
+    # from 50 to 48
+    assert {"q112", "q143", "q144", "q01", "q19"} <= windowed_prefixes
 
 
 def test_bench_set_covers_the_catalog():

@@ -6336,6 +6336,41 @@ JOIN sampled e3 ON e3.a = e1.a AND e3.b = e2.c
 """
 
 
+# Q144 Connected components over per-user event CHAINS — the
+# adversarial long-path shape (one user's event history is a single
+# path, up to hundreds of hops) that min-label propagation cannot
+# finish in bounded rounds (O(diameter)); resolved by the alternating
+# large-star/small-star contraction (O(log n) alternations).  See
+# operators/components.py: connected_components_star.  The oracle is
+# exact because each chain's component is its user's minimum event id.
+def q144_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.components import connected_components_star
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chain = ev.select(
+        "event_id", F.lag("event_id").over(w).alias("prev")
+    )
+    edges = chain.where(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("src"), F.col("event_id").alias("dst")
+    )
+    return connected_components_star(edges)
+
+
+_Q144_SQL = """
+WITH c AS (
+  SELECT event_id,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         min(event_id) OVER (PARTITION BY user_id) AS comp
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS vid, CAST(comp AS BIGINT) AS component
+FROM c WHERE n >= 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -6483,6 +6518,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q141_margin_pairs": q141_margin_pairs,
     "q142_ann_margin_pairs": q142_ann_margin_pairs,
     "q143_approx_triangles": q143_approx_triangles,
+    "q144_chain_components": q144_chain_components,
 }
 
 # Driver-window rotation (round 10).  The round driver gates the FIRST
@@ -6494,15 +6530,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # q112 is re-gated because its code changed in r09 (clustering
 # coefficient now shares the degree-oriented enumerator with
 # q68/q74; outputs are oracle-identical locally but the driver
-# should re-witness it), q143 is NEW this round (DOULION approximate
-# triangles — a first gate, not a rotation), and three get-ahead
-# picks from the 50-entry r08-gated set (its first three in catalog
-# order: q01, q19, q46).  That shrinks the r11-stale set from 50 to
-# 47.  Round-11 plan, written now per the rotation-treadmill rule:
-# gate the remaining 47 r08-gated entries — q78b, q95..q111,
-# q113..q131 (incl. q125/q125b), q133..q140 — which fills the window
-# with 3 spares for output-changed re-gates or get-ahead picks from
-# the r09/r10 sets.  Everything outside the window stays oracle-checked
+# should re-witness it), q143 and q144 are NEW this round (DOULION
+# approximate triangles; star-contraction chain components — first
+# gates, not rotations), and two get-ahead picks from the 50-entry
+# r08-gated set (its first two in catalog order: q01, q19).  That
+# shrinks the r11-stale set from 50 to 48.  Round-11 plan, written
+# now per the rotation-treadmill rule: gate the remaining 48
+# r08-gated entries — q46, q78b, q95..q111, q113..q131 (incl.
+# q125/q125b), q133..q140 — which fills the window with 2 spares for
+# output-changed re-gates or get-ahead picks from the r09/r10 sets.
+# Everything outside the window stays oracle-checked
 # locally every run by tests/test_queries_oracle.py, and
 # tools/driver_sim.py flags any entry whose newest driver row is
 # >=2 rounds old.
@@ -6527,10 +6564,10 @@ _WINDOW_PRIORITY = [
     "q141_margin_pairs", "q142_ann_margin_pairs",
     # spare 1: code-changed re-gate (shared degree-oriented enumerator)
     "q112_clustering_coeff",
-    # spare 2: first gate of the NEW r10 operator
-    "q143_approx_triangles",
-    # spares 3-5: get-ahead picks from the r08 set (first three, catalog order)
-    "q01_sort_events", "q19_minhash_lsh", "q46_dedup_clusters",
+    # spares 2-3: first gates of the NEW r10 operators
+    "q143_approx_triangles", "q144_chain_components",
+    # spares 4-5: get-ahead picks from the r08 set (first two, catalog order)
+    "q01_sort_events", "q19_minhash_lsh",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
@@ -6684,4 +6721,5 @@ ORACLES: dict[str, str] = {
     "q141_margin_pairs": _Q141_SQL,
     "q142_ann_margin_pairs": _Q142_SQL,
     "q143_approx_triangles": _Q143_SQL,
+    "q144_chain_components": _Q144_SQL,
 }
