@@ -529,22 +529,28 @@ def test_q85_rerank_barrier_holds_in_both_modes(spark):
 
 
 def test_triangle_family_never_broadcasts_data_sized_tables(spark):
-    """The degree-attach and closing joins of the shared triangle
-    enumerator must stay off broadcast: the vertex and edge tables
-    scale with the data, and at 64x replicas the broadcast variants
-    OOMed an 8 GB driver (SCALE_PROBE round-9 addendum 3).  The static
-    plan must show the hinted shapes — ShuffledHashJoin for the degree
-    attach, SortMergeJoin LeftSemi for the closing probe — and no
-    BroadcastHashJoin anywhere in the enumerator."""
+    """The degree-attach, wedge self-join, and closing joins of the
+    shared triangle enumerator must stay off broadcast: the vertex and
+    edge tables scale with the data, and at 64x replicas the broadcast
+    variants OOMed an 8 GB driver (SCALE_PROBE round-9 addendum 3).
+    The static plan must show the hinted shapes — ShuffledHashJoin for
+    the degree attach, SortMergeJoin for the wedge self-join and the
+    closing LeftSemi probe — and no BroadcastHashJoin anywhere in the
+    enumerator.
+
+    The edge fixture comes from PARQUET (SF_SMOKE), not a tiny
+    LocalRelation: with real table stats Catalyst chose a broadcast
+    for the (unhinted, pre-r10) wedge self-join that the LocalRelation
+    fixture never exhibited — the fixture must reproduce the hazard
+    the test exists to pin."""
     from themis_tritonsort_spark.operators.components import (
         local_clustering_coefficient,
         triangle_counts,
         triangle_total_degree_oriented,
     )
+    from themis_tritonsort_spark.queries import _lineitem_edges
 
-    edges = spark.createDataFrame(
-        [(1, 2), (1, 3), (2, 3), (3, 4)], ["src", "dst"]
-    )
+    edges = _lineitem_edges(spark, SF_SMOKE)
     for op in (
         triangle_total_degree_oriented,
         triangle_counts,

@@ -346,9 +346,16 @@ def _oriented_triangles(
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
     )
     o1 = oriented.select("u", F.col("w").alias("w1"))
-    o2 = oriented.select("u", F.col("w").alias("w2"))
+    o2 = oriented.select("u", F.col("w").alias("w2")).hint("merge")
     # each unordered out-pair once; w1 < w2 makes the pair id-canonical,
-    # so it probes the canonical edge set directly
+    # so it probes the canonical edge set directly.  The self-join is
+    # hinted sort-merge: BOTH sides are the full oriented edge set
+    # (data-sized), and with real table stats Catalyst otherwise
+    # broadcasts one of them — caught in r10 by the sf0.001 plan audit
+    # (the r09 tiny-fixture plan test missed it; the broadcast-OOM
+    # failure class is the measured one in
+    # triangle_total_degree_oriented's docstring).  Sort-merge spills;
+    # a data-sized hashed relation does not.
     pairs = o1.join(o2, "u").where(F.col("w1") < F.col("w2"))
     closing = e.select(F.col("a").alias("w1"), F.col("b").alias("w2")).hint(
         "merge"
