@@ -6534,11 +6534,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # approximate triangles; star-contraction chain components — first
 # gates, not rotations), and two get-ahead picks from the 50-entry
 # r08-gated set (its first two in catalog order: q01, q19).  That
-# shrinks the r11-stale set from 50 to 48.  Round-11 plan, written
-# now per the rotation-treadmill rule: gate the remaining 48
-# r08-gated entries — q46, q78b, q95..q111, q113..q131 (incl.
-# q125/q125b), q133..q140 — which fills the window with 2 spares for
-# output-changed re-gates or get-ahead picks from the r09/r10 sets.
+# shrinks the r11-stale set from 50 to 47 (q112's re-gate this round
+# removes it from the debt too).  Round-11 plan, written now per the
+# rotation-treadmill rule: gate the remaining 47 r08-gated entries —
+# q46, q78b, q95..q111, q113..q131 (incl. q125/q125b, excl. the
+# re-gated q112), q133..q140 — which fills the window with 3 spares
+# for output-changed re-gates or get-ahead picks from the r09/r10
+# sets (driver_sim's staleness report this session counts exactly 47).
 # Everything outside the window stays oracle-checked
 # locally every run by tests/test_queries_oracle.py, and
 # tools/driver_sim.py flags any entry whose newest driver row is
