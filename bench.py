@@ -222,6 +222,7 @@ BENCH_QUERIES = {
     "q142_ann_margin_pairs": q.q142_ann_margin_pairs,
     "q143_approx_triangles": q.q143_approx_triangles,
     "q144_chain_components": q.q144_chain_components,
+    "q145_budget_stream_replay": q.q145_budget_stream_replay,
 }
 
 
@@ -233,6 +234,22 @@ BENCH_QUERIES = {
 HEADLINE_SF_DIR = os.environ.get(
     "SPARK_GRAFT_HEADLINE_SF", "/root/testdata/sf0.1"
 )
+
+# A sample whose load1 exceeds this multiple of the cpu count provably
+# overlapped a co-tenant: local[32] alone holds load1 around 1.0x cpus
+# (BASELINE.md's contention forensics, r10).  Shared by bench.py's
+# capture warning and tools/bench_diff.py's flag annotation.
+CONTENDED_X = 1.25
+
+
+def ledger_eligible(only: str, sf_dir: str) -> bool:
+    """Only headline-SF partial captures enter BENCH_PARTIALS.jsonl
+    (ADVICE r10): the ledger is what adjudications anchor on, and a
+    smoke-scale (sf0.001) partial mixed in would let a calm-window
+    re-measure silently cite smoke timings as headline evidence."""
+    return bool(only) and os.path.realpath(sf_dir) == os.path.realpath(
+        HEADLINE_SF_DIR
+    )
 
 
 def main() -> None:
@@ -278,6 +295,7 @@ def main() -> None:
             raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY: unknown {unknown}")
         bench_queries = {n: BENCH_QUERIES[n] for n in names}
     runs: dict[str, list[float]] = {name: [] for name in bench_queries}
+    loads: dict[str, list[float]] = {name: [] for name in bench_queries}
     for _ in range(samples):
         # Queries that persist intermediates (q63, q77) would otherwise
         # hit their own cache from the previous pass and time the cache
@@ -287,6 +305,13 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.time() - t0, 3))
+            # Host contention evidence, per sample (VERDICT r10 #3):
+            # load1 right after the sample reflects the preceding
+            # minute incl. any co-tenant.  local[32] tops out around
+            # the cpu count by itself, so load1 well above cpus is
+            # machine-visible proof the sample ran contended — the
+            # r10 adjudication forensics, automated.
+            loads[name].append(round(os.getloadavg()[0], 2))
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -295,7 +320,7 @@ def main() -> None:
 
     timings = {name: round(median(ts), 3) for name, ts in runs.items()}
     full, compact, suffix, warnings = emit_payloads(
-        timings, runs, samples, sf_dir, only
+        timings, runs, samples, sf_dir, only, loads=loads
     )
     for w in warnings:
         print(w, file=sys.stderr)
@@ -306,12 +331,15 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
-    if only:
+    if ledger_eligible(only, sf_dir):
         # Partial captures are adjudication evidence (median-of-5 noise
         # re-measures), and BENCH_FULL_partial.json is overwritten by
         # every subsequent subset run — append each capture to a dated
         # JSONL ledger too, so the evidence trail survives the next
         # re-measure instead of living only in prose (VERDICT r09 #7).
+        # Headline-SF runs only (ADVICE r10): smoke-scale partials in
+        # the same ledger would let adjudications silently anchor on
+        # sf0.001 timings.
         ledger = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "BENCH_PARTIALS.jsonl",
@@ -331,6 +359,7 @@ def emit_payloads(
     samples: int,
     sf_dir: str,
     only: str,
+    loads: dict[str, list[float]] | None = None,
 ) -> tuple[dict, dict, str, list[str]]:
     """Build the BENCH_FULL payload, the compact stdout line, the
     BENCH_FULL filename suffix, and any warning lines.  Pure — unit
@@ -372,6 +401,18 @@ def emit_payloads(
         "spread": {name: [min(ts), max(ts)] for name, ts in runs.items()},
         "sf": sf_dir,
     }
+    if loads is not None:
+        # Per-sample load1, parallel to spread: the contention evidence
+        # that r10's adjudications reconstructed by hand.  CONTENDED_X
+        # (load1 > 1.25x cpus; local[32] alone saturates ~1.0x) marks
+        # samples that provably overlapped a co-tenant; bench_diff
+        # annotates its flags from this field.
+        cpus = os.cpu_count() or 1
+        full["load"] = loads
+        full["cpus"] = cpus
+        full["contended_samples"] = sum(
+            1 for ts in loads.values() for x in ts if x > CONTENDED_X * cpus
+        )
     headline = os.path.realpath(HEADLINE_SF_DIR)
     suffix = "" if os.path.realpath(sf_dir) == headline else (
         "_sf" + os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -393,6 +434,12 @@ def emit_payloads(
             f"WARNING: {'; '.join(reasons)}; "
             f"writing BENCH_FULL{suffix}.json — the bare BENCH_FULL.json "
             "is untouched"
+        )
+    if full.get("contended_samples"):
+        warnings.append(
+            f"WARNING: contended capture: {full['contended_samples']} "
+            f"query-sample(s) saw load1 > {CONTENDED_X}x cpus "
+            f"({full['cpus']} cpus) — see the 'load' field"
         )
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]

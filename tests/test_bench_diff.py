@@ -185,3 +185,75 @@ def test_deliberate_adjudication_rebaselines(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "REGRESSION q01_a" in out
     assert rc == 1
+
+
+def test_emit_payloads_records_load_and_flags_contention():
+    """VERDICT r10 #3: per-sample load1 goes into BENCH_FULL.json so
+    contention is machine-visible; samples over CONTENDED_X x cpus are
+    counted and warned about.  Calm loads produce no warning."""
+    import os
+
+    import bench
+
+    timings = {"q01": 1.0}
+    runs = {"q01": [0.9, 1.0, 1.1]}
+    cpus = os.cpu_count() or 1
+
+    calm = {"q01": [0.5 * cpus, 0.8 * cpus, 1.0 * cpus]}
+    full, _, _, warnings = bench.emit_payloads(
+        timings, runs, 3, bench.HEADLINE_SF_DIR, "", loads=calm
+    )
+    assert full["load"] == calm and full["cpus"] == cpus
+    assert full["contended_samples"] == 0
+    assert warnings == []
+
+    hot = {"q01": [0.9 * cpus, 2.0 * cpus, 1.0 * cpus]}
+    full, _, _, warnings = bench.emit_payloads(
+        timings, runs, 3, bench.HEADLINE_SF_DIR, "", loads=hot
+    )
+    assert full["contended_samples"] == 1
+    assert any("contended capture" in w for w in warnings)
+
+    # captures without load evidence stay byte-compatible
+    full, _, _, warnings = bench.emit_payloads(
+        timings, runs, 3, bench.HEADLINE_SF_DIR, ""
+    )
+    assert "load" not in full and warnings == []
+
+
+def test_partials_ledger_headline_sf_only():
+    """ADVICE r10: smoke-scale partials must not enter the
+    BENCH_PARTIALS.jsonl ledger that adjudications anchor on."""
+    import bench
+
+    assert bench.ledger_eligible("q01", bench.HEADLINE_SF_DIR)
+    assert not bench.ledger_eligible("q01", "/root/testdata/sf0.001")
+    assert not bench.ledger_eligible("", bench.HEADLINE_SF_DIR)
+
+
+def test_bench_diff_annotates_flags_under_load(tmp_path, monkeypatch, capsys):
+    """A REGRESSION whose after-capture samples saw load1 above
+    CONTENDED_X x cpus is suffixed [UNDER LOAD: ...]; the annotation
+    does not clear the gate, and calm flags carry no suffix."""
+    import sys
+
+    before = {"metric": "x", "queries": {"q01_a": 2.0, "q02_b": 2.0}}
+    after = {
+        "metric": "x",
+        "queries": {"q01_a": 4.0, "q02_b": 4.0},
+        "cpus": 32,
+        "load": {"q01_a": [30.0, 61.5, 33.0], "q02_b": [30.0, 31.0, 33.0]},
+    }
+    pb, pa = tmp_path / "b.json", tmp_path / "a.json"
+    pb.write_text(json.dumps(before))
+    pa.write_text(json.dumps(after))
+    monkeypatch.setattr(
+        sys, "argv", ["bench_diff", str(pb), str(pa), "--adjudications", ""]
+    )
+    rc = bench_diff.main()
+    out = capsys.readouterr().out
+    line_q01 = next(ln for ln in out.splitlines() if "REGRESSION q01_a" in ln)
+    line_q02 = next(ln for ln in out.splitlines() if "REGRESSION q02_b" in ln)
+    assert "UNDER LOAD" in line_q01 and "1.92x cpus" in line_q01
+    assert "UNDER LOAD" not in line_q02
+    assert rc == 1

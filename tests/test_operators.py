@@ -560,3 +560,35 @@ def test_connected_components_star_handles_long_chains(spark):
     assert len(out) == 301
     assert all(r["component"] == 0 for r in out)
     assert {r["vid"] for r in out} == set(range(301))
+
+
+def test_connected_components_star_releases_checkpoint_blocks(spark):
+    """ADVICE r10: superseded alternations' localCheckpoint blocks are
+    released inside the loop, not left for GC + ContextCleaner — after
+    the call returns and the result is consumed, at most the final
+    round's block sets may linger, never ~2 per alternation."""
+    import gc
+
+    from themis_tritonsort_spark.operators.components import (
+        connected_components_star,
+    )
+
+    sc = spark.sparkContext
+
+    def n_stored() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    # settle any leftovers from earlier tests in the shared session
+    gc.collect()
+    base = n_stored()
+    # a 64-hop chain forces several alternations (the shape that would
+    # otherwise accumulate 2 block sets per round)
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src long, dst long"
+    )
+    out = connected_components_star(df, max_iterations=12)
+    assert out.count() == 65
+    # everything superseded was released in-loop; only the fixed-point
+    # round's sets (large-star mid + final e, <= 2) may remain until
+    # their Python handles die
+    assert n_stored() - base <= 2

@@ -189,3 +189,88 @@ def test_staged_curation_equals_monolithic_q77(spark, pipe_root):
         tuple(r) for r in q.q77_full_curation(spark, SF_SMOKE).collect()
     )
     assert staged == mono and len(staged) > 0
+
+
+def test_key_range_recovery_recomputes_only_lost_ranges(spark, pipe_root):
+    """The reference's failure-recovery lifecycle
+    (cluster_coordinator.py:97-144 + RecordFilter.cc:23-35): after a
+    ranged stage loses some key ranges, recovery recomputes ONLY those
+    ranges — the range predicate reaches the input parquet scan
+    (PushedFilters), surviving ranges' files are untouched on disk,
+    and the patched checkpoint equals a clean run byte-for-value."""
+    from themis_tritonsort_spark.plans.pipeline import (
+        Stage,
+        lost_range_predicate,
+        recover_lost_ranges,
+        run_ranged_stage,
+    )
+
+    src = os.path.join(pipe_root, "input")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") * 3).alias("value")
+    ).write.parquet(src)
+
+    def fn(s, _inp):
+        return s.read.parquet(src).select(
+            "id", (F.col("value") * 2).alias("doubled")
+        )
+
+    stage = Stage("doubles", fn)
+    boundaries = [250, 500, 750]
+    path = run_ranged_stage(spark, stage, {}, pipe_root, "id", boundaries)
+    expected = sorted(
+        (r["id"], r["doubled"]) for r in spark.read.parquet(path).collect()
+    )
+    assert len(expected) == 1000
+
+    # the recovery predicate pushes down to the INPUT scan: the
+    # recompute reads a lost-fraction of the corpus, not all of it
+    pred = lost_range_predicate("id", boundaries, [2])
+    plan = (
+        fn(spark, {})
+        .where(pred)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(id,500)" in plan and "LessThan(id,750)" in plan
+
+    # lose range 2 ([500, 750)) — a missing partition directory, the
+    # observable unit of loss
+    shutil.rmtree(os.path.join(path, "__range=2"))
+    surviving = sorted(
+        (r["id"], r["doubled"]) for r in spark.read.parquet(path).collect()
+    )
+    assert len(surviving) == 750
+
+    # survivors' files must not be rewritten by the recovery
+    survivor_dir = os.path.join(path, "__range=1")
+    before = {
+        f: os.stat(os.path.join(survivor_dir, f)).st_mtime_ns
+        for f in os.listdir(survivor_dir)
+        if f.endswith(".parquet")
+    }
+
+    recover_lost_ranges(
+        spark, stage, {}, pipe_root, "id", boundaries, lost=[2]
+    )
+    after = {
+        f: os.stat(os.path.join(survivor_dir, f)).st_mtime_ns
+        for f in os.listdir(survivor_dir)
+        if f.endswith(".parquet")
+    }
+    assert after == before
+    recovered = sorted(
+        (r["id"], r["doubled"]) for r in spark.read.parquet(path).collect()
+    )
+    assert recovered == expected
+
+
+def test_lost_range_predicate_validates(spark):
+    from themis_tritonsort_spark.plans.pipeline import lost_range_predicate
+
+    with pytest.raises(ValueError):
+        lost_range_predicate("id", [10, 20], [])
+    with pytest.raises(ValueError):
+        lost_range_predicate("id", [10, 20], [3])

@@ -150,9 +150,9 @@ def test_pagerank_two_iterations_via_job_chain(spark):
 
 def test_driver_window_composition():
     """The round driver gates the FIRST 50 entries of queries() — pin
-    that the window is exactly the rotation plan (round-10: the full
-    45-entry r07-stale block, the q112 code-changed re-gate, and the
-    q01/q19/q46/q78b get-ahead slots from the r08 set), every
+    that the window is exactly the rotation plan (round-11: the full
+    47-entry r08-stale block, the NEW q145 streaming-replay first
+    gate, and the q02/q03 get-ahead slots from the r09 set), every
     windowed entry has an oracle, and nothing outside the window
     lacks local oracle coverage."""
     from themis_tritonsort_spark.queries import (
@@ -166,26 +166,22 @@ def test_driver_window_composition():
     missing = [n for n in _WINDOW_PRIORITY if n not in ORACLES]
     assert missing == []
     windowed_prefixes = {n.split("_")[0] for n in _WINDOW_PRIORITY}
-    # the 45 entries whose newest driver row is r07 (2 rounds old at
-    # the r10 gate) all rotate in: q24..q28, q30, q32..q37, q40..q45,
-    # q47..q49, q73..q94, q141, q142
-    stale_r07 = (
-        {f"q{i}" for i in range(24, 29)}
-        | {"q30"}
-        | {f"q{i}" for i in range(32, 38)}
-        | {f"q{i}" for i in range(40, 46)}
-        | {"q47", "q48", "q49"}
-        | {f"q{i}" for i in range(73, 95)}
-        | {"q141", "q142"}
+    # the 47 entries whose newest driver row is r08 (3 rounds old at
+    # the r11 gate) all rotate in: q46, q78b, q95..q111, q113..q131
+    # (incl. q125/q125b, excl. the r10-re-gated q112), q133..q140
+    stale_r08 = (
+        {"q46", "q78b", "q125b"}
+        | {f"q{i}" for i in range(95, 112)}
+        | {f"q{i}" for i in range(113, 132)}
+        | {f"q{i}" for i in range(133, 141)}
     )
-    assert stale_r07 <= windowed_prefixes
-    # spare 1: q112 re-gated because its code changed in r09 (shared
-    # degree-oriented enumerator); spares 2-3: FIRST gates of the new
-    # r10 operators (q143 DOULION, q144 star-contraction chain
-    # components); spares 4-5: get-ahead picks from the 50-entry r08
-    # set (first two in catalog order), shrinking the r11-stale set
-    # from 50 to 48
-    assert {"q112", "q143", "q144", "q01", "q19"} <= windowed_prefixes
+    assert stale_r08 <= windowed_prefixes
+    # spare 1: first gate of the NEW r11 streaming-replay query
+    # (q145 token_budget_stream replayed over id-ordered micro-batch
+    # files so a streaming path carries a driver CORRECTNESS row);
+    # spares 2-3: get-ahead picks from the 50-entry r09 set (first
+    # two in catalog order), shrinking the r12-stale set from 50 to 48
+    assert {"q145", "q02", "q03"} <= windowed_prefixes
 
 
 def test_bench_set_covers_the_catalog():

@@ -1013,3 +1013,29 @@ def test_media_decode_streams(spark, stream_dir):
             for r in spark.sql(f"SELECT * FROM stream_{name}").collect()
         }
         assert streamed == batch and len(streamed) > 0, name
+
+
+def test_token_budget_replay_carries_state_across_batches(spark):
+    """The q145 harness: a static corpus split into id-range files and
+    replayed one file per trigger must admit exactly the per-group
+    running-sum prefix over GLOBAL id order — i.e. the budget consumed
+    in micro-batch k must carry into micro-batch k+1 (admissions in a
+    later batch resume from the earlier batch's consumed total, they
+    do not restart at zero)."""
+    from themis_tritonsort_spark.streaming.budget import token_budget_replay
+
+    # 6 docs of 10 tokens each, one group; budget 35 -> docs 0..3
+    # admitted (cum 10,20,30,40 — the 4th overflows), docs 4,5 never.
+    # With n_batches=3 the cut lands mid-replay: batch boundaries are
+    # id ranges {0,1},{2,3},{4,5}, so admission 3 (id=3) happens in the
+    # SECOND batch and proves the state carry; a restarted budget
+    # would also admit ids 4 and 5.
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10), "g0") for i in range(6)],
+        "doc_id long, text string, source string",
+    )
+    out = token_budget_replay(
+        spark, docs, "doc_id", "text", "source", 35, n_batches=3
+    )
+    got = sorted((r["id"], r["cum_tokens"]) for r in out.collect())
+    assert got == [(0, 10), (1, 20), (2, 30), (3, 40)]

@@ -108,6 +108,20 @@ def connected_components(
     return labels.select("vid", F.col("label").alias("component"))
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's storage blocks immediately instead of
+    at Python-GC + ContextCleaner time.  PySpark exposes no handle to
+    the checkpointed RDD, so reach through the JVM plan (the
+    checkpointed Dataset's analyzed plan IS the LogicalRDD wrapping
+    it).  Best-effort by design: on any plan-shape surprise the
+    blocks simply revert to the old GC-time release — never fail the
+    query over cleanup."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",
@@ -147,7 +161,10 @@ def connected_components_star(
     2^-64 collision odds, and no per-round probe shuffle).  The fixed
     point is a forest of depth-1 stars rooted at component minima.
     Lineage is cut per alternation (localCheckpoint materialized by
-    the fingerprint job); the loop holds no persists, so nothing leaks
+    the fingerprint job), and each superseded round's checkpoint
+    blocks are released the moment the next round materializes
+    (:func:`_release_local_checkpoint`), so live storage stays ~2
+    edge-sized block sets regardless of round count; nothing leaks
     into the session (the same self-releasing discipline as the other
     iterative ops here).
     """
@@ -221,13 +238,24 @@ def connected_components_star(
         )
 
     for _ in range(max_iterations):
-        e_new = star(star(e, large=True), large=False)
+        mid = star(e, large=True)
+        e_new = star(mid, large=False)
         fp = fingerprint(e_new)
+        # e_new's checkpoint is materialized by the fingerprint job, so
+        # the large-star intermediate's blocks are dead NOW — release
+        # them instead of waiting for Python GC + the ContextCleaner
+        # (ADVICE r10: a high-alternation run otherwise accumulates
+        # ~2 edge-sized block sets per round for the call's duration).
+        _release_local_checkpoint(mid)
         if fp == prev and e_new.exceptAll(e).limit(1).count() == 0:
             # fingerprint match is necessary, the exceptAll probe makes
             # it sufficient — run once, at the (apparent) fixed point
+            _release_local_checkpoint(e)
             e = e_new
             break
+        # the probe (when it ran) was this round's last read of the
+        # superseded e; only e_new's blocks stay live
+        _release_local_checkpoint(e)
         e, prev = e_new, fp
     else:
         raise RuntimeError(
@@ -279,7 +307,14 @@ def _caller_owned_cache(result: DataFrame, *handles: DataFrame) -> DataFrame:
     the result, call ``h.unpersist()`` for each (or
     ``spark.catalog.clearCache()``) or repeated calls accumulate
     cached edge sets.  bench.py clears the cache between passes;
-    library callers own this themselves."""
+    library callers own this themselves.
+
+    CAVEAT (ADVICE r10): ``cached_deps`` is a plain Python attribute,
+    and every DataFrame transformation returns a NEW DataFrame — so
+    ``op(...).select(...)`` silently drops the handles.  Grab them
+    BEFORE wrapping (``r = op(...); deps = r.cached_deps;
+    r.select(...)``); if the original reference is gone,
+    ``spark.catalog.clearCache()`` is the recovery path."""
     result.cached_deps = list(handles)
     return result
 

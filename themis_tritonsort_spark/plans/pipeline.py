@@ -34,9 +34,11 @@ import json
 import os
 import shutil
 from dataclasses import dataclass, field
+from functools import reduce
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST = "_stage_manifest.json"
 
@@ -131,3 +133,116 @@ def run_pipeline(
         fingerprints[stage.name] = fp
         paths[stage.name] = out_dir
     return paths
+
+
+# ---------------------------------------------------------------------------
+# Key-range recovery: the reference's failure-recovery batch lifecycle.
+#
+# When a node dies mid-job, the reference does NOT re-run the whole job:
+# the coordinator re-submits it with a RecordFilter holding only the
+# key ranges the failed node owned (cluster_coordinator.py:97-144
+# builds the recovery batch; RecordFilter.cc:23-35 passes a record iff
+# its key falls inside any lost boundary), and the recovered output is
+# merged with the surviving partitions.  Spark lineage already covers
+# TASK retry (strictly stronger within one job); these two functions
+# are the analog for the cross-JOB lifecycle — a stage whose
+# materialized output lost some key ranges (disk loss, torn copy)
+# recomputes ONLY those ranges, with the range predicate pushed down to
+# the input scan, and patches them in place.
+# ---------------------------------------------------------------------------
+
+
+def _range_bucket(key_col: str, boundaries: list) -> Column:
+    """Partition id under a BoundaryList range function: the number of
+    boundaries <= key (bucket 0 = below the first boundary).  A pure
+    arithmetic expression, so it stays inside whole-stage codegen."""
+    return reduce(
+        lambda a, b: a + b,
+        [(F.col(key_col) >= F.lit(b)).cast("int") for b in boundaries],
+    ).alias("__range")
+
+
+def lost_range_predicate(
+    key_col: str, boundaries: list, lost: list[int]
+) -> Column:
+    """RecordFilter.pass as a Catalyst predicate: true iff the key
+    falls in any LOST bucket's [lo, hi) range.  Plain range
+    comparisons, so Catalyst pushes it through map-like stage logic
+    into the parquet scan (PushedFilters) — the recovery re-read
+    touches only the lost ranges' row groups, the Spark form of the
+    reference reading only filter-passing records."""
+    if not lost:
+        raise ValueError("no lost ranges given")
+    preds = []
+    for i in sorted(set(lost)):
+        if not 0 <= i <= len(boundaries):
+            raise ValueError(
+                f"bucket {i} out of range for {len(boundaries)} boundaries"
+            )
+        clauses = []
+        if i > 0:
+            clauses.append(F.col(key_col) >= F.lit(boundaries[i - 1]))
+        if i < len(boundaries):
+            clauses.append(F.col(key_col) < F.lit(boundaries[i]))
+        preds.append(
+            reduce(lambda a, b: a & b, clauses) if clauses else F.lit(True)
+        )
+    return reduce(lambda a, b: a | b, preds)
+
+
+def run_ranged_stage(
+    spark: SparkSession,
+    stage: Stage,
+    inputs: dict[str, DataFrame],
+    root: str,
+    key_col: str,
+    boundaries: list,
+) -> str:
+    """Materialize ``stage`` range-partitioned by ``key_col`` under the
+    boundary list: each key range is its own ``__range=<i>`` partition
+    directory, so a lost range is an observable unit (a missing
+    subdirectory) and a recovered range is an atomic patch.  Mirrors
+    the reference's physical layout, where each node's output partition
+    files correspond to its boundary-list ranges."""
+    out = stage.fn(spark, inputs).withColumn(
+        "__range", _range_bucket(key_col, boundaries)
+    )
+    path = os.path.join(root, stage.name)
+    out.write.mode("overwrite").partitionBy("__range").parquet(path)
+    return path
+
+
+def recover_lost_ranges(
+    spark: SparkSession,
+    stage: Stage,
+    inputs: dict[str, DataFrame],
+    root: str,
+    key_col: str,
+    boundaries: list,
+    lost: list[int],
+) -> str:
+    """Recompute ONLY the lost key ranges of a ranged stage and patch
+    them into the existing checkpoint, leaving surviving ranges'
+    files untouched (dynamic partition overwrite replaces exactly the
+    ``__range`` directories the recovery writes).  The range predicate
+    is applied to the recomputed output AND pushes down through
+    map-like stage logic to the input scan — the recovery job reads
+    and computes a lost-fraction of the original, not a full re-run.
+    Cf. cluster_coordinator.py:97-144 (recovery batch submits the same
+    job with a RecordFilter over the failed nodes' ranges) and
+    RecordFilter.cc:23-35 (the per-record range test)."""
+    pred = lost_range_predicate(key_col, boundaries, lost)
+    out = (
+        stage.fn(spark, inputs)
+        .where(pred)
+        .withColumn("__range", _range_bucket(key_col, boundaries))
+    )
+    path = os.path.join(root, stage.name)
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("__range").parquet(path)
+    finally:
+        spark.conf.set(mode_key, old)
+    return path

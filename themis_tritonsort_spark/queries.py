@@ -6371,6 +6371,47 @@ FROM c WHERE n >= 2
 """
 
 
+# Q145 Streaming admission control, driver-gated: replay the documents
+# corpus through streaming/budget.py: token_budget_stream as an
+# id-ordered sequence of micro-batch files (availableNow + memory
+# sink), so the streaming twin carries a full batch oracle instead of
+# only a stream==batch pinning test.  Arrival order is ascending
+# doc_id (contiguous id-range files, mtime-laddered, one per trigger),
+# so the admissions equal a per-group running token sum over doc_id
+# order, and the cross-batch state carry (consumed tokens resuming in
+# the next micro-batch) is on the gated path.  Cf. the reference's
+# per-batch job DAG lifecycle (themis daemon jobs consuming staged
+# input directories in order).
+def q145_budget_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.budget import token_budget_replay
+
+    docs = table(spark, sf_dir, "documents")
+    out = token_budget_replay(
+        spark, docs, "doc_id", "text", "source", _TOKEN_BUDGET
+    )
+    return out.select(
+        "group", F.col("id").alias("doc_id"), "n_tokens", "cum_tokens"
+    )
+
+
+_Q145_SQL = f"""
+WITH t AS (
+  SELECT source AS "group", doc_id,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT "group", doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM t
+)
+SELECT "group", doc_id, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_sort_events": q01_sort_events,
     "q02_sort_lineitem": q02_sort_lineitem,
@@ -6519,57 +6560,53 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q142_ann_margin_pairs": q142_ann_margin_pairs,
     "q143_approx_triangles": q143_approx_triangles,
     "q144_chain_components": q144_chain_components,
+    "q145_budget_stream_replay": q145_budget_stream_replay,
 }
 
-# Driver-window rotation (round 10).  The round driver gates the FIRST
-# 50 entries of queries() against their oracles.  After r09, exactly 45
-# entries' newest driver row is r07 (2 rounds old at the r10 gate):
-# q24..q28, q30, q32..q37, q40..q45, q47..q49, q73..q94 (incl.
-# q78/q79), q141, q142 — the rotation debt VERDICT r09 scheduled for
-# this window; all 45 go in front, catalog order.  The 5 spares:
-# q112 is re-gated because its code changed in r09 (clustering
-# coefficient now shares the degree-oriented enumerator with
-# q68/q74; outputs are oracle-identical locally but the driver
-# should re-witness it), q143 and q144 are NEW this round (DOULION
-# approximate triangles; star-contraction chain components — first
-# gates, not rotations), and two get-ahead picks from the 50-entry
-# r08-gated set (its first two in catalog order: q01, q19).  That
-# shrinks the r11-stale set from 50 to 47 (q112's re-gate this round
-# removes it from the debt too).  Round-11 plan, written now per the
-# rotation-treadmill rule: gate the remaining 47 r08-gated entries —
-# q46, q78b, q95..q111, q113..q131 (incl. q125/q125b, excl. the
-# re-gated q112), q133..q140 — which fills the window with 3 spares
-# for output-changed re-gates or get-ahead picks from the r09/r10
-# sets (driver_sim's staleness report this session counts exactly 47).
-# Everything outside the window stays oracle-checked
-# locally every run by tests/test_queries_oracle.py, and
-# tools/driver_sim.py flags any entry whose newest driver row is
-# >=2 rounds old.
+# Driver-window rotation (round 11).  The round driver gates the FIRST
+# 50 entries of queries() against their oracles.  After r10, exactly
+# 47 entries' newest driver row is r08 (3 rounds old at the r11 gate):
+# q46, q78b, q95..q111, q113..q131 (incl. q125/q125b, excl. q112 which
+# r10 re-gated), q133..q140 — the rotation debt VERDICT r10 scheduled
+# for this window; all 47 go in front, catalog order.  The 3 spares:
+# q145 is NEW this round (the streaming token-budget twin replayed
+# deterministically so a streaming path finally carries a driver
+# CORRECTNESS row — first gate, not a rotation), plus two get-ahead
+# picks from the 50-entry r09-gated set (its first two in catalog
+# order: q02, q03).  Round-12 plan, written now per the
+# rotation-treadmill rule: gate the remaining 48 r09-gated entries —
+# q04..q18 (incl. q10b), q20..q23, q29, q31, q38, q39, q50..q72,
+# q132 — which fills the window with 2 spares for output-changed
+# re-gates or get-ahead picks from the r10/r11 sets (driver_sim's
+# staleness report after this round's gate will count exactly 48).
+# Everything outside the window stays oracle-checked locally every
+# run by tests/test_queries_oracle.py, and tools/driver_sim.py flags
+# any entry whose newest driver row is >=2 rounds old.
 _WINDOW_PRIORITY = [
-    # the 45 r07-stale entries, catalog order
-    "q24_window_funcs", "q25_customers_without_orders",
-    "q26_distinct_agg", "q27_parts_shipped_by_brand",
-    "q28_json_extract", "q30_simhash", "q32_above_avg_parts",
-    "q33_late_ship_orders", "q34_region_share", "q35_rollup_revenue",
-    "q36_asof_join", "q37_range_join", "q40_nation_market",
-    "q41_token_counts", "q42_value_quantiles", "q43_corpus_pipeline",
-    "q44_salted_count", "q45_time_rollup", "q47_gap_sessions",
-    "q48_shipping_priority", "q49_stratified_sample",
-    "q73_pack_sequences", "q74_triangle_total", "q75_surprisal_mix",
-    "q76_shuffle_shards", "q77_full_curation", "q78_media_decode",
-    "q79_semdedup", "q80_bigram_perplexity", "q81_sq8_ann",
-    "q82_bloom_decontam", "q83_token_budget", "q84_pq_ann",
-    "q85_pq_rerank", "q86_kcore", "q87_length_batches",
-    "q88_cdc_snapshot", "q89_scd2_history", "q90_hll_distinct",
-    "q91_cms_heavy_hitters", "q92_zscore_outliers",
-    "q93_label_propagation", "q94_weighted_sample",
-    "q141_margin_pairs", "q142_ann_margin_pairs",
-    # spare 1: code-changed re-gate (shared degree-oriented enumerator)
-    "q112_clustering_coeff",
-    # spares 2-3: first gates of the NEW r10 operators
-    "q143_approx_triangles", "q144_chain_components",
-    # spares 4-5: get-ahead picks from the r08 set (first two, catalog order)
-    "q01_sort_events", "q19_minhash_lsh",
+    # the 47 r08-stale entries, catalog order
+    "q46_dedup_clusters", "q78b_audio_decode", "q95_volume_shipping",
+    "q96_product_profit", "q97_important_parts",
+    "q98_supplier_variety", "q99_large_orders", "q100_bracket_revenue",
+    "q101_excess_suppliers", "q102_waiting_suppliers", "q103_bfs_hops",
+    "q104_hashed_classifier", "q105_concurrency", "q106_bpe_train",
+    "q107_bm25_retrieval", "q108_profile_events",
+    "q109_fuzzy_supplier_match", "q110_attribution", "q111_bm25_multi",
+    "q113_ewma", "q114_markov_transitions", "q115_filtered_revenue",
+    "q116_priority_by_class", "q117_promo_share", "q118_top_supplier",
+    "q119_histogram_quantiles", "q120_lineno_gaps", "q121_orphan_audit",
+    "q122_event_paths", "q123_segment_mode", "q124_spend_deciles",
+    "q125_video_frames", "q125b_mjpeg_frames",
+    "q126_local_supplier_volume", "q127_market_share",
+    "q128_returned_items", "q129_sales_opportunity",
+    "q130_variant_json", "q131_k_anonymity", "q133_kcenter_sample",
+    "q134_keep_best", "q135_incremental_neardup",
+    "q136_leakage_safe_split", "q137_trained_classifier",
+    "q138_importance_resample", "q139_dup_substrings",
+    "q140_substring_scrub",
+    # spare 1: first gate of the NEW r11 streaming replay query
+    "q145_budget_stream_replay",
+    # spares 2-3: get-ahead picks from the r09 set (first two, catalog order)
+    "q02_sort_lineitem", "q03_wordcount",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
@@ -6724,4 +6761,5 @@ ORACLES: dict[str, str] = {
     "q142_ann_margin_pairs": _Q142_SQL,
     "q143_approx_triangles": _Q143_SQL,
     "q144_chain_components": _Q144_SQL,
+    "q145_budget_stream_replay": _Q145_SQL,
 }

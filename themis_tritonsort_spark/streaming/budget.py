@@ -10,11 +10,15 @@ state hash-partitions across executors like any groupBy.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+import uuid
 from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -52,15 +56,24 @@ def token_budget_stream(
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         consumed, admitted = state.get if state.exists else (0, 0)
         ids, ns, cums = [], [], []
-        for pdf in pdfs:
-            for _, row in pdf.sort_values("__id").iterrows():
-                if consumed >= budget_tokens:
-                    break
-                consumed += int(row["__n"])
-                admitted += 1
-                ids.append(int(row["__id"]))
-                ns.append(int(row["__n"]))
-                cums.append(consumed)
+        # Concatenate the group's batch before sorting: Arrow hands the
+        # group over as multiple chunks and a per-chunk sort would not
+        # give the documented ascending-id admission order.  The concat
+        # is bounded by one group's single micro-batch.
+        frames = list(pdfs)
+        batch = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(columns=["__id", "__n"])
+        )
+        for _, row in batch.sort_values("__id").iterrows():
+            if consumed >= budget_tokens:
+                break
+            consumed += int(row["__n"])
+            admitted += 1
+            ids.append(int(row["__id"]))
+            ns.append(int(row["__n"]))
+            cums.append(consumed)
         state.update((consumed, admitted))
         yield pd.DataFrame(
             {
@@ -78,3 +91,71 @@ def token_budget_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def token_budget_replay(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    budget_tokens: int,
+    n_batches: int = 4,
+) -> DataFrame:
+    """Deterministically replay a STATIC corpus through
+    ``token_budget_stream`` and return the materialized admissions —
+    the harness that lets a streaming operator carry a batch oracle.
+
+    The corpus is split into ``n_batches`` contiguous id-range parquet
+    files (range partition k holds lower ids than k+1) whose mtimes
+    are set to an ascending ladder; the file source replays them
+    oldest-first one per micro-batch (``maxFilesPerTrigger=1``), so
+    arrival order == ascending id order and the admissions equal a
+    per-group running token sum over id order — exactly what an ANSI
+    window oracle computes.  Cross-batch budget carry (the state
+    tuple) is genuinely exercised: admissions in batch k+1 resume from
+    batch k's consumed total.
+
+    Returns a batch DataFrame (group, id, n_tokens, cum_tokens) read
+    back from the memory sink after the availableNow run terminates.
+    """
+    staged = docs.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(text_col).cast("string").alias("text"),
+    )
+    root = tempfile.mkdtemp(prefix="budget_replay_")
+    src = os.path.join(root, "src")
+    name = "budget_replay_" + uuid.uuid4().hex
+    try:
+        (
+            staged.repartitionByRange(n_batches, "id")
+            .sortWithinPartitions("id")
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        parts = sorted(
+            f for f in os.listdir(src)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        base = 1_600_000_000  # any fixed epoch; only the ordering matters
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(src, f), (base + i, base + i))
+        stream = (
+            spark.readStream.schema("group string, id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = token_budget_stream(stream, "id", "text", "group", budget_tokens)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.table(name)

@@ -25,6 +25,14 @@ date + note, never hidden) and does not fail the exit gate.  A stale
 adjudication cannot mask a real regression that is worse than the
 recorded calm value by the same threshold math.
 
+Contention annotation (VERDICT r10 #3): when the after-capture is a
+BENCH_FULL file carrying bench.py's per-sample "load" field, any
+flagged line whose samples saw load1 > 1.25x the capture's cpu count
+is suffixed with [UNDER LOAD: ...] — the hand-written r10 contention
+forensics, automated.  The annotation never clears the gate by
+itself; it tells the reader which flags to re-measure in a calm
+window before adjudicating.
+
 Deliberate trades are the second adjudication kind ({...,
 "deliberate": true}): a code change that knowingly spends gate-scale
 seconds to buy large-scale correctness/headroom (r09: the k-core
@@ -51,10 +59,47 @@ DEFAULT_ADJUDICATIONS = os.path.join(
 
 _PAIR = re.compile(r'"(q[\w]+)":\s*(\[[\d.,\s]+\]|\d+(?:\.\d+)?)')
 
+# load1 above this multiple of the capture's cpu count marks a sample
+# as contended (kept in sync with bench.py: CONTENDED_X — local[32]
+# alone holds load1 around 1.0x cpus).
+CONTENDED_X = 1.25
+
+_STDIN_CACHE: list[str] = []
+
+
+def _read(path: str) -> str:
+    # stdin can only be read once, and both load_queries and
+    # load_contention may ask for the same capture; real files are
+    # re-read every call (callers may rewrite them between diffs).
+    if path != "-":
+        return open(path).read()
+    if not _STDIN_CACHE:
+        _STDIN_CACHE.append(sys.stdin.read())
+    return _STDIN_CACHE[0]
+
+
+def load_contention(path: str) -> dict[str, float]:
+    """Query -> max per-sample load1 RELATIVE to the capture's cpu
+    count, from a BENCH_FULL file carrying the 'load' field (bench.py,
+    VERDICT r10 #3).  Empty for captures without load evidence."""
+    try:
+        data = json.loads(_read(path))
+    except json.JSONDecodeError:
+        return {}
+    if not isinstance(data, dict) or not isinstance(data.get("load"), dict):
+        return {}
+    cpus = data.get("cpus") or 1
+    out = {}
+    for k, ts in data["load"].items():
+        vals = [float(x) for x in (ts if isinstance(ts, list) else [ts])]
+        if vals:
+            out[k] = max(vals) / cpus
+    return out
+
 
 def load_queries(path: str) -> dict[str, float]:
     """Query -> median seconds from any supported capture format."""
-    text = sys.stdin.read() if path == "-" else open(path).read()
+    text = _read(path)
     try:
         data = json.loads(text)
     except json.JSONDecodeError:
@@ -115,6 +160,15 @@ def main() -> int:
             adjudications = json.load(f)
     before = load_queries(args.before)
     after = load_queries(args.after)
+    contention = load_contention(args.after)
+
+    def under_load(k: str) -> str:
+        """Annotation suffix when the after-capture's samples for k
+        provably overlapped a co-tenant (load1 > CONTENDED_X x cpus)."""
+        rel = contention.get(k)
+        if rel is not None and rel > CONTENDED_X:
+            return f" [UNDER LOAD: max load1 {rel:.2f}x cpus]"
+        return ""
     overlap = sorted(set(before) & set(after))
     if not overlap:
         print("no overlapping queries between the two captures")
@@ -157,12 +211,13 @@ def main() -> int:
                 f"({after[k] / before[k]:.2f}x) — {kind} median-of-5 "
                 f"{calm:.2f}s on {adj.get('date', '?')}"
                 + (f" ({adj['note']})" if adj.get("note") else "")
+                + under_load(k)
             )
             continue
         regs.append(k)
         print(
             f"REGRESSION {k}: {before[k]:.2f}s -> {after[k]:.2f}s "
-            f"({after[k] / before[k]:.2f}x)"
+            f"({after[k] / before[k]:.2f}x)" + under_load(k)
         )
     movers = sorted(overlap, key=lambda k: after[k] - before[k])[:5]
     for k in movers:
