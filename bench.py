@@ -242,6 +242,24 @@ HEADLINE_SF_DIR = os.environ.get(
 CONTENDED_X = 1.25
 
 
+# Host co-tenant contention is often INVISIBLE to in-VM load1 (the
+# r09/r10 episodes: vmstat 99-100% idle, loadavg ~5, queries 2-13x
+# slow — BASELINE.md).  CPU steal time is the direct signal the
+# hypervisor does expose: jiffies this VM was runnable but the host
+# ran someone else.  A sample whose steal share exceeds this percent
+# of its wall x cpus provably ran contended.
+STEAL_PCT_X = 5.0
+
+
+def _steal_jiffies() -> int | None:
+    """Cumulative steal jiffies from /proc/stat (None off-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def ledger_eligible(only: str, sf_dir: str) -> bool:
     """Only headline-SF partial captures enter BENCH_PARTIALS.jsonl
     (ADVICE r10): the ledger is what adjudications anchor on, and a
@@ -296,22 +314,32 @@ def main() -> None:
         bench_queries = {n: BENCH_QUERIES[n] for n in names}
     runs: dict[str, list[float]] = {name: [] for name in bench_queries}
     loads: dict[str, list[float]] = {name: [] for name in bench_queries}
+    steals: dict[str, list[float]] = {name: [] for name in bench_queries}
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    cpus = os.cpu_count() or 1
     for _ in range(samples):
         # Queries that persist intermediates (q63, q77) would otherwise
         # hit their own cache from the previous pass and time the cache
         # read, not the query.
         spark.catalog.clearCache()
         for name, fn in bench_queries.items():
+            st0 = _steal_jiffies()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs[name].append(round(time.time() - t0, 3))
+            dt = time.time() - t0
+            runs[name].append(round(dt, 3))
             # Host contention evidence, per sample (VERDICT r10 #3):
             # load1 right after the sample reflects the preceding
-            # minute incl. any co-tenant.  local[32] tops out around
-            # the cpu count by itself, so load1 well above cpus is
-            # machine-visible proof the sample ran contended — the
-            # r10 adjudication forensics, automated.
+            # minute incl. any in-VM co-tenant; CPU steal during the
+            # sample is the hypervisor-level signal the r09/r10
+            # episodes showed load1 CANNOT see.  Steal is recorded as
+            # percent of the sample's wall x cpus.
             loads[name].append(round(os.getloadavg()[0], 2))
+            st1 = _steal_jiffies()
+            if st0 is not None and st1 is not None and dt > 0:
+                steals[name].append(
+                    round(100.0 * (st1 - st0) / (dt * hz * cpus), 2)
+                )
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -320,7 +348,7 @@ def main() -> None:
 
     timings = {name: round(median(ts), 3) for name, ts in runs.items()}
     full, compact, suffix, warnings = emit_payloads(
-        timings, runs, samples, sf_dir, only, loads=loads
+        timings, runs, samples, sf_dir, only, loads=loads, steals=steals
     )
     for w in warnings:
         print(w, file=sys.stderr)
@@ -360,6 +388,7 @@ def emit_payloads(
     sf_dir: str,
     only: str,
     loads: dict[str, list[float]] | None = None,
+    steals: dict[str, list[float]] | None = None,
 ) -> tuple[dict, dict, str, list[str]]:
     """Build the BENCH_FULL payload, the compact stdout line, the
     BENCH_FULL filename suffix, and any warning lines.  Pure — unit
@@ -402,16 +431,25 @@ def emit_payloads(
         "sf": sf_dir,
     }
     if loads is not None:
-        # Per-sample load1, parallel to spread: the contention evidence
-        # that r10's adjudications reconstructed by hand.  CONTENDED_X
-        # (load1 > 1.25x cpus; local[32] alone saturates ~1.0x) marks
-        # samples that provably overlapped a co-tenant; bench_diff
-        # annotates its flags from this field.
+        # Per-sample load1 + CPU-steal%, parallel to spread: the
+        # contention evidence that r10's adjudications reconstructed by
+        # hand.  A sample counts as contended when load1 > CONTENDED_X
+        # x cpus (in-VM co-tenant; local[32] alone saturates ~1.0x) OR
+        # steal > STEAL_PCT_X % of its wall x cpus (host co-tenant —
+        # the r09/r10 signature load1 cannot see).  bench_diff
+        # annotates its flags from these fields.
         cpus = os.cpu_count() or 1
         full["load"] = loads
         full["cpus"] = cpus
+        if steals:
+            full["steal_pct"] = steals
         full["contended_samples"] = sum(
             1 for ts in loads.values() for x in ts if x > CONTENDED_X * cpus
+        ) + sum(
+            1
+            for ts in (steals or {}).values()
+            for x in ts
+            if x > STEAL_PCT_X
         )
     headline = os.path.realpath(HEADLINE_SF_DIR)
     suffix = "" if os.path.realpath(sf_dir) == headline else (
@@ -438,8 +476,8 @@ def emit_payloads(
     if full.get("contended_samples"):
         warnings.append(
             f"WARNING: contended capture: {full['contended_samples']} "
-            f"query-sample(s) saw load1 > {CONTENDED_X}x cpus "
-            f"({full['cpus']} cpus) — see the 'load' field"
+            f"query-sample(s) saw load1 > {CONTENDED_X}x cpus or CPU "
+            f"steal > {STEAL_PCT_X}% — see the 'load'/'steal_pct' fields"
         )
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]

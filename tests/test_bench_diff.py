@@ -257,3 +257,45 @@ def test_bench_diff_annotates_flags_under_load(tmp_path, monkeypatch, capsys):
     assert "UNDER LOAD" in line_q01 and "1.92x cpus" in line_q01
     assert "UNDER LOAD" not in line_q02
     assert rc == 1
+
+
+def test_steal_evidence_recorded_and_annotated(tmp_path, monkeypatch, capsys):
+    """Host co-tenancy shows as CPU steal, not load1 (the r09/r10
+    episodes: loadavg calm, queries 2-13x slow).  bench.py counts
+    steal-hot samples as contended; bench_diff annotates flags whose
+    after-samples exceeded STEAL_PCT_X even when load1 was calm."""
+    import sys
+
+    import bench
+
+    timings = {"q01": 1.0}
+    runs = {"q01": [0.9, 1.0, 1.1]}
+    calm_load = {"q01": [1.0, 2.0, 1.5]}
+    hot_steal = {"q01": [0.1, 12.5, 0.3]}
+    full, _, _, warnings = bench.emit_payloads(
+        timings, runs, 3, bench.HEADLINE_SF_DIR, "",
+        loads=calm_load, steals=hot_steal,
+    )
+    assert full["steal_pct"] == hot_steal
+    assert full["contended_samples"] == 1
+    assert any("contended capture" in w for w in warnings)
+
+    before = {"metric": "x", "queries": {"q01_a": 2.0}}
+    after = {
+        "metric": "x",
+        "queries": {"q01_a": 4.0},
+        "cpus": 32,
+        "load": {"q01_a": [3.0, 4.0, 3.5]},           # calm load1
+        "steal_pct": {"q01_a": [0.2, 9.8, 0.1]},       # host steal spike
+    }
+    pb, pa = tmp_path / "b.json", tmp_path / "a.json"
+    pb.write_text(json.dumps(before))
+    pa.write_text(json.dumps(after))
+    monkeypatch.setattr(
+        sys, "argv", ["bench_diff", str(pb), str(pa), "--adjudications", ""]
+    )
+    rc = bench_diff.main()
+    out = capsys.readouterr().out
+    line = next(ln for ln in out.splitlines() if "REGRESSION q01_a" in ln)
+    assert "max steal 9.8%" in line and "load1" not in line
+    assert rc == 1

@@ -78,10 +78,17 @@ def _read(path: str) -> str:
     return _STDIN_CACHE[0]
 
 
-def load_contention(path: str) -> dict[str, float]:
-    """Query -> max per-sample load1 RELATIVE to the capture's cpu
-    count, from a BENCH_FULL file carrying the 'load' field (bench.py,
-    VERDICT r10 #3).  Empty for captures without load evidence."""
+# steal% above this marks a sample host-contended (kept in sync with
+# bench.py: STEAL_PCT_X) — the hypervisor-level co-tenant signal the
+# r09/r10 episodes showed in-VM load1 cannot see.
+STEAL_PCT_X = 5.0
+
+
+def load_contention(path: str) -> dict[str, tuple[float, float]]:
+    """Query -> (max per-sample load1 RELATIVE to the capture's cpu
+    count, max per-sample CPU-steal %), from a BENCH_FULL file carrying
+    bench.py's 'load'/'steal_pct' fields (VERDICT r10 #3).  Empty for
+    captures without load evidence."""
     try:
         data = json.loads(_read(path))
     except json.JSONDecodeError:
@@ -89,11 +96,13 @@ def load_contention(path: str) -> dict[str, float]:
     if not isinstance(data, dict) or not isinstance(data.get("load"), dict):
         return {}
     cpus = data.get("cpus") or 1
+    steal = data.get("steal_pct") or {}
     out = {}
     for k, ts in data["load"].items():
         vals = [float(x) for x in (ts if isinstance(ts, list) else [ts])]
+        svals = [float(x) for x in steal.get(k, [])]
         if vals:
-            out[k] = max(vals) / cpus
+            out[k] = (max(vals) / cpus, max(svals) if svals else 0.0)
     return out
 
 
@@ -164,11 +173,17 @@ def main() -> int:
 
     def under_load(k: str) -> str:
         """Annotation suffix when the after-capture's samples for k
-        provably overlapped a co-tenant (load1 > CONTENDED_X x cpus)."""
-        rel = contention.get(k)
-        if rel is not None and rel > CONTENDED_X:
-            return f" [UNDER LOAD: max load1 {rel:.2f}x cpus]"
-        return ""
+        provably overlapped a co-tenant: in-VM (load1 > CONTENDED_X x
+        cpus) or host-level (steal > STEAL_PCT_X %)."""
+        if k not in contention:
+            return ""
+        rel, steal = contention[k]
+        parts = []
+        if rel > CONTENDED_X:
+            parts.append(f"max load1 {rel:.2f}x cpus")
+        if steal > STEAL_PCT_X:
+            parts.append(f"max steal {steal:.1f}%")
+        return f" [UNDER LOAD: {', '.join(parts)}]" if parts else ""
     overlap = sorted(set(before) & set(after))
     if not overlap:
         print("no overlapping queries between the two captures")
