@@ -26,9 +26,8 @@ from themis_tritonsort_spark import queries as q
 from themis_tritonsort_spark.data import table
 from themis_tritonsort_spark.operators.dedup import (
     jaccard_pairs,
-    lsh_band_buckets,
     lsh_candidate_pairs,
-    minhash_signature,
+    minhash_band_buckets,
 )
 from themis_tritonsort_spark.session import get_spark
 
@@ -54,8 +53,8 @@ def _lsh_neardup_wide(spark, sf):
 
 def _minhash3(spark, sf):
     docs = table(spark, sf, "documents")
-    sig = minhash_signature(docs, "doc_id", "text", n=3, num_hashes=16)
-    return lsh_candidate_pairs(lsh_band_buckets(sig, bands=4, num_hashes=16))
+    buckets = minhash_band_buckets(docs, "doc_id", "text", n=3, num_hashes=16, bands=4)
+    return lsh_candidate_pairs(buckets)
 
 
 def _dedup_clusters3(spark, sf):
@@ -66,8 +65,8 @@ def _dedup_clusters3(spark, sf):
     from themis_tritonsort_spark.operators.components import dedup_clusters
 
     docs = table(spark, sf, "documents")
-    sig = minhash_signature(docs, "doc_id", "text", n=3, num_hashes=16)
-    pairs = lsh_candidate_pairs(lsh_band_buckets(sig, bands=4, num_hashes=16))
+    buckets = minhash_band_buckets(docs, "doc_id", "text", n=3, num_hashes=16, bands=4)
+    pairs = lsh_candidate_pairs(buckets)
     return dedup_clusters(pairs, id_a="doc_a", id_b="doc_b")
 
 

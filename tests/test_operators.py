@@ -592,3 +592,48 @@ def test_connected_components_star_releases_checkpoint_blocks(spark):
     # round's sets (large-star mid + final e, <= 2) may remain until
     # their Python handles die
     assert n_stored() - base <= 2
+
+
+# --- fused minhash band buckets == composed signature->bands (r11)
+def test_minhash_band_buckets_matches_composed(spark):
+    from themis_tritonsort_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_band_buckets,
+        minhash_signature,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "pack my box with five dozen liquor jugs"),
+            (4, ""),  # empty doc: dropped by both paths
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    composed = lsh_band_buckets(
+        minhash_signature(docs, "doc_id", "text", n=2, num_hashes=8),
+        bands=4,
+        num_hashes=8,
+    )
+    fused = minhash_band_buckets(
+        docs, "doc_id", "text", n=2, num_hashes=8, bands=4
+    )
+    key = lambda r: (r["doc"], r["band"], r["band_sig"])  # noqa: E731
+    assert sorted(map(key, fused.collect())) == sorted(
+        map(key, composed.collect())
+    )
+    # identical docs still collide in every band through the fused path
+    sigs = {
+        (r["doc"], r["band"]): r["band_sig"] for r in fused.collect()
+    }
+    assert all(sigs[(1, b)] == sigs[(5, b)] for b in range(4))
+
+
+def test_minhash_band_buckets_rejects_nondividing_bands(spark):
+    from themis_tritonsort_spark.operators.dedup import minhash_band_buckets
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divide"):
+        minhash_band_buckets(docs, "doc_id", "text", n=1, num_hashes=8, bands=3)

@@ -135,8 +135,18 @@ def jaccard_pairs(
             ),
         )
         t = float(min_jaccard)
-        prefix = ordered.join(docsets.select("doc", "sz"), "doc").where(
-            F.col("r") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+        # Persisted for the same reason as lsh_candidate_pairs' buckets
+        # (r11): both sides of the candidate self-join are this
+        # relation, and a broadcast build side means no exchange reuse —
+        # without the persist the df-rank window pipeline runs twice.
+        from pyspark.storagelevel import StorageLevel
+
+        prefix = (
+            ordered.join(docsets.select("doc", "sz"), "doc")
+            .where(
+                F.col("r") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         a = prefix.select(
             F.col("doc").alias("doc_a"), "shingle",
@@ -261,6 +271,78 @@ def lsh_band_buckets(
     )
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Fused ``minhash_signature`` + ``lsh_band_buckets``: (doc, band,
+    band_sig), bit-identical to composing the two, with the second
+    shuffle removed (r11, guide §2.4).
+
+    The composed form unpivots the wide per-doc signature to
+    (doc, h, mh) rows and re-aggregates them by (doc, band) — a full
+    extra exchange of num_hashes rows/doc plus a collect_list, spent
+    only to regroup values that were ALL present in the wide row
+    already.  Here the band digests are computed map-side directly
+    from the wide aggregate's columns: the band string is assembled in
+    numeric h order (identical to the zero-padded lexicographic sort of
+    the composed form — 2-digit zero-padding makes the orders equal),
+    md5'd, and the (band, band_sig) pairs exploded out.  One shuffle
+    (the per-doc min aggregate) instead of two; same output, so every
+    LSH query's oracle is untouched.
+    """
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    rows_per_band = num_hashes // bands
+    sh = shingle_sets(df, id_col, text_col, n)
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long")
+        % MINHASH_PRIME
+    )
+    hashed = sh.select("doc", base.alias("x"))
+    wide = hashed.groupBy("doc").agg(
+        *[
+            F.min(
+                (F.lit(2 * h + 1) * F.col("x") + F.lit(7919 * h)) % MINHASH_PRIME
+            ).alias(f"mh{h}")
+            for h in range(num_hashes)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.concat_ws(
+                                ":",
+                                F.lit(f"{h:02d}"),
+                                F.col(f"mh{h}").cast("string"),
+                            )
+                            for h in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ],
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return wide.select(
+        "doc", F.explode(band_structs).alias("__bb")
+    ).select("doc", F.col("__bb.band").alias("band"), F.col("__bb.band_sig").alias("band_sig"))
+
+
 def lsh_candidate_pairs(
     buckets: DataFrame, max_bucket: int | None = None
 ) -> DataFrame:
@@ -283,6 +365,20 @@ def lsh_candidate_pairs(
             .where(F.col("__bsz") <= max_bucket)
             .drop("__bsz")
         )
+    # Both sides of the self-join are THIS relation, and when the
+    # planner broadcasts one side there is no exchange to reuse — the
+    # whole upstream pipeline (tokenize + shingle + md5 + the signature
+    # aggregate) executes once per side (seen in the r11 sf0.001 plan
+    # audit: two complete scan->signature subtrees under the join).
+    # The bucket relation is bands rows/doc of (long, long, 32-char) —
+    # tiny next to its recompute — so persist it and let both sides
+    # read the cache (guide §5: cache exactly the reused-and-expensive
+    # relation).  bench.py clears the cache between passes; long-lived
+    # sessions release with spark.catalog.clearCache() (q77's
+    # contract).
+    from pyspark.storagelevel import StorageLevel
+
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -608,6 +704,20 @@ def duplicate_substring_spans(
             )
         ).alias("pos", "__wt"),
     ).select(F.col(id_col), "pos", F.md5("__wt").alias("__fp"))
+    # The window relation feeds TWO consumers (the multiplicity
+    # aggregate and the semi-join probe side) whose exchanges cannot be
+    # reused (the aggregate's partial stage sits below its exchange), so
+    # without a persist the tokenize + O(n*w) window-string build + md5
+    # scan runs twice — measured ~2x the query at sf0.1 (r11, guide
+    # §5: cache only when recompute costs more than the memory
+    # pressure; here recompute is the corpus's most expensive map).
+    # (id, pos, fp) is far narrower than the window strings themselves;
+    # MEMORY_AND_DISK spills rather than evicting under pressure.
+    # bench.py clears the cache between passes; long-lived sessions
+    # release it with spark.catalog.clearCache() (q77's contract).
+    from pyspark.storagelevel import StorageLevel
+
+    wins = wins.persist(StorageLevel.MEMORY_AND_DISK)
     # fingerprint multiplicity: groupBy + semi-join back (both sides
     # partial-aggregate; a window-function count would materialize
     # every hot fingerprint's rows in one task)

@@ -65,7 +65,7 @@ from pyspark.sql import functions as F
 from .data import table
 from .functions.exact import cents
 from .functions.text import STOP_WORDS, TOKENS_SQL, ngrams, tokens
-from .operators.dedup import exact_duplicates, jaccard_pairs, lsh_band_buckets, lsh_candidate_pairs, minhash_signature
+from .operators.dedup import exact_duplicates, jaccard_pairs, lsh_candidate_pairs, minhash_band_buckets
 from .operators.kmeans import assign_clusters
 from .operators.pagerank import pagerank
 from .operators.sessionize import sessionize
@@ -685,8 +685,9 @@ LSH_MAX_BUCKET = 64
 
 def q19_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sig = minhash_signature(docs, "doc_id", "text", n=1, num_hashes=16)
-    buckets = lsh_band_buckets(sig, bands=4, num_hashes=16)
+    buckets = minhash_band_buckets(
+        docs, "doc_id", "text", n=1, num_hashes=16, bands=4
+    )
     return lsh_candidate_pairs(buckets, max_bucket=LSH_MAX_BUCKET)
 
 
@@ -1353,9 +1354,8 @@ def q46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.components import dedup_clusters
 
     docs = table(spark, sf_dir, "documents")
-    sig = minhash_signature(docs, "doc_id", "text", n=1, num_hashes=16)
     pairs = lsh_candidate_pairs(
-        lsh_band_buckets(sig, bands=4, num_hashes=16),
+        minhash_band_buckets(docs, "doc_id", "text", n=1, num_hashes=16, bands=4),
         max_bucket=LSH_MAX_BUCKET,
     )
     return dedup_clusters(pairs, id_a="doc_a", id_b="doc_b")
@@ -5767,9 +5767,8 @@ def q134_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import keep_best_per_cluster
 
     docs = table(spark, sf_dir, "documents")
-    sig = minhash_signature(docs, "doc_id", "text", n=1, num_hashes=16)
     pairs = lsh_candidate_pairs(
-        lsh_band_buckets(sig, bands=4, num_hashes=16),
+        minhash_band_buckets(docs, "doc_id", "text", n=1, num_hashes=16, bands=4),
         max_bucket=LSH_MAX_BUCKET,
     )
     clusters = dedup_clusters(pairs, id_a="doc_a", id_b="doc_b")
@@ -5818,8 +5817,15 @@ def q135_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import lsh_probe_candidates
 
     docs = table(spark, sf_dir, "documents")
-    sig = minhash_signature(docs, "doc_id", "text", n=1, num_hashes=16)
-    buckets = lsh_band_buckets(sig, bands=4, num_hashes=16)
+    from pyspark.storagelevel import StorageLevel
+
+    # index and probe are two filters of the SAME bucket relation; the
+    # probe join cannot reuse the index side's exchange, so without the
+    # persist the signature pipeline executes twice (r11; same
+    # double-compute as lsh_candidate_pairs' self-join, same fix).
+    buckets = minhash_band_buckets(
+        docs, "doc_id", "text", n=1, num_hashes=16, bands=4
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     index = buckets.where(F.col("doc") % 10 != 0)
     probe = buckets.where(F.col("doc") % 10 == 0)
     return lsh_probe_candidates(index, probe, max_bucket=LSH_MAX_BUCKET)
@@ -5867,9 +5873,8 @@ def q136_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import leakage_safe_split
 
     docs = table(spark, sf_dir, "documents")
-    sig = minhash_signature(docs, "doc_id", "text", n=1, num_hashes=16)
     pairs = lsh_candidate_pairs(
-        lsh_band_buckets(sig, bands=4, num_hashes=16),
+        minhash_band_buckets(docs, "doc_id", "text", n=1, num_hashes=16, bands=4),
         max_bucket=LSH_MAX_BUCKET,
     )
     return leakage_safe_split(

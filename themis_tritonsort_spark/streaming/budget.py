@@ -54,8 +54,9 @@ def token_budget_stream(
     )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         consumed, admitted = state.get if state.exists else (0, 0)
-        ids, ns, cums = [], [], []
         # Concatenate the group's batch before sorting: Arrow hands the
         # group over as multiple chunks and a per-chunk sort would not
         # give the documented ascending-id admission order.  The concat
@@ -66,21 +67,27 @@ def token_budget_stream(
             if frames
             else pd.DataFrame(columns=["__id", "__n"])
         )
-        for _, row in batch.sort_values("__id").iterrows():
-            if consumed >= budget_tokens:
-                break
-            consumed += int(row["__n"])
-            admitted += 1
-            ids.append(int(row["__id"]))
-            ns.append(int(row["__n"]))
-            cums.append(consumed)
+        # Vectorized admission (r11, guide §4.2: whole-batch numpy
+        # instead of a per-row Python loop).  A row is admitted iff the
+        # tokens consumed BEFORE it (cum - n) are under budget; n >= 0
+        # makes that prefix-monotone, so the admitted set is exactly
+        # the first k rows — identical to the sequential
+        # check-then-consume loop this replaces.
+        order = np.argsort(batch["__id"].to_numpy(), kind="stable")
+        ids = batch["__id"].to_numpy()[order].astype("int64")
+        ns = batch["__n"].to_numpy()[order].astype("int64")
+        cum = consumed + np.cumsum(ns)
+        k = int(((cum - ns) < budget_tokens).sum())
+        if k:
+            consumed = int(cum[k - 1])
+            admitted += k
         state.update((consumed, admitted))
         yield pd.DataFrame(
             {
-                "group": [key[0]] * len(ids),
-                "id": ids,
-                "n_tokens": ns,
-                "cum_tokens": cums,
+                "group": [key[0]] * k,
+                "id": ids[:k],
+                "n_tokens": ns[:k],
+                "cum_tokens": cum[:k],
             }
         )
 
