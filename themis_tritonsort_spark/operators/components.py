@@ -28,6 +28,42 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _undirected_edges(
+    edges: DataFrame, src: str, dst: str, npart: int
+) -> DataFrame:
+    """Both-orientations (s, d) edge set of the undirected graph,
+    deduped, repartitioned on the propagation key and persisted — the
+    static side every iterative op here joins against each round.
+
+    Canonicalize-then-mirror (r11, guide §2.3/§2.4): the former
+    ``union(half, half-flipped).distinct()`` evaluated the caller's
+    whole edge-derivation pipeline in BOTH union branches (only the
+    scan-side exchange below the window is reusable, the window sort
+    itself ran twice) and shuffled 2|E| rows through the distinct.
+    Deduping the canonical (least, greatest) form first runs the
+    pipeline's expensive tail once and halves the distinct's exchange;
+    mirroring afterwards is two projections of the SAME deduplicated
+    subtree, whose identical exchanges Spark reuses.  Canonical
+    distinct == directed distinct of the undirected graph (a != b
+    rows only), so the resulting edge set is identical.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("s"),
+            F.greatest(F.col(src), F.col(dst)).alias("d"),
+        )
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    return (
+        canon.unionByName(
+            canon.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        .repartition(npart, "s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -51,15 +87,7 @@ def connected_components(
     # Undirected: materialize BOTH orientations once, partitioned by the
     # propagation source — each round is then ONE join (src side
     # co-located with the persisted partitioning) instead of two.
-    half = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
-        F.col("s") != F.col("d")
-    )
-    e = (
-        half.unionByName(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .distinct()
-        .repartition(npart, "s")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    e = _undirected_edges(edges, src, dst, npart)
 
     labels = e.select(F.col("s").alias("vid")).distinct().withColumn(
         "label", F.col("vid")
@@ -171,11 +199,6 @@ def connected_components_star(
     half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col(src) != F.col(dst)
     )
-    verts = (
-        half.select(F.col("a").alias("vid"))
-        .unionAll(half.select(F.col("b").alias("vid")))
-        .distinct()
-    )
     # canonical a < b, deduped; star edges stay canonical thereafter
     # (emissions always point a high vertex at a strictly smaller root)
     e = (
@@ -202,35 +225,53 @@ def connected_components_star(
         return row["c"], row["f"]
 
     prev = fingerprint(e)
+    # Original vertex set, captured as vertex-sized checkpoint blocks
+    # read off e's FIRST materialization (the fingerprint job above):
+    # the final resolve join needs every vertex of the input, but by
+    # then the loop has superseded (and released) e's blocks and
+    # re-deriving from `half` would recompute the caller's whole edge
+    # pipeline a second time (q144: the events window) — r11, guide
+    # §2.4.  Eager: materialized NOW, while e's blocks are live.
+    verts = (
+        e.select(F.col("a").alias("vid"))
+        .unionAll(e.select(F.col("b").alias("vid")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     def star(cur: DataFrame, large: bool) -> DataFrame:
-        adj = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        )
-        mins = adj.groupBy("u").agg(
-            F.least(F.min("v"), F.col("u")).alias("m")
-        )
-        joined = adj.join(mins, "u")
+        # Canonical form lets both stars skip the doubled adjacency
+        # (r11, guide §2.3): with every edge (a, b) satisfying a < b,
+        # a vertex u's neighborhood minimum m(u) = min(N(u) + {u}) is
+        # least(u, min{x : (x, u) in cur}) — out-neighbors are all
+        # > u, so only the incoming side can beat u.  One |E|-row
+        # groupBy replaces the 2|E|-row union+groupBy, and each star
+        # joins |E| rows instead of 2|E|.
+        min_in = cur.groupBy("b").agg(F.min("a").alias("__mn"))
         if large:
-            # neighbors strictly above u re-point at u's minimum.  No
-            # distinct here: emissions are <= one per adjacency edge
-            # (each fires from its low end only), so there is no
-            # blowup to prune — the small-star half of the same
-            # alternation dedups for both.  The checkpoint stays: the
-            # small-star adjacency reads this output TWICE (both
-            # orientations), and without materialization the join
-            # would compute twice (the union branches are not
-            # identical subplans, so no exchange reuse).
-            return (
-                joined.where(F.col("v") > F.col("u"))
-                .select(F.col("m").alias("a"), F.col("v").alias("b"))
-                .where(F.col("a") != F.col("b"))
-                .localCheckpoint(eager=False)
-            )
-        # u itself and its not-larger neighbors re-root at the min
-        out = joined.where(F.col("v") <= F.col("u")).select(
-            F.col("m").alias("a"), F.col("v").alias("b")
-        ).unionAll(mins.select(F.col("m").alias("a"), F.col("u").alias("b")))
+            # Large-star: neighbors v > u re-point at m(u).  In
+            # canonical form those (u, v) adjacency rows are exactly
+            # the edges (a, b) themselves, so the emission is
+            # (m(a), b) with m(a) = least(a, __mn(a)) (least skips
+            # the null __mn of vertices with no incoming edge).
+            # m(a) <= a < b keeps the output canonical with no
+            # self-loops, and no dedup is needed — one emission per
+            # edge.  NOT checkpointed: the small-star half reads this
+            # relation twice, but both reads sit on the SAME
+            # hashpartitioning(b) exchange (identical subplans), so
+            # exchange reuse computes it once; lineage stays bounded
+            # because e itself is checkpointed each round.
+            return cur.join(
+                min_in.select(F.col("b").alias("a"), "__mn"), "a", "left"
+            ).select(F.least("a", "__mn").alias("a"), "b")
+        # Small-star: each center u re-roots its not-larger neighbors
+        # and itself at m(u).  Centers with any incoming edge have
+        # m(u) = __mn(u) (< u always); centers without incoming edges
+        # would emit only the filtered (u, u) row, so min_in IS the
+        # center list: edge rows emit (__mn(b), a), centers (__mn(b), b).
+        out = cur.join(min_in, "b").select(
+            F.col("__mn").alias("a"), F.col("a").alias("b")
+        ).unionAll(min_in.select(F.col("__mn").alias("a"), "b"))
         return (
             out.where(F.col("a") != F.col("b"))
             .distinct()
@@ -238,15 +279,8 @@ def connected_components_star(
         )
 
     for _ in range(max_iterations):
-        mid = star(e, large=True)
-        e_new = star(mid, large=False)
+        e_new = star(star(e, large=True), large=False)
         fp = fingerprint(e_new)
-        # e_new's checkpoint is materialized by the fingerprint job, so
-        # the large-star intermediate's blocks are dead NOW — release
-        # them instead of waiting for Python GC + the ContextCleaner
-        # (ADVICE r10: a high-alternation run otherwise accumulates
-        # ~2 edge-sized block sets per round for the call's duration).
-        _release_local_checkpoint(mid)
         if fp == prev and e_new.exceptAll(e).limit(1).count() == 0:
             # fingerprint match is necessary, the exceptAll probe makes
             # it sufficient — run once, at the (apparent) fixed point
@@ -561,15 +595,7 @@ def kcore_vertices(
         raise ValueError(f"k must be >= 1, got {k}")
     spark = edges.sparkSession
     npart = spark.sparkContext.defaultParallelism
-    half = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
-        F.col("s") != F.col("d")
-    )
-    e = (
-        half.unionByName(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .distinct()
-        .repartition(npart, "s")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    e = _undirected_edges(edges, src, dst, npart)
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
         eager=False
     )
@@ -667,15 +693,7 @@ def label_propagation(
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     spark = edges.sparkSession
     npart = spark.sparkContext.defaultParallelism
-    half = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
-        F.col("s") != F.col("d")
-    )
-    e = (
-        half.unionByName(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .distinct()
-        .repartition(npart, "s")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    e = _undirected_edges(edges, src, dst, npart)
     labels = (
         e.select(F.col("s").alias("vid"))
         .distinct()
@@ -746,15 +764,7 @@ def bfs_hops(
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     spark = edges.sparkSession
     npart = spark.sparkContext.defaultParallelism
-    half = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
-        F.col("s") != F.col("d")
-    )
-    e = (
-        half.unionByName(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .distinct()
-        .repartition(npart, "s")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    e = _undirected_edges(edges, src, dst, npart)
     dist = (
         seeds.select(F.col(seed_col).alias("vid"))
         .distinct()

@@ -312,11 +312,17 @@ def _lineitem_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey"
     )
     w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    # No .distinct() here (r11, guide §2.4): EVERY consumer dedups
+    # internally — pagerank's directed distinct, the triangle family's
+    # canonical distinct, and the undirected ops' canonical
+    # both-orientations build (components._undirected_edges) — so a
+    # distinct at this level was one redundant full exchange of the
+    # edge relation in each of the nine graph queries.  The edge SET
+    # each operator sees is unchanged.
     return (
         li.withColumn("src", F.lag("l_partkey").over(w))
         .where(F.col("src").isNotNull() & (F.col("src") != F.col("l_partkey")))
         .select("src", F.col("l_partkey").alias("dst"))
-        .distinct()
     )
 
 
