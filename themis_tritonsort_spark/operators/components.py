@@ -394,11 +394,19 @@ def _oriented_triangles(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Persisted (r11, guide §5): the relation feeds BOTH degree-attach
+    # builds, and the r11 plan audit showed the join-key renames (a vs
+    # b) pushing different isnotnull filters into the two subtrees, so
+    # neither exchange reuse nor cache-plan matching fired — the whole
+    # 2|E|-row union+aggregate (and its two cached-e scans) executed
+    # twice per query.  Vertex-sized; rides the caller-owned
+    # cached_deps contract like e itself.
     degrees = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     da = degrees.select(F.col("v").alias("a"), F.col("deg").alias("__da")).hint(
         "shuffle_hash"
@@ -410,10 +418,15 @@ def _oriented_triangles(
     a_first = (F.col("__da") < F.col("__db")) | (
         (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
     )
+    # Persisted (r11, guide §5): BOTH sides of the wedge self-join are
+    # this relation under different aliases, and the r11 plan audit
+    # showed the aliased sides defeating exchange reuse — the whole
+    # degree-attach chain (two shuffled-hash joins over e) executed
+    # once PER SIDE.  Edge-sized, same class as e; rides cached_deps.
     oriented = withdeg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     o1 = oriented.select("u", F.col("w").alias("w1"))
     o2 = oriented.select("u", F.col("w").alias("w2")).hint("merge")
     # each unordered out-pair once; w1 < w2 makes the pair id-canonical,
@@ -426,10 +439,17 @@ def _oriented_triangles(
     # triangle_total_degree_oriented's docstring).  Sort-merge spills;
     # a data-sized hashed relation does not.
     pairs = o1.join(o2, "u").where(F.col("w1") < F.col("w2"))
+    # Closing probe hinted SHUFFLE_HASH (r11, guide §3.1): the build
+    # side is one partition's slice of the canonical edge set — the
+    # same bounded-slice memory class as the degree attach above, NOT
+    # the whole-relation broadcast r10 measured OOMing — while the
+    # sort-merge pin paid a full sort of the WEDGE relation (the
+    # enumerator's largest) on the probe side.  Broadcast stays banned
+    # (the hint, like the others, pins the planner away from it).
     closing = e.select(F.col("a").alias("w1"), F.col("b").alias("w2")).hint(
-        "merge"
+        "shuffle_hash"
     )
-    return pairs.join(closing, ["w1", "w2"], "left_semi"), e
+    return pairs.join(closing, ["w1", "w2"], "left_semi"), e, degrees, oriented
 
 
 def triangle_counts(
@@ -448,11 +468,11 @@ def triangle_counts(
     earlier raw-id node-iterator paid the sum-of-degrees-squared wedge
     blowup that degree orientation caps at O(sqrt(|E|)) per key.
     """
-    tris, e = _oriented_triangles(edges, src, dst)
+    tris, e, degrees, oriented = _oriented_triangles(edges, src, dst)
     out = tris.groupBy(
         F.least(F.col("u"), F.col("w1"), F.col("w2")).alias("vid")
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
-    return _caller_owned_cache(out, e)
+    return _caller_owned_cache(out, e, degrees, oriented)
 
 
 def triangle_total_degree_oriented(
@@ -486,9 +506,9 @@ def triangle_total_degree_oriented(
     died building a >1 GB hashed relation.  The probe tool caught
     both; the only broadcast this operator should ever do is none.
     """
-    tris, e = _oriented_triangles(edges, src, dst)
+    tris, e, degrees, oriented = _oriented_triangles(edges, src, dst)
     out = tris.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    return _caller_owned_cache(out, e)
+    return _caller_owned_cache(out, e, degrees, oriented)
 
 
 def triangle_total_doulion(
@@ -540,13 +560,13 @@ def triangle_total_doulion(
         F.substring(F.md5(F.concat_ws(":", a, b)), 1, 15), 16, 10
     ).cast("long")
     sampled = edges.where(hv % 1_000_000 < F.lit(p_ppm))
-    tris, e = _oriented_triangles(sampled, src, dst)
+    tris, e, degrees, oriented = _oriented_triangles(sampled, src, dst)
     out = tris.agg(
         (F.count(F.lit(1)) * F.lit(inv**3)).cast("long").alias(
             "n_triangles_est"
         )
     )
-    return _caller_owned_cache(out, e)
+    return _caller_owned_cache(out, e, degrees, oriented)
 
 
 def kcore_vertices(
@@ -817,7 +837,7 @@ def local_clustering_coefficient(
     triangle-sized, + one degree aggregate over the same persisted
     canonical edge set.
     """
-    tris, e = _oriented_triangles(edges, src, dst)
+    tris, e, degrees, oriented = _oriented_triangles(edges, src, dst)
     per_vertex = (
         tris.select(
             F.explode(
@@ -827,12 +847,10 @@ def local_clustering_coefficient(
         .groupBy("vid")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
-    deg = (
-        e.select(F.col("a").alias("vid"))
-        .unionByName(e.select(F.col("b").alias("vid")))
-        .groupBy("vid")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    # The enumerator already built and persisted this exact relation
+    # for its degree orientation — read it instead of re-aggregating
+    # the edge set a third time (r11, guide §5).
+    deg = degrees.select(F.col("v").alias("vid"), "deg")
     num = (F.col("n_tri") * F.lit(2_000_000)).cast("double")
     den = (F.col("deg") * (F.col("deg") - 1)).cast("double")
     out = (
@@ -846,4 +864,4 @@ def local_clustering_coefficient(
             F.round(num / den).cast("long").alias("lcc_ppm"),
         )
     )
-    return _caller_owned_cache(out, e)
+    return _caller_owned_cache(out, e, degrees, oriented)
