@@ -278,25 +278,48 @@ def connected_components_star(
             .localCheckpoint(eager=False)
         )
 
-    for _ in range(max_iterations):
-        e_new = star(star(e, large=True), large=False)
-        fp = fingerprint(e_new)
-        if fp == prev and e_new.exceptAll(e).limit(1).count() == 0:
-            # fingerprint match is necessary, the exceptAll probe makes
-            # it sufficient — run once, at the (apparent) fixed point
+    # Size-first AQE coalescing for the loop's jobs (r11, guide §2.2):
+    # with parallelismFirst (the Spark default) every per-round
+    # exchange fans a megabyte-scale contracted edge relation out to
+    # defaultParallelism micro-partitions — dozens of ~50 KB tasks per
+    # stage, 5 stages per alternation, launch overhead dominating.
+    # Respecting the advisory size instead is the documented
+    # production recommendation and is scale-neutral (big rounds
+    # coalesce to many advisory-sized partitions; only genuinely small
+    # rounds — late contractions — collapse, which is right at any
+    # scale).  Scoped to the loop with restore: the co-partitioned
+    # persisted-edge loops elsewhere (label prop, BFS, k-core) measure
+    # SLOWER under size-first coalescing (their cached 32-partition
+    # edge side then joins a 1-partition label side), so this is not a
+    # session-wide default.
+    spark = edges.sparkSession
+    _PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    pf_before = spark.conf.get(_PF, "true")
+    spark.conf.set(_PF, "false")
+    try:
+        for _ in range(max_iterations):
+            e_new = star(star(e, large=True), large=False)
+            fp = fingerprint(e_new)
+            if fp == prev and e_new.exceptAll(e).limit(1).count() == 0:
+                # fingerprint match is necessary, the exceptAll probe
+                # makes it sufficient — run once, at the (apparent)
+                # fixed point
+                _release_local_checkpoint(e)
+                e = e_new
+                break
+            # the probe (when it ran) was this round's last read of the
+            # superseded e; only e_new's blocks stay live
             _release_local_checkpoint(e)
-            e = e_new
-            break
-        # the probe (when it ran) was this round's last read of the
-        # superseded e; only e_new's blocks stay live
-        _release_local_checkpoint(e)
-        e, prev = e_new, fp
-    else:
-        raise RuntimeError(
-            f"connected_components_star did not converge in "
-            f"{max_iterations} alternations; star contraction needs "
-            "O(log^2 n) — check for id overflow or raise max_iterations"
-        )
+            e, prev = e_new, fp
+        else:
+            raise RuntimeError(
+                f"connected_components_star did not converge in "
+                f"{max_iterations} alternations; star contraction needs "
+                "O(log^2 n) — check for id overflow or raise "
+                "max_iterations"
+            )
+    finally:
+        spark.conf.set(_PF, pf_before)
 
     # fixed point: (root, leaf) stars.  Every vertex resolves through
     # the leaf->root map; roots (and any vertex whose edges contracted
