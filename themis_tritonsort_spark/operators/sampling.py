@@ -399,26 +399,41 @@ def importance_scores(
         F.col(target_col).cast("boolean").alias("__t"),
         F.explode(tokens(F.col(text_col))).alias("__word"),
     ).select(F.col(id_col), "__t", bucket.alias("__b"))
-    ratio = tb.groupBy("__b").agg(
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__nt"),
-        F.count(F.lit(1)).alias("__nr"),
+    from pyspark import StorageLevel
+
+    # Collapse the token stream to per-(doc, bucket) counts FIRST and
+    # persist THAT (r11, guide §2.3 "aggregate before you shuffle" +
+    # §5): the bucket-ratio aggregate and the per-doc score are both
+    # exact integer sums over these counts, so the tokenize + md5 +
+    # base-conv pipeline — the operator's dominant cost — runs ONCE
+    # instead of once per consumer.  Cardinality is bounded by
+    # min(n_tokens, buckets) rows per doc, far below the token stream,
+    # and map-side partial aggregation collapses each doc's tokens
+    # before the exchange (a doc's exploded tokens stay in its scan
+    # partition).
+    tbc = (
+        tb.groupBy(id_col, "__t", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ratio = tbc.groupBy("__b").agg(
+        F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("__nt"),
+        F.sum("__c").alias("__nr"),
     ).select(
         "__b",
         F.expr(f"((__nt + 1) * {scale}) div (__nr + {buckets})").alias("__r"),
     )
-    from pyspark import StorageLevel
-
     # persisted: the range partitioner's sampling pass AND the range
     # shuffle both read the per-doc scores — without the cache the
-    # explode+join+aggregate lineage runs twice (measured alpha 1.3 at
-    # 64x; ~1 with the cache).  Four long columns per doc, tiny next
-    # to the corpus.
+    # join+aggregate lineage runs twice (measured alpha 1.3 at 64x;
+    # ~1 with the cache).  Four long columns per doc, tiny next to
+    # the corpus.
     scored = (
-        tb.join(F.broadcast(ratio), "__b")
+        tbc.join(F.broadcast(ratio), "__b")
         .groupBy(id_col)
         .agg(
-            F.sum("__r").alias("__rsum"),
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("__r") * F.col("__c")).alias("__rsum"),
+            F.sum("__c").cast("long").alias("n_tokens"),
         )
         .select(
             F.col(id_col),

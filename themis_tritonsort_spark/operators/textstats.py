@@ -338,6 +338,14 @@ def cooccurrence_pmi(
                 )
             ).alias("__ws"),
         )
+    # The capped token-set relation feeds BOTH the pair generator and
+    # the per-word document counts; uncached, the tokenizer and the
+    # O(d*n) frequency-rank expression above evaluate twice (r11,
+    # guide §5).  Cached rows are (id, <=max_tokens_per_doc tokens) —
+    # tiny next to the corpus.
+    from pyspark import StorageLevel
+
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = words.select(
         F.col(id_col),
         F.explode(

@@ -25,9 +25,10 @@ from pyspark.sql import functions as F
 def token_budget_stream(
     docs: DataFrame,
     id_col: str,
-    text_col: str,
+    text_col: str | None,
     group_col: str,
     budget_tokens: int,
+    n_col: str | None = None,
 ) -> DataFrame:
     """Admit each group's documents in arrival order while the tokens
     consumed SO FAR are under ``budget_tokens`` (the admitted doc may
@@ -40,17 +41,27 @@ def token_budget_stream(
     has an arrival order and the budget is first-come-first-served;
     re-balancing an already-collected corpus is the batch operator's
     job.
+
+    ``n_col``: a precomputed per-row token count; when given,
+    ``text_col`` is ignored and the count column is used directly
+    (the replay harness pre-tokenizes so only metadata rides the
+    stream — see token_budget_replay).
     """
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    n_expr = (
+        F.col(n_col).cast("long")
+        if n_col is not None
+        else F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit("[^ ]+"), 0)
+        ).cast("long")
+    )
     staged = docs.select(
         F.col(group_col).alias("group"),
         F.col(id_col).alias("__id"),
-        F.size(
-            F.regexp_extract_all(F.col(text_col), F.lit("[^ ]+"), 0)
-        ).cast("long").alias("__n"),
+        n_expr.alias("__n"),
     )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
@@ -126,10 +137,19 @@ def token_budget_replay(
     Returns a batch DataFrame (group, id, n_tokens, cum_tokens) read
     back from the memory sink after the availableNow run terminates.
     """
+    # Pre-tokenize BEFORE the replay write (guide §2.3/§8: move
+    # metadata, not payloads): the stream's only consumers are the
+    # admission counts, so the staged files carry (group, id, n) — a
+    # few bytes/row — instead of the full text.  The count expression
+    # is byte-identical to token_budget_stream's own tokenizer, just
+    # evaluated during staging; admissions are unchanged.
     staged = docs.select(
         F.col(group_col).cast("string").alias("group"),
         F.col(id_col).cast("long").alias("id"),
-        F.col(text_col).cast("string").alias("text"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col).cast("string"),
+                                 F.lit("[^ ]+"), 0)
+        ).cast("long").alias("n"),
     )
     root = tempfile.mkdtemp(prefix="budget_replay_")
     src = os.path.join(root, "src")
@@ -149,11 +169,13 @@ def token_budget_replay(
         for i, f in enumerate(parts):
             os.utime(os.path.join(src, f), (base + i, base + i))
         stream = (
-            spark.readStream.schema("group string, id long, text string")
+            spark.readStream.schema("group string, id long, n long")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        out = token_budget_stream(stream, "id", "text", "group", budget_tokens)
+        out = token_budget_stream(
+            stream, "id", None, "group", budget_tokens, n_col="n"
+        )
         q = (
             out.writeStream.format("memory")
             .queryName(name)
