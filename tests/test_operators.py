@@ -513,6 +513,50 @@ def test_triangle_total_doulion(spark):
             triangle_total_doulion(df, p_ppm=bad)
 
 
+def test_connected_components_frontier_matches_union_find(spark):
+    """Frontier (delta) min-label propagation (r11) must label every
+    vertex with its component minimum — pinned against a brute-force
+    union-find on a shape that exercises the frontier's edge cases: a
+    20-hop chain (many rounds whose late frontiers are tiny, including
+    rounds where previously-changed vertices go quiet and must NOT
+    re-offer), two cliques bridged by a single edge (a changed vertex
+    re-activating an already-converged region), and an isolated
+    self-loop vertex."""
+    from themis_tritonsort_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = [(i, i + 1) for i in range(100, 120)]  # chain, min = 100
+    edges += [(a, b) for a in range(5) for b in range(5) if a < b]
+    edges += [(a, b) for a in range(50, 55) for b in range(50, 55) if a < b]
+    edges += [(4, 50)]  # bridge: second clique must drain to 0
+    edges += [(200, 200)]  # self-loop only: vertex filtered out entirely
+    edges += [(119, 118), (100, 101)]  # duplicate + mirrored rows
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {(v, find(v)) for v in parent}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r["vid"], r["component"])
+        for r in connected_components(df, max_iterations=50).collect()
+    }
+    assert got == want
+
+
 def test_connected_components_star_matches_min_label(spark):
     """The alternating large-star/small-star variant must produce the
     identical (vid, component) relation as min-label propagation on an

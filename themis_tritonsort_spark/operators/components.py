@@ -92,17 +92,32 @@ def connected_components(
     labels = e.select(F.col("s").alias("vid")).distinct().withColumn(
         "label", F.col("vid")
     )
+    # Frontier (delta) propagation — r11, guide §2.2 (shuffle fewer
+    # bytes): only vertices whose label CHANGED last round need to
+    # offer this round.  Labels are min-monotone, so an offer from an
+    # unchanged u is always dominated: by induction every neighbor v
+    # already satisfies label(v) <= u's previous (= current) label from
+    # the round u last offered.  Per-round labels are therefore
+    # BIT-IDENTICAL to the all-offers form (the omitted terms never win
+    # the min), and so are the round count and the convergence path —
+    # but late rounds join |delta|-many probe rows against the edge set
+    # instead of |V| (near-clique dedup graphs converge exponentially:
+    # measured changed-counts 2337/2301/1777/293/15/1/0, so rounds 4+
+    # shuffled edge-sized offers for an almost-empty frontier).  Round
+    # 1 offers from every vertex, as before.
+    active = labels
 
     changed = -1
     try:
         for _ in range(max_iterations):
-            # Each vertex offers its label to its neighbors and keeps its
-            # own.  The keep row carries the previous label in `old`, so
-            # after the min-groupBy the convergence check is a filter-count
-            # on the checkpointed result — no extra join per round (min
-            # ignores the NULL `old` on propagated rows; every vid has
-            # exactly one keep row, so `old` IS the previous label).
-            offered = e.join(labels, e.s == labels.vid).select(
+            # Each active vertex offers its label to its neighbors; every
+            # vertex keeps its own.  The keep row carries the previous
+            # label in `old`, so after the min-groupBy the convergence
+            # check is a filter-count on the checkpointed result — no
+            # extra join per round (min ignores the NULL `old` on
+            # propagated rows; every vid has exactly one keep row, so
+            # `old` IS the previous label).
+            offered = e.join(active, e.s == active.vid).select(
                 F.col("d").alias("vid"),
                 F.col("label"),
                 F.lit(None).cast("long").alias("old"),
@@ -114,8 +129,12 @@ def connected_components(
                 .agg(F.min("label").alias("label"), F.min("old").alias("old"))
                 .localCheckpoint(eager=False)
             )
-            changed = merged.where(F.col("label") != F.col("old")).count()
+            changed_rows = merged.where(F.col("label") != F.col("old"))
+            changed = changed_rows.count()
             labels = merged.select("vid", "label")
+            # next round's frontier: a filtered read of the SAME
+            # checkpoint blocks labels reads — no extra materialization
+            active = changed_rows.select("vid", "label")
             if changed == 0:
                 break
         else:
