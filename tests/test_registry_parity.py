@@ -150,11 +150,10 @@ def test_pagerank_two_iterations_via_job_chain(spark):
 
 def test_driver_window_composition():
     """The round driver gates the FIRST 50 entries of queries() — pin
-    that the window is exactly the rotation plan (round-11: the full
-    47-entry r08-stale block, the NEW q145 streaming-replay first
-    gate, and the q02/q03 get-ahead slots from the r09 set), every
-    windowed entry has an oracle, and nothing outside the window
-    lacks local oracle coverage."""
+    that the window is exactly the rotation plan (round-12: the full
+    48-entry r09-stale block plus the q01/q19 get-ahead slots from
+    the r10 set), every windowed entry has an oracle, and nothing
+    outside the window lacks local oracle coverage."""
     from themis_tritonsort_spark.queries import (
         _WINDOW_PRIORITY,
         ORACLES,
@@ -166,22 +165,21 @@ def test_driver_window_composition():
     missing = [n for n in _WINDOW_PRIORITY if n not in ORACLES]
     assert missing == []
     windowed_prefixes = {n.split("_")[0] for n in _WINDOW_PRIORITY}
-    # the 47 entries whose newest driver row is r08 (3 rounds old at
-    # the r11 gate) all rotate in: q46, q78b, q95..q111, q113..q131
-    # (incl. q125/q125b, excl. the r10-re-gated q112), q133..q140
-    stale_r08 = (
-        {"q46", "q78b", "q125b"}
-        | {f"q{i}" for i in range(95, 112)}
-        | {f"q{i}" for i in range(113, 132)}
-        | {f"q{i}" for i in range(133, 141)}
+    # the 48 entries whose newest driver row is r09 (3 rounds old at
+    # the r12 gate) all rotate in: q04..q18 (incl. q10b), q20..q23,
+    # q29, q31, q38, q39, q50..q72, q132
+    stale_r09 = (
+        {f"q{i:02d}" for i in range(4, 19)}
+        | {"q10b"}
+        | {f"q{i}" for i in range(20, 24)}
+        | {"q29", "q31", "q38", "q39"}
+        | {f"q{i}" for i in range(50, 73)}
+        | {"q132"}
     )
-    assert stale_r08 <= windowed_prefixes
-    # spare 1: first gate of the NEW r11 streaming-replay query
-    # (q145 token_budget_stream replayed over id-ordered micro-batch
-    # files so a streaming path carries a driver CORRECTNESS row);
-    # spares 2-3: get-ahead picks from the 50-entry r09 set (first
-    # two in catalog order), shrinking the r12-stale set from 50 to 48
-    assert {"q145", "q02", "q03"} <= windowed_prefixes
+    assert stale_r09 <= windowed_prefixes
+    # spares: get-ahead picks from the 50-entry r10 set (first two in
+    # catalog order), shrinking the r13-stale set from 50 to 48
+    assert {"q01", "q19"} <= windowed_prefixes
 
 
 def test_bench_set_covers_the_catalog():

@@ -6574,50 +6574,43 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q145_budget_stream_replay": q145_budget_stream_replay,
 }
 
-# Driver-window rotation (round 11).  The round driver gates the FIRST
-# 50 entries of queries() against their oracles.  After r10, exactly
-# 47 entries' newest driver row is r08 (3 rounds old at the r11 gate):
-# q46, q78b, q95..q111, q113..q131 (incl. q125/q125b, excl. q112 which
-# r10 re-gated), q133..q140 — the rotation debt VERDICT r10 scheduled
-# for this window; all 47 go in front, catalog order.  The 3 spares:
-# q145 is NEW this round (the streaming token-budget twin replayed
-# deterministically so a streaming path finally carries a driver
-# CORRECTNESS row — first gate, not a rotation), plus two get-ahead
-# picks from the 50-entry r09-gated set (its first two in catalog
-# order: q02, q03).  Round-12 plan, written now per the
-# rotation-treadmill rule: gate the remaining 48 r09-gated entries —
-# q04..q18 (incl. q10b), q20..q23, q29, q31, q38, q39, q50..q72,
-# q132 — which fills the window with 2 spares for output-changed
-# re-gates or get-ahead picks from the r10/r11 sets (driver_sim's
-# staleness report after this round's gate will count exactly 48).
+# Driver-window rotation (round 12).  The round driver gates the FIRST
+# 50 entries of queries() against their oracles.  This window executes
+# the plan written in r11: the 48 entries whose newest driver row is
+# r09 (3 rounds old at the r12 gate) — q04..q18 (incl. q10b),
+# q20..q23, q29, q31, q38, q39, q50..q72, q132 — all in front, catalog
+# order, confirmed by driver_sim's staleness report at the start of
+# this round.  The 2 spares are get-ahead picks from the r10-gated set
+# (its first two in catalog order: q01, q19).  Round-13 plan, written
+# now per the rotation-treadmill rule: gate the rest of the r10 set
+# (q24..q28, q30, q32..q37, q40..q45, q47..q49, q73..q94, q112,
+# q141..q144 — driver_sim's staleness report after this round's gate
+# lists them exactly), filling the window from the top of that report
+# in catalog order, spares from the r11 set.
 # Everything outside the window stays oracle-checked locally every
 # run by tests/test_queries_oracle.py, and tools/driver_sim.py flags
 # any entry whose newest driver row is >=2 rounds old.
 _WINDOW_PRIORITY = [
-    # the 47 r08-stale entries, catalog order
-    "q46_dedup_clusters", "q78b_audio_decode", "q95_volume_shipping",
-    "q96_product_profit", "q97_important_parts",
-    "q98_supplier_variety", "q99_large_orders", "q100_bracket_revenue",
-    "q101_excess_suppliers", "q102_waiting_suppliers", "q103_bfs_hops",
-    "q104_hashed_classifier", "q105_concurrency", "q106_bpe_train",
-    "q107_bm25_retrieval", "q108_profile_events",
-    "q109_fuzzy_supplier_match", "q110_attribution", "q111_bm25_multi",
-    "q113_ewma", "q114_markov_transitions", "q115_filtered_revenue",
-    "q116_priority_by_class", "q117_promo_share", "q118_top_supplier",
-    "q119_histogram_quantiles", "q120_lineno_gaps", "q121_orphan_audit",
-    "q122_event_paths", "q123_segment_mode", "q124_spend_deciles",
-    "q125_video_frames", "q125b_mjpeg_frames",
-    "q126_local_supplier_volume", "q127_market_share",
-    "q128_returned_items", "q129_sales_opportunity",
-    "q130_variant_json", "q131_k_anonymity", "q133_kcenter_sample",
-    "q134_keep_best", "q135_incremental_neardup",
-    "q136_leakage_safe_split", "q137_trained_classifier",
-    "q138_importance_resample", "q139_dup_substrings",
-    "q140_substring_scrub",
-    # spare 1: first gate of the NEW r11 streaming replay query
-    "q145_budget_stream_replay",
-    # spares 2-3: get-ahead picks from the r09 set (first two, catalog order)
-    "q02_sort_lineitem", "q03_wordcount",
+    # the 48 r09-stale entries, catalog order
+    "q04_ngrams", "q05_inverted_index", "q06_sessionize",
+    "q07_pagerank", "q08_link_extract", "q09_kmeans_assign",
+    "q10_global_agg", "q10b_length_histogram", "q11_duplicate_keys",
+    "q12_merge_sorted", "q13_grep", "q14_pricing_summary",
+    "q15_revenue_by_nation", "q16_top_customers", "q17_exact_dedup",
+    "q18_jaccard_pairs", "q20_ann_topk", "q21_text_quality",
+    "q22_lang_id", "q23_fingerprint", "q29_kmeans_full",
+    "q31_ivf_ann", "q38_cosine_neardup", "q39_lsh_neardup",
+    "q50_mixture_sample", "q51_chunk_documents",
+    "q52_small_qty_revenue", "q53_order_count_distribution",
+    "q54_yearly_cohorts", "q55_returnflag_pivot", "q56_rolling_hour",
+    "q57_cube_revenue", "q58_repetition_stats", "q59_decontaminate",
+    "q60_encode_tokens", "q61_train_split", "q62_pii_scrub",
+    "q63_tfidf_topk", "q64_unigram_surprisal", "q65_dedup_spans",
+    "q66_blocklist_filter", "q67_gap_fill", "q68_triangle_counts",
+    "q69_funnel", "q70_cooccurrence_pmi", "q71_retention",
+    "q72_cheapest_supplier", "q132_hard_negatives",
+    # spares: get-ahead picks from the r10 set (first two, catalog order)
+    "q01_sort_events", "q19_minhash_lsh",
 ]
 QUERIES = {
     **{name: QUERIES[name] for name in _WINDOW_PRIORITY},
