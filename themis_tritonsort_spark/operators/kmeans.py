@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double
@@ -28,13 +28,43 @@ from ..functions.vectors import as_double
 _LITERAL_BUDGET = 4096
 
 
-def _dist_sq(vec: Column, center: list[float]) -> Column:
-    # Literal center folded into the plan: codegen'd, no shuffle, no UDF.
-    c = F.array(*[F.lit(float(x)) for x in center])
-    return F.aggregate(
-        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def sql_double(x: float) -> str:
+    """Exact double literal for a SQL expression string: Python's
+    shortest round-trip repr through CAST(string AS DOUBLE), which the
+    JVM parses correctly rounded — the folded Literal is bit-identical
+    to ``F.lit(float(x))``.  Used by the single-``F.expr`` construction
+    paths below (guide §4: the per-element ``F.lit`` form costs one
+    py4j round trip PER NUMBER — ~0.6 s per 512-literal center set per
+    loop iteration, all driver-side client overhead)."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite center component: {x!r}")
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def centers_sql(centers: list[list[float]]) -> str:
+    """``array(array(...), ...)`` SQL literal for a center/codeword set
+    — ONE py4j string instead of k*dim client-side ``F.lit`` calls."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(sql_double(x) for x in c) + ")"
+            for c in centers
+        )
+        + ")"
+    )
+
+
+def _assign_sql(vec_col: str, centers: list[list[float]]) -> str:
+    """The literal-path assignment as ONE SQL expression string —
+    exactly the expression tree the per-``F.lit`` form builds (same
+    zip_with/aggregate fold, same struct tie order), constructed with
+    a single py4j call and parsed/folded in the JVM in milliseconds."""
+    return (
+        f"array_min(transform({centers_sql(centers)}, (c, i) -> "
+        f"struct(aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), c, "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x) AS d, i AS cid))).cid"
     )
 
 
@@ -90,27 +120,17 @@ def assign_clusters(
         )
     if strategy == "numpy":
         return _assign_numpy(df, vec_col, centers, out_col)
-    v = as_double(F.col(vec_col))
     # ONE transform lambda over a nested centers literal: the distance
     # fold is compiled once and looped over centers at eval time,
     # instead of k unrolled copies of the fold in the expression tree —
     # same arithmetic (sequential left fold per center, so bit-identical
     # to the per-center form), much cheaper analysis/codegen for large k.
-    centers_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
-    )
-    dists = F.transform(
-        centers_arr,
-        lambda c, i: F.struct(
-            F.aggregate(
-                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            i.alias("cid"),
-        ),
-    )
-    return df.withColumn(out_col, F.array_min(dists)["cid"])
+    # Built as ONE F.expr string (r12, guide §4): the per-element
+    # F.lit/lambda construction cost k*dim py4j round trips — ~0.6 s of
+    # driver-side client time per call at k=8, dim=64, dominating every
+    # Lloyd iteration — while the parsed expression tree (and therefore
+    # the plan, the fold arithmetic, and the tie rule) is identical.
+    return df.withColumn(out_col, F.expr(_assign_sql(vec_col, centers)))
 
 
 def lloyd(
@@ -147,19 +167,31 @@ def lloyd(
         from pyspark import StorageLevel
 
         vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    # Per-dimension means as ONE expr string (r12, guide §4): the
+    # 64-call `F.avg(v[i])` construction cost ~0.5 s/iteration of py4j
+    # client time; `array(avg(v[0]), ..)` is the same 64 independent
+    # avg aggregates (identical partial/final arithmetic), only
+    # projected into an array after aggregation.
+    means_sql = (
+        "array("
+        + ",".join(
+            f"avg(CAST(`{vec_col}` AS ARRAY<DOUBLE>)[{i}])"
+            for i in range(dim)
+        )
+        + ") AS __ms"
+    )
     try:
         for _ in range(iterations):
             assigned = assign_clusters(vecs, vec_col, centers)
-            v = as_double(F.col(vec_col))
             means = (
                 assigned.groupBy("cluster")
-                .agg(*[F.avg(v[i]).alias(f"m{i}") for i in range(dim)])
+                .agg(F.expr(means_sql))
                 .collect()
             )
             new_centers = list(centers)
             for row in means:
                 new_centers[row["cluster"]] = [
-                    float(row[f"m{i}"]) for i in range(dim)
+                    float(x) for x in row["__ms"]
                 ]
             centers = new_centers
     finally:

@@ -170,8 +170,13 @@ def kcenter_select(
     budget as Lloyd iterations).  Distances are quantized to integer
     micros BEFORE the argmax so the selection is reproducible across
     engines (ties broken by ascending id), making the whole greedy
-    trajectory oracle-checkable."""
-    from ..functions.vectors import l2_sq
+    trajectory oracle-checkable.
+
+    Each step's distance expression is ONE F.expr string (r12, guide
+    §4): the per-element ``F.lit`` center array cost dim py4j round
+    trips per step of driver-side client time; the parsed fold is the
+    identical l2_sq (zip_with + sequential aggregate) * 1e6 rounding."""
+    from .kmeans import sql_double
 
     base = df.select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
@@ -188,8 +193,12 @@ def kcenter_select(
 
     cur = base.withColumn("__md", F.lit(None).cast("long"))
     for step in range(2, k + 1):
-        lit_c = F.array(*[F.lit(float(x)) for x in center])
-        d_new = F.round(l2_sq(F.col("__v"), lit_c) * 1e6).cast("long")
+        c_sql = "array(" + ",".join(sql_double(x) for x in center) + ")"
+        d_new = F.expr(
+            f"CAST(round(aggregate(zip_with(CAST(`__v` AS ARRAY<DOUBLE>), "
+            f"{c_sql}, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x) * 1000000.0D, 0) AS BIGINT)"
+        )
         cur = cur.withColumn("__md", F.least(F.coalesce("__md", d_new), d_new))
         cur = cur.where(~F.col("__id").isin([c[1] for c in chosen[-1:]]))
         # lineage stays k-deep (k is small); localCheckpoint if k grows
@@ -269,23 +278,25 @@ def _probed_cells(
     """(query_id, __qvec, cell): each query's ``nprobe`` nearest cells
     by the same literal-fold distance and (distance, cell-id) tie order
     as assign_clusters — so the probe set is bit-consistent with the
-    corpus's cell assignment."""
-    from ..functions.vectors import as_double
-    from .kmeans import _dist_sq  # reuse the literal-fold distance
+    corpus's cell assignment.
+
+    The per-centroid struct array is ONE F.expr string (r12, guide §4):
+    the per-center ``_dist_sq`` construction cost k*dim py4j round
+    trips of driver-side client time; the parsed transform builds the
+    identical (d, cell) structs (same fold, same int cell ids)."""
+    from .kmeans import centers_sql
 
     q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    cells_sql = (
+        f"transform({centers_sql(centroids)}, (c, i) -> "
+        f"struct(aggregate(zip_with(CAST(`__qvec` AS ARRAY<DOUBLE>), c, "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x) AS d, i AS cell))"
+    )
     dists = q.select(
         "query_id",
         "__qvec",
-        F.array(
-            *[
-                F.struct(
-                    _dist_sq(as_double(F.col("__qvec")), c).alias("d"),
-                    F.lit(cid).alias("cell"),
-                )
-                for cid, c in enumerate(centroids)
-            ]
-        ).alias("__cells"),
+        F.expr(cells_sql).alias("__cells"),
     )
     return dists.select(
         "query_id",
@@ -899,7 +910,8 @@ def pq_codebook(
 
 def _pq_sub_l2(subv: Column, w: list[float]) -> Column:
     """Sequential-fold squared L2 between a sliced sub-vector column
-    and a python codeword (same arithmetic order as kmeans._dist_sq)."""
+    and a python codeword (same arithmetic order as assign_clusters'
+    literal-path distance fold)."""
     code = F.array(*[F.lit(float(x)) for x in w])
     return F.aggregate(
         F.zip_with(subv, code, lambda x, y: (x - y) * (x - y)),

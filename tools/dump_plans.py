@@ -2,7 +2,7 @@
 
 Usage: python tools/dump_plans.py <suffix> q68_triangle_counts,q134_keep_best [sf_dir]
 
-Writes plans/r11/<query>_<suffix>.txt for each query — the before/after
+Writes plans/$SPARK_GRAFT_PLANS_ROUND (default r12)/<query>_<suffix>.txt for each query — the before/after
 plan evidence the optimization round commits alongside the code.
 Iterative queries (pagerank / k-means / CC) print their FINAL plan; the
 per-round shape lives in tests/test_plans.py.
@@ -25,7 +25,7 @@ def main() -> None:
     suffix = sys.argv[1]
     names = [n.strip() for n in sys.argv[2].split(",") if n.strip()]
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
-    out_dir = REPO / "plans" / "r11"
+    out_dir = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     from themis_tritonsort_spark.queries import QUERIES
