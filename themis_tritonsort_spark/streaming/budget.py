@@ -168,23 +168,64 @@ def token_budget_replay(
         base = 1_600_000_000  # any fixed epoch; only the ordering matters
         for i, f in enumerate(parts):
             os.utime(os.path.join(src, f), (base + i, base + i))
-        stream = (
-            spark.readStream.schema("group string, id long, n long")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
+        # State-store partition count, derived from the STAGED bytes the
+        # same way AQE sizes post-shuffle partitions (advisory bytes per
+        # partition) — r12, guide §2.2.  A stateful streaming op pins
+        # spark.sql.shuffle.partitions as its state-store count at query
+        # start and gets NO AQE coalescing, so the session-wide setting
+        # fans this replay into dozens of near-empty state-store tasks
+        # (open + commit + a Python worker round trip each) per
+        # micro-batch: measured 6-7 s -> ~3 s at sf0.1 (32 -> size-derived
+        # partitions; admitted rows hash-identical).  The staged volume is
+        # known exactly at this point (the files were just written), so
+        # the derivation is scale-adaptive by construction: a 100 TB
+        # replay's bytes / advisory size asks for thousands of
+        # partitions, capped by the session setting.
+        staged_bytes = sum(
+            os.path.getsize(os.path.join(src, f)) for f in parts
         )
-        out = token_budget_stream(
-            stream, "id", None, "group", budget_tokens, n_col="n"
+        advisory = _parse_bytes(
+            spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
+            )
         )
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_state = max(1, min(cap, -(-staged_bytes // advisory)))
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+        try:
+            stream = (
+                spark.readStream.schema("group string, id long, n long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            out = token_budget_stream(
+                stream, "id", None, "group", budget_tokens, n_col="n"
+            )
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.table(name)
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('64m', '256MB', '67108864b',
+    plain digits = bytes)."""
+    s = str(v).strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(s) * mult
