@@ -48,7 +48,12 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     # Static side of every iteration's join: pre-shuffle once on src and
     # keep it materialized (cluster: bucketed table / co-partitioned).
-    npart = spark.sparkContext.defaultParallelism
+    # Partition count is size-derived (r12, guide §2.2) with the old
+    # static defaultParallelism as the cap — see
+    # components.sized_edge_npart for the estimate discipline.
+    from .components import sized_edge_npart
+
+    npart = sized_edge_npart(e, cap=spark.sparkContext.defaultParallelism)
     e = e.repartition(npart, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))

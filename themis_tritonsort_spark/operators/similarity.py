@@ -1155,9 +1155,21 @@ def pq_rerank_topk(
     and GC'd with the DataFrame).  bench.py clears the cache between
     passes; library callers own this themselves (ADVICE r08)."""
     qid = query_id_col or id_col
-    short = pq_topk(
-        corpus, queries, id_col, vec_col, codebook, shortlist, query_id_col
-    ).select("query_id", "neighbor_id")
+    # Materialized once (r12, guide §5): the shortlist feeds TWO
+    # broadcasts below (its distinct neighbor ids against the corpus,
+    # then the (query, neighbor) pairs themselves), and the two
+    # subtrees differ, so neither exchange reuse nor cache matching
+    # fires — without the barrier the whole tier-1 scan (encode +
+    # LUT scoring + window rank over the corpus) executed twice.
+    # The relation is <= queries x shortlist rows at any scale.
+    short = (
+        pq_topk(
+            corpus, queries, id_col, vec_col, codebook, shortlist,
+            query_id_col,
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     # Exact tier-2 re-score under the integer discipline: micro-quantize
     # both sides and rank on icos_ppm — an emitted rank must never hang
     # on a float fold whose summation order another engine can disagree
